@@ -1,0 +1,101 @@
+"""Configuration dataclasses.
+
+The reference has zero CLI flags — model shape comes from the checkpoint
+header and page geometry is compile-time #defines (block_manager.c:4-6:
+BLOCK_SIZE=32, MAX_BLOCKS=100, MAX_PROMPTS=100). Here both are first-class
+configs, since the engine must switch between the five BASELINE.json
+configurations at runtime.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class GPT2Config:
+    """Model shape, as carried by the checkpoint header
+    (train_gpt2.c:555-561 GPT2Config{max_seq_len,vocab_size,num_layers,
+    num_heads,channels})."""
+
+    max_seq_len: int = 1024   # maxT — wpe rows
+    vocab_size: int = 50257   # V
+    num_layers: int = 12      # L
+    num_heads: int = 12       # NH
+    channels: int = 768       # C
+
+    # TPU-side knob (not in the reference): logits matmul is padded to this
+    # multiple of lanes so the (C, V) projection tiles cleanly on the MXU.
+    vocab_pad_multiple: int = 128
+
+    @property
+    def head_dim(self) -> int:
+        assert self.channels % self.num_heads == 0
+        return self.channels // self.num_heads
+
+    @property
+    def padded_vocab_size(self) -> int:
+        m = self.vocab_pad_multiple
+        return ((self.vocab_size + m - 1) // m) * m
+
+    @staticmethod
+    def gpt2_124m() -> "GPT2Config":
+        return GPT2Config(1024, 50257, 12, 12, 768)
+
+    @staticmethod
+    def gpt2_350m() -> "GPT2Config":
+        return GPT2Config(1024, 50257, 24, 16, 1024)
+
+    @staticmethod
+    def gpt2_774m() -> "GPT2Config":
+        return GPT2Config(1024, 50257, 36, 20, 1280)
+
+    @staticmethod
+    def gpt2_1558m() -> "GPT2Config":
+        return GPT2Config(1024, 50257, 48, 25, 1600)
+
+    @staticmethod
+    def tiny(max_seq_len: int = 64, vocab_size: int = 256, num_layers: int = 2,
+             num_heads: int = 4, channels: int = 32) -> "GPT2Config":
+        """Small config for tests (reference tests use full 124M against
+        goldens; our CI box has one CPU core, so parity tests run tiny)."""
+        return GPT2Config(max_seq_len, vocab_size, num_layers, num_heads,
+                          channels)
+
+
+@dataclasses.dataclass(frozen=True)
+class PageConfig:
+    """KV page-pool geometry (block_manager.c:4-6 semantics, TPU-tiled).
+
+    ``page_size`` is tokens per page (reference BLOCK_SIZE=32); ``num_pages``
+    is the pool size (reference MAX_BLOCKS=100); ``max_seqs`` bounds
+    concurrent sequences (reference MAX_PROMPTS=100). ``pages_per_seq`` caps
+    a single sequence's block table (static shape for the kernel)."""
+
+    page_size: int = 32
+    num_pages: int = 128
+    max_seqs: int = 8
+    pages_per_seq: int = 32
+    kv_dtype: str = "float32"   # "float32" | "bfloat16" | "int8"
+
+    @property
+    def max_context(self) -> int:
+        return self.page_size * self.pages_per_seq
+
+
+@dataclasses.dataclass(frozen=True)
+class EngineConfig:
+    """Top-level engine switches covering the five BASELINE configs."""
+
+    cache_mode: str = "paged"          # "none" | "dense" | "paged"
+    page: PageConfig = dataclasses.field(default_factory=PageConfig)
+    param_dtype: str = "float32"       # "float32" | "bfloat16" | "int8"
+    activation_dtype: str = "float32"  # compute dtype inside the forward
+    max_batch: int = 8
+    max_new_tokens: int = 64
+    temperature: float = 1.0
+    top_k: Optional[int] = None
+    greedy: bool = False
+    seed: int = 1337                   # xorshift seed (paged_infer.c:975)
+    mesh_shape: Optional[dict] = None  # e.g. {"data": 1, "model": 4}

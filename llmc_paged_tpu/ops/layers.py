@@ -1,0 +1,101 @@
+"""L1 ops: jnp building blocks with exact fp32 parity to the C reference.
+
+The reference implements these as loop-nest C functions (train_gpt2.c:28-460)
+and CUDA kernels (train_gpt2.cu:57-410). On TPU they are single fused XLA
+expressions — the MXU takes the matmuls, the VPU the elementwise tail, and
+XLA fuses bias/gelu/residual into the matmul epilogues, so there is no need
+to hand-write kernels for any of these (Pallas is reserved for the paged
+attention and INT8 paths where XLA cannot see the structure).
+
+Parity notes (SURVEY.md §7 "hard parts"):
+  * layernorm: eps=1e-5, biased variance (train_gpt2.c:79,90-96)
+  * gelu: tanh approximation with sqrt(2/pi) constant (train_gpt2.c:356-363)
+  * attention: scale 1/sqrt(head_dim) pre-softmax (train_gpt2.c:232)
+  * matmuls run at float32 `highest` precision so the MXU doesn't silently
+    split to bf16 passes with different rounding than the C loop order
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+LN_EPS = 1e-5
+GELU_SCALE = 0.7978845608028654  # sqrt(2/pi), train_gpt2.c:356
+
+
+def layernorm(x: jax.Array, w: jax.Array, b: jax.Array,
+              eps: float = LN_EPS) -> jax.Array:
+    """LayerNorm over the last axis; biased variance like the C loop
+    (layernorm_forward, train_gpt2.c:71-111)."""
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    return (x - mean) * rstd * w + b
+
+
+def gelu_tanh(x: jax.Array) -> jax.Array:
+    """tanh-approximated GELU (gelu_forward, train_gpt2.c:357-364)."""
+    cube = 0.044715 * x * x * x
+    return 0.5 * x * (1.0 + jnp.tanh(GELU_SCALE * (x + cube)))
+
+
+def linear(x: jax.Array, w: jax.Array, b: jax.Array | None = None,
+           precision=jax.lax.Precision.HIGHEST) -> jax.Array:
+    """x(..., IC) @ w(OC, IC)^T + b — the reference weight convention
+    (matmul_forward, train_gpt2.c:156-178: out = inp·Wᵀ + bias)."""
+    out = jax.lax.dot_general(
+        x, w,
+        dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+        precision=precision,
+        preferred_element_type=x.dtype,
+    )
+    if b is not None:
+        out = out + b
+    return out
+
+
+def causal_attention(q: jax.Array, k: jax.Array, v: jax.Array,
+                     precision=jax.lax.Precision.HIGHEST) -> jax.Array:
+    """Dense causal attention; q,k,v are (B, NH, T, HS) → (B, NH, T, HS).
+
+    This is the naive O(T²) oracle against which cached/paged paths are
+    equivalence-tested (attention_forward, train_gpt2.c:220-294: scale
+    1/sqrt(hs), row max subtraction, causal zeroing)."""
+    B, NH, T, HS = q.shape
+    scale = 1.0 / jnp.sqrt(jnp.asarray(HS, dtype=q.dtype))
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, precision=precision) * scale
+    qpos = jax.lax.broadcasted_iota(jnp.int32, (T, T), 0)
+    kpos = jax.lax.broadcasted_iota(jnp.int32, (T, T), 1)
+    neg = jnp.asarray(jnp.finfo(scores.dtype).min, dtype=scores.dtype)
+    scores = jnp.where(kpos <= qpos, scores, neg)
+    probs = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs, v, precision=precision)
+
+
+def decode_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
+                     length, precision=jax.lax.Precision.HIGHEST) -> jax.Array:
+    """Single-position attention over a dense KV cache.
+
+    q: (B, NH, HS); k_cache/v_cache: (B, NH, S, HS); ``length``: (B,) int32 —
+    number of valid cache positions per row (the new token's K/V must
+    already be written). Replaces the reference's rebuild-qkv-then-dense
+    detour (fill_from_kv_cache, cached_infer.c:172-186,663-665) with a
+    masked attention directly over the cache."""
+    B, NH, S, HS = k_cache.shape
+    scale = 1.0 / jnp.sqrt(jnp.asarray(HS, dtype=q.dtype))
+    scores = jnp.einsum("bhd,bhkd->bhk", q, k_cache, precision=precision) * scale
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, NH, S), 2)
+    valid = pos < length[:, None, None]
+    neg = jnp.asarray(jnp.finfo(scores.dtype).min, dtype=scores.dtype)
+    scores = jnp.where(valid, scores, neg)
+    probs = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhk,bhkd->bhd", probs, v_cache, precision=precision)
+
+
+def softmax_cross_entropy(logits: jax.Array, targets: jax.Array) -> jax.Array:
+    """Mean NLL over all (B,T) positions (crossentropy_forward,
+    train_gpt2.c:427-441, mean at :796-806)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)[..., 0]
+    return jnp.mean(nll)

@@ -1,0 +1,103 @@
+"""Bit-exact parity of the host sampler with the reference RNG
+(random_u32/random_f32 train_gpt2.c:1041-1050, sample_mult :1052-1063).
+
+The expected u32 stream is verified against an independent C oracle compiled
+on the fly (tests/csrc oracle), so parity does not rest on hand-derived
+constants.
+"""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from llmc_paged_tpu.sampler import Sampler, XorshiftRNG, sample_argmax, sample_mult
+
+C_ORACLE = r"""
+#include <stdio.h>
+#include <stdlib.h>
+unsigned int random_u32(unsigned long long *state) {
+    *state ^= *state >> 12;
+    *state ^= *state << 25;
+    *state ^= *state >> 27;
+    return (*state * 0x2545F4914F6CDD1Dull) >> 32;
+}
+int main(int argc, char **argv) {
+    unsigned long long state = strtoull(argv[1], 0, 10);
+    int n = atoi(argv[2]);
+    for (int i = 0; i < n; i++) {
+        unsigned int u = random_u32(&state);
+        float f = (u >> 8) / 16777216.0f;
+        printf("%u %.9g\n", u, f);
+    }
+    return 0;
+}
+"""
+
+
+@pytest.fixture(scope="module")
+def c_stream(tmp_path_factory):
+    d = tmp_path_factory.mktemp("oracle")
+    src, exe = d / "rng.c", d / "rng"
+    src.write_text(C_ORACLE)
+    try:
+        subprocess.run(["gcc", "-O0", "-o", str(exe), str(src)], check=True)
+    except (OSError, subprocess.CalledProcessError):
+        pytest.skip("no C compiler")
+    out = subprocess.run([str(exe), "1337", "64"], check=True,
+                         capture_output=True, text=True).stdout
+    rows = [line.split() for line in out.strip().splitlines()]
+    return [(int(u), float(f)) for u, f in rows]
+
+
+def test_xorshift_matches_c_oracle(c_stream):
+    rng = XorshiftRNG(1337)
+    for exp_u32, exp_f32 in c_stream:
+        u = rng.random_u32()
+        assert u == exp_u32
+    rng2 = XorshiftRNG(1337)
+    for exp_u32, exp_f32 in c_stream:
+        f = rng2.random_f32()
+        assert np.float32(f) == np.float32(exp_f32)
+
+
+def test_sample_mult_cdf_walk():
+    probs = np.array([0.1, 0.2, 0.3, 0.4], dtype=np.float32)
+    assert sample_mult(probs, 0.05) == 0
+    assert sample_mult(probs, 0.1) == 1      # coin < cdf is strict
+    assert sample_mult(probs, 0.29999) == 1
+    assert sample_mult(probs, 0.95) == 3
+    assert sample_mult(probs, 1.5) == 3      # rounding fallback → n-1
+
+
+def test_sample_mult_matches_scalar_walk():
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        probs = rng.dirichlet(np.ones(50)).astype(np.float32)
+        coin = float(rng.uniform())
+        cdf = np.float32(0.0)
+        expect = len(probs) - 1
+        for i, p in enumerate(probs):
+            cdf += p
+            if np.float32(coin) < cdf:
+                expect = i
+                break
+        assert sample_mult(probs, coin) == expect
+
+
+def test_sampler_greedy():
+    s = Sampler(seed=1337, greedy=True)
+    probs = np.array([0.2, 0.5, 0.3], dtype=np.float32)
+    assert s.sample(probs) == 1
+    assert sample_argmax(probs) == 1
+
+
+def test_sampler_stream_deterministic():
+    a = Sampler(seed=1337)
+    b = Sampler(seed=1337)
+    probs = np.full(16, 1.0 / 16, dtype=np.float32)
+    seq_a = [a.sample(probs) for _ in range(32)]
+    seq_b = [b.sample(probs) for _ in range(32)]
+    assert seq_a == seq_b
