@@ -1,0 +1,178 @@
+"""L3 host side: the KV block manager, with exact state parity to the
+reference allocator (block_manager.c, whole file).
+
+TPU-idiomatic split (SURVEY.md §2): page *data* lives in a dense device
+pool (kv/layouts.py); this manager only hands out page indices and
+maintains the metadata state machine. `collect_kv_blocks`'s float*** table
+(block_manager.c:165-201) therefore becomes an int32 block-table array the
+Pallas kernel consumes.
+
+Reference semantics preserved exactly (verified in tests against a
+transliteration-free C++ twin in csrc/):
+  * allocation: first-free scan ascending by page index
+    (request_block, block_manager.c:123-128)
+  * on pool exhaustion: evict the LRU page's ENTIRE prompt ("they clear
+    out the entire prompt blocks in the paper", page_out_lru_block
+    block_manager.c:104-113), then rescan; the requesting prompt itself
+    can be the victim — the engine layer is responsible for avoiding that
+  * LRU: lru_counter = ++lru_epoch on allocation (block_manager.c:152) and
+    on each append to the current page (add_to_cache touch,
+    paged_infer.c:524); victim = min counter among allocated pages scanned
+    ascending with strict '<' against an initial bound of lru_epoch
+    (find_least_recently_used_block, block_manager.c:92-102)
+  * free_prompt resets filled/prompt_id and clears the table
+    (free_blocks_for_prompt, block_manager.c:78-90)
+
+Extension beyond the reference (its own TODO at paged_infer.c:542-545):
+`append_tokens` handles writes that span page boundaries, returning the
+(page, slot, count) segments for the device scatter.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class PageMeta:
+    """Per-page metadata (KVBlock minus the float buffers,
+    block_manager.c:9-15)."""
+    prompt_id: int = -1
+    filled: int = 0
+    lru_counter: int = 0
+
+    @property
+    def allocated(self) -> bool:
+        return self.prompt_id != -1
+
+
+@dataclasses.dataclass(frozen=True)
+class Segment:
+    """One contiguous device write: `count` new token rows into `page`
+    starting at slot `offset`."""
+    page: int
+    offset: int
+    count: int
+
+
+class BlockManager:
+    def __init__(self, num_pages: int = 100, page_size: int = 32,
+                 max_seqs: int = 100):
+        self.num_pages = num_pages
+        self.page_size = page_size
+        self.max_seqs = max_seqs
+        self.pages: List[PageMeta] = [PageMeta() for _ in range(num_pages)]
+        self.tables: Dict[int, List[int]] = {}
+        self.lru_epoch = 0
+
+    # -- queries ------------------------------------------------------------
+
+    def block_table(self, prompt_id: int) -> List[int]:
+        """Ordered page list for a prompt (collect_kv_blocks role)."""
+        return list(self.tables.get(prompt_id, []))
+
+    def block_table_array(self, prompt_id: int, pages_per_seq: int,
+                          fill: int = 0) -> np.ndarray:
+        """Fixed-width int32 row for the kernel; unused entries point at
+        page `fill` (never read thanks to length masking)."""
+        table = self.tables.get(prompt_id, [])
+        assert len(table) <= pages_per_seq, "sequence exceeds pages_per_seq"
+        row = np.full(pages_per_seq, fill, dtype=np.int32)
+        row[: len(table)] = table
+        return row
+
+    def get_current_block(self, prompt_id: int) -> Optional[int]:
+        table = self.tables.get(prompt_id)
+        return table[-1] if table else None
+
+    def seq_len(self, prompt_id: int) -> int:
+        return sum(self.pages[p].filled for p in self.tables.get(prompt_id, []))
+
+    def num_free(self) -> int:
+        return sum(1 for p in self.pages if not p.allocated)
+
+    def state_dump(self, prompt_id: int) -> str:
+        """print_state parity (block_manager.c:25-36) for debugging."""
+        lines = [f"Block manager llru {self.lru_epoch}"]
+        table = self.tables.get(prompt_id, [])
+        lines.append(f"Prompt {prompt_id} block count: {len(table)}")
+        for pid in table:
+            pg = self.pages[pid]
+            lines.append(f"Block {pid}: filled {pg.filled}, llru {pg.lru_counter}")
+        return "\n".join(lines)
+
+    # -- mutation -----------------------------------------------------------
+
+    def _find_lru(self) -> int:
+        victim, bound = -1, self.lru_epoch
+        for i, pg in enumerate(self.pages):
+            if pg.allocated and pg.lru_counter < bound:
+                bound = pg.lru_counter
+                victim = i
+        return victim
+
+    def _page_out_lru(self) -> List[int]:
+        victim = self._find_lru()
+        if victim == -1:
+            return []
+        prompt = self.pages[victim].prompt_id
+        self.free_prompt(prompt)
+        return [prompt]
+
+    def free_prompt(self, prompt_id: int) -> None:
+        for pid in self.tables.get(prompt_id, []):
+            self.pages[pid] = PageMeta()
+        self.tables[prompt_id] = []
+
+    def request_block(self, prompt_id: int) -> Tuple[Optional[int], List[int]]:
+        """Allocate one page to `prompt_id`. Returns (page index or None,
+        list of prompts evicted to make room)."""
+        if not (0 <= prompt_id < self.max_seqs):
+            raise ValueError(f"invalid prompt id {prompt_id}")
+        evicted: List[int] = []
+        idx = next((i for i, p in enumerate(self.pages) if not p.allocated), -1)
+        if idx == -1:
+            evicted = self._page_out_lru()
+            idx = next((i for i, p in enumerate(self.pages) if not p.allocated), -1)
+            if idx == -1:
+                return None, evicted
+        self.lru_epoch += 1
+        self.pages[idx] = PageMeta(prompt_id=prompt_id, filled=0,
+                                   lru_counter=self.lru_epoch)
+        self.tables.setdefault(prompt_id, []).append(idx)
+        return idx, evicted
+
+    def append_tokens(self, prompt_id: int, n: int
+                      ) -> Tuple[List[Segment], List[int]]:
+        """Reserve space for `n` new token rows, allocating pages as needed
+        and spanning page boundaries (the reference's missing case,
+        paged_infer.c:542-545). Returns (segments to scatter, evicted
+        prompts). If the pool is exhausted mid-append or the requesting
+        prompt evicts itself, returns ([], evicted) — the caller must treat
+        the sequence as preempted and free_prompt() it (the engine's
+        preemption path does exactly that)."""
+        segments: List[Segment] = []
+        evicted: List[int] = []
+        remaining = n
+        while remaining > 0:
+            cur = self.get_current_block(prompt_id)
+            if cur is None or self.pages[cur].filled >= self.page_size:
+                cur, ev = self.request_block(prompt_id)
+                evicted.extend(ev)
+                if cur is None or prompt_id in ev:
+                    # pool exhausted, or we evicted ourselves: caller must
+                    # treat this sequence as preempted
+                    return [], evicted
+            else:
+                # LRU touch on append (paged_infer.c:524)
+                self.lru_epoch += 1
+                self.pages[cur].lru_counter = self.lru_epoch
+            pg = self.pages[cur]
+            take = min(remaining, self.page_size - pg.filled)
+            segments.append(Segment(page=cur, offset=pg.filled, count=take))
+            pg.filled += take
+            remaining -= take
+        return segments, evicted

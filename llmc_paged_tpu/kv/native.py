@@ -1,0 +1,161 @@
+"""ctypes binding for the native (C++) block manager in csrc/.
+
+The native runtime mirrors the role the reference's C state machine plays
+(block_manager.c) — metadata only; page data stays on-device. Build with
+`make -C csrc` (done automatically on first use if a compiler is present).
+`make_block_manager` returns the native manager when available, else the
+pure-Python one; both expose the same API and are equivalence-tested.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from llmc_paged_tpu.kv.manager import BlockManager, Segment
+
+_CSRC = os.path.join(os.path.dirname(__file__), "..", "..", "csrc")
+_LIB_PATH = os.path.join(_CSRC, "libpagedrt.so")
+_lib = None
+
+
+def _load_lib():
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB_PATH):
+        try:
+            subprocess.run(["make", "-C", _CSRC], check=True,
+                           capture_output=True)
+        except (OSError, subprocess.CalledProcessError) as e:
+            raise ImportError(f"cannot build libpagedrt.so: {e}") from e
+    lib = ctypes.CDLL(_LIB_PATH)
+    i32, i64, p = ctypes.c_int32, ctypes.c_int64, ctypes.c_void_p
+    ip = ctypes.POINTER(ctypes.c_int32)
+    lp = ctypes.POINTER(ctypes.c_int64)
+    lib.bm_create.restype = p
+    lib.bm_create.argtypes = [i32, i32, i32]
+    lib.bm_destroy.argtypes = [p]
+    lib.bm_request_block.restype = i32
+    lib.bm_request_block.argtypes = [p, i32, ip]
+    lib.bm_free_prompt.argtypes = [p, i32]
+    lib.bm_current_block.restype = i32
+    lib.bm_current_block.argtypes = [p, i32]
+    lib.bm_append_tokens.restype = i32
+    lib.bm_append_tokens.argtypes = [p, i32, i32, ip, ip, ip, i32, ip, ip]
+    lib.bm_block_table.restype = i32
+    lib.bm_block_table.argtypes = [p, i32, ip, i32]
+    lib.bm_seq_len.restype = i32
+    lib.bm_seq_len.argtypes = [p, i32]
+    lib.bm_num_free.restype = i32
+    lib.bm_num_free.argtypes = [p]
+    lib.bm_lru_epoch.restype = i64
+    lib.bm_lru_epoch.argtypes = [p]
+    lib.bm_page_meta.restype = i32
+    lib.bm_page_meta.argtypes = [p, i32, ip, ip, lp]
+    _lib = lib
+    return lib
+
+
+class NativeBlockManager:
+    """Same API as kv.manager.BlockManager, backed by csrc/libpagedrt.so."""
+
+    def __init__(self, num_pages: int = 100, page_size: int = 32,
+                 max_seqs: int = 100):
+        self._lib = _load_lib()
+        self.num_pages = num_pages
+        self.page_size = page_size
+        self.max_seqs = max_seqs
+        self._h = self._lib.bm_create(num_pages, page_size, max_seqs)
+
+    def __del__(self):
+        if getattr(self, "_h", None):
+            self._lib.bm_destroy(self._h)
+            self._h = None
+
+    @property
+    def lru_epoch(self) -> int:
+        return int(self._lib.bm_lru_epoch(self._h))
+
+    def page_meta(self, page: int) -> Tuple[int, int, int]:
+        pid = ctypes.c_int32()
+        filled = ctypes.c_int32()
+        lru = ctypes.c_int64()
+        rc = self._lib.bm_page_meta(self._h, page, ctypes.byref(pid),
+                                    ctypes.byref(filled), ctypes.byref(lru))
+        assert rc == 0
+        return pid.value, filled.value, lru.value
+
+    def block_table(self, prompt_id: int) -> List[int]:
+        out = (ctypes.c_int32 * self.num_pages)()
+        n = self._lib.bm_block_table(self._h, prompt_id, out, self.num_pages)
+        assert n >= 0
+        return list(out[:n])
+
+    def block_table_array(self, prompt_id: int, pages_per_seq: int,
+                          fill: int = 0) -> np.ndarray:
+        table = self.block_table(prompt_id)
+        assert len(table) <= pages_per_seq
+        row = np.full(pages_per_seq, fill, dtype=np.int32)
+        row[: len(table)] = table
+        return row
+
+    def get_current_block(self, prompt_id: int) -> Optional[int]:
+        cur = self._lib.bm_current_block(self._h, prompt_id)
+        return None if cur == -1 else cur
+
+    def seq_len(self, prompt_id: int) -> int:
+        return self._lib.bm_seq_len(self._h, prompt_id)
+
+    def num_free(self) -> int:
+        return self._lib.bm_num_free(self._h)
+
+    def free_prompt(self, prompt_id: int) -> None:
+        self._lib.bm_free_prompt(self._h, prompt_id)
+
+    def _check_prompt(self, prompt_id: int) -> None:
+        if not (0 <= prompt_id < self.max_seqs):
+            raise ValueError(f"invalid prompt id {prompt_id}")
+
+    def request_block(self, prompt_id: int) -> Tuple[Optional[int], List[int]]:
+        self._check_prompt(prompt_id)
+        ev = ctypes.c_int32()
+        idx = self._lib.bm_request_block(self._h, prompt_id, ctypes.byref(ev))
+        evicted = [ev.value] if ev.value != -1 else []
+        return (None if idx == -1 else idx), evicted
+
+    def append_tokens(self, prompt_id: int, n: int
+                      ) -> Tuple[List[Segment], List[int]]:
+        self._check_prompt(prompt_id)
+        cap = n // self.page_size + 2
+        pages = (ctypes.c_int32 * cap)()
+        offsets = (ctypes.c_int32 * cap)()
+        counts = (ctypes.c_int32 * cap)()
+        evicted = (ctypes.c_int32 * cap)()
+        nev = ctypes.c_int32()
+        nsegs = self._lib.bm_append_tokens(self._h, prompt_id, n, pages,
+                                           offsets, counts, cap, evicted,
+                                           ctypes.byref(nev))
+        ev_list = list(evicted[: nev.value])
+        if nsegs < 0:
+            return [], ev_list
+        segs = [Segment(pages[i], offsets[i], counts[i]) for i in range(nsegs)]
+        return segs, ev_list
+
+
+def make_block_manager(num_pages: int = 100, page_size: int = 32,
+                       max_seqs: int = 100, native: Optional[bool] = None):
+    """Factory: native C++ manager if buildable (or native=True), else the
+    pure-Python reference model (native=False forces it)."""
+    if native is False:
+        return BlockManager(num_pages, page_size, max_seqs)
+    try:
+        return NativeBlockManager(num_pages, page_size, max_seqs)
+    except ImportError:
+        if native:
+            raise
+        return BlockManager(num_pages, page_size, max_seqs)

@@ -1,0 +1,119 @@
+"""L2+L3: GPT-2 forward over the paged KV pool.
+
+The reference's paged forward (paged_infer.c gpt2_forward :575-729) calls
+add_to_cache + collect_kv_blocks + attention_paged per layer, assuming
+batch=1 and one-block writes. Here the same structure is batched and
+jittable: the host BlockManager decides (page, slot) coordinates; the
+device step consumes them as arrays, scatters new K/V into the pool and
+runs the Pallas paged-attention kernel per layer inside a lax.scan.
+
+All host↔device traffic per decode step is: token ids (B,), positions (B,),
+page/slot coordinates (B,), block tables (B, pages_per_seq), lengths (B,) —
+a few hundred bytes of metadata; KV never leaves the device.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from llmc_paged_tpu.config import GPT2Config
+from llmc_paged_tpu.kv.layouts import PagePool, write_layer_kv
+from llmc_paged_tpu.models import gpt2
+from llmc_paged_tpu.ops import layers as L
+from llmc_paged_tpu.ops.paged_attention import (
+    paged_decode_attention,
+    paged_decode_attention_xla,
+)
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "use_kernel"))
+def decode_step_paged(params: gpt2.Params, tokens: jax.Array,
+                      positions: jax.Array, page: jax.Array,
+                      slot: jax.Array, block_tables: jax.Array,
+                      lengths: jax.Array, pool: PagePool,
+                      cfg: GPT2Config, use_kernel: bool = True
+                      ) -> Tuple[jax.Array, PagePool]:
+    """One batched decode step over the paged pool.
+
+    tokens:(B,) new ids; positions:(B,) their sequence positions;
+    page/slot:(B,) pool coordinates for the new K/V (page == num_pages for
+    inactive rows → scatter dropped); block_tables:(B,pages_per_seq);
+    lengths:(B,) valid tokens per row INCLUDING the new one (inactive rows
+    0). Returns (logits (B, V), updated pool)."""
+    B = tokens.shape[0]
+    x = params["wte"][tokens] + params["wpe"][positions]
+
+    attend = paged_decode_attention if use_kernel else paged_decode_attention_xla
+    interp = {"interpret": True} if (use_kernel and _use_interpret()) else {}
+
+    def body(carry, xs):
+        lp, k_pool_l, v_pool_l = xs
+        h = L.layernorm(carry, lp["ln1w"], lp["ln1b"])
+        qkv = L.linear(h, lp["qkvw"], lp["qkvb"])       # (B, 3C)
+        q, k, v = gpt2._split_qkv(qkv, cfg)             # (B, NH, HS)
+        k_pool_l, v_pool_l = write_layer_kv(k_pool_l, v_pool_l, k, v,
+                                            page, slot)
+        if use_kernel:
+            att = attend(q, k_pool_l, v_pool_l, block_tables, lengths,
+                         **interp)
+        else:
+            att = attend(q, k_pool_l, v_pool_l, block_tables, lengths)
+        att = att.reshape(B, cfg.channels)
+        xout = carry + L.linear(att, lp["attprojw"], lp["attprojb"])
+        h2 = L.layernorm(xout, lp["ln2w"], lp["ln2b"])
+        ff = L.linear(L.gelu_tanh(L.linear(h2, lp["fcw"], lp["fcb"])),
+                      lp["fcprojw"], lp["fcprojb"])
+        return xout + ff, (k_pool_l, v_pool_l)
+
+    x, (k_new, v_new) = jax.lax.scan(
+        body, x, (gpt2._layer_stack(params), pool.k, pool.v))
+    return gpt2._logits(x, params, cfg), PagePool(k_new, v_new)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def prefill_paged(params: gpt2.Params, tokens: jax.Array,
+                  page: jax.Array, slot: jax.Array, pool: PagePool,
+                  cfg: GPT2Config) -> Tuple[jax.Array, PagePool]:
+    """Prompt forward that scatters all T tokens' K/V into the pool.
+
+    tokens: (B, T) right-padded prompts; page/slot: (B, T) pool coordinates
+    per token (page == num_pages on padding → dropped). Attention during
+    prefill is dense causal over the in-flight K/V (paged_infer.c first-pass
+    semantics :699-704: full matmul_forward + copy-all-T-to-cache).
+    Returns (logits (B,T,V), updated pool)."""
+    B, T = tokens.shape
+    pos = jnp.arange(T, dtype=jnp.int32)
+    x = params["wte"][tokens] + params["wpe"][pos][None]
+    flat_page = page.reshape(B * T)
+    flat_slot = slot.reshape(B * T)
+
+    def body(carry, xs):
+        lp, k_pool_l, v_pool_l = xs
+        h = L.layernorm(carry, lp["ln1w"], lp["ln1b"])
+        qkv = L.linear(h, lp["qkvw"], lp["qkvb"])
+        q, k, v = gpt2._split_qkv(qkv, cfg)             # (B, T, NH, HS)
+        k_pool_l, v_pool_l = write_layer_kv(
+            k_pool_l, v_pool_l,
+            k.reshape(B * T, cfg.num_heads, cfg.head_dim),
+            v.reshape(B * T, cfg.num_heads, cfg.head_dim),
+            flat_page, flat_slot)
+        qh, kh, vh = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
+        att = L.causal_attention(qh, kh, vh)
+        att = att.transpose(0, 2, 1, 3).reshape(B, T, cfg.channels)
+        xout = carry + L.linear(att, lp["attprojw"], lp["attprojb"])
+        h2 = L.layernorm(xout, lp["ln2w"], lp["ln2b"])
+        ff = L.linear(L.gelu_tanh(L.linear(h2, lp["fcw"], lp["fcb"])),
+                      lp["fcprojw"], lp["fcprojb"])
+        return xout + ff, (k_pool_l, v_pool_l)
+
+    x, (k_new, v_new) = jax.lax.scan(
+        body, x, (gpt2._layer_stack(params), pool.k, pool.v))
+    return gpt2._logits(x, params, cfg), PagePool(k_new, v_new)

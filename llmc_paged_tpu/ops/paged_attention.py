@@ -1,0 +1,171 @@
+"""The Pallas paged-attention decode kernel (the north-star kernel).
+
+One kernel performs what the reference does in three steps — gather the
+block table (collect_kv_blocks, block_manager.c:165-201), walk pages with
+pointer arithmetic (attention_paged, paged_infer.c:163-240), and a 4-pass
+softmax — as a single flash-decode pass over non-contiguous KV pages:
+
+  * grid (batch, pages_per_seq); the kernel's BlockSpec index_map reads the
+    scalar-prefetched block table, so the Mosaic pipeline DMAs exactly the
+    pages each sequence owns, double-buffered, straight from the HBM pool —
+    there is NO materialised contiguous copy (the copy the reference itself
+    flags as the thing to eliminate, cached_infer.c:663-665);
+  * per grid step, ALL local heads process one page: a (NH,1,HS)×(NH,ps,HS)
+    batched GEMV on the MXU + online-softmax state (running max m, sum l,
+    accumulator acc) in VMEM scratch — the algorithm of the reference's
+    online softmax_forward_kernel5 (train_gpt2.cu:208-263) applied over
+    gathered pages;
+  * per-token masking `page_start + slot < length` handles ragged sequence
+    lengths and partially-filled tail pages.
+
+Layouts match kv/layouts.py: pools are (NH, P, page_size, HS) per layer
+(head-major → tensor-parallel sharding over heads needs no kernel change;
+shard_map hands each shard its local heads).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from llmc_paged_tpu.ops import layers as L
+
+NEG_INF = -1e30
+
+
+def _paged_decode_kernel(
+    # scalar prefetch
+    lengths_ref,      # (B,) int32 in SMEM
+    tables_ref,       # (B, pages_per_seq) int32 in SMEM (unused in body;
+                      # consumed by the index maps)
+    # blocks
+    q_ref,            # (1, NH, HS)
+    k_ref,            # (NH, 1, ps, HS)  — one page, all local heads
+    v_ref,            # (NH, 1, ps, HS)
+    out_ref,          # (1, NH, HS)
+    # scratch
+    m_ref,            # (NH, 1) f32
+    l_ref,            # (NH, 1) f32
+    acc_ref,          # (NH, HS) f32
+):
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    num_pages_per_seq = pl.num_programs(1)
+    ps = k_ref.shape[2]
+    length = lengths_ref[b]
+
+    @pl.when(i == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when(i * ps < length)
+    def _update():
+        q = q_ref[0].astype(jnp.float32)            # (NH, HS)
+        k = k_ref[:, 0].astype(jnp.float32)         # (NH, ps, HS)
+        v = v_ref[:, 0].astype(jnp.float32)
+        scale = jax.lax.rsqrt(jnp.float32(q.shape[-1]))
+        # batched GEMV: scores[h, p] = q[h] · k[h, p]
+        scores = jax.lax.dot_general(
+            q[:, None, :], k,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )[:, 0, :] * scale                          # (NH, ps)
+        pos = i * ps + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where(pos < length, scores, NEG_INF)
+
+        m_prev, l_prev = m_ref[...], l_ref[...]
+        m_cur = jnp.max(scores, axis=1, keepdims=True)       # (NH, 1)
+        m_new = jnp.maximum(m_prev, m_cur)
+        p = jnp.exp(scores - m_new)                           # (NH, ps)
+        alpha = jnp.exp(m_prev - m_new)                       # (NH, 1)
+        l_ref[...] = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p[:, None, :], v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )[:, 0, :]                                            # (NH, HS)
+        m_ref[...] = m_new
+        acc_ref[...] = acc_ref[...] * alpha + pv
+
+    @pl.when(i == num_pages_per_seq - 1)
+    def _finalize():
+        l = l_ref[...]
+        l = jnp.where(l == 0.0, 1.0, l)   # length-0 rows → zeros, not NaN
+        out_ref[0] = (acc_ref[...] / l).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def paged_decode_attention(q: jax.Array, k_pages: jax.Array,
+                           v_pages: jax.Array, block_tables: jax.Array,
+                           lengths: jax.Array,
+                           interpret: bool = False) -> jax.Array:
+    """Flash-decode over paged KV.
+
+    q:            (B, NH, HS) — one query token per sequence
+    k_pages/v_pages: (NH, P, page_size, HS) pool (one layer)
+    block_tables: (B, pages_per_seq) int32 — page ids per sequence, in order
+    lengths:      (B,) int32 — valid tokens per sequence (including the
+                  current token, whose K/V must already be in the pool)
+    returns       (B, NH, HS)
+    """
+    B, NH, HS = q.shape
+    _, P, ps, _ = k_pages.shape
+    pages_per_seq = block_tables.shape[1]
+
+    def q_map(b, i, lengths_ref, tables_ref):
+        return (b, 0, 0)
+
+    def kv_map(b, i, lengths_ref, tables_ref):
+        return (0, tables_ref[b, i], 0, 0)
+
+    def out_map(b, i, lengths_ref, tables_ref):
+        return (b, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, pages_per_seq),
+        in_specs=[
+            pl.BlockSpec((1, NH, HS), q_map),
+            pl.BlockSpec((NH, 1, ps, HS), kv_map),
+            pl.BlockSpec((NH, 1, ps, HS), kv_map),
+        ],
+        out_specs=pl.BlockSpec((1, NH, HS), out_map),
+        scratch_shapes=[
+            pltpu.VMEM((NH, 1), jnp.float32),
+            pltpu.VMEM((NH, 1), jnp.float32),
+            pltpu.VMEM((NH, HS), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        _paged_decode_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, NH, HS), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * NH * pages_per_seq * ps * HS,
+            bytes_accessed=(2 * B * NH * pages_per_seq * ps * HS + B * NH * HS)
+            * jnp.dtype(q.dtype).itemsize,
+            transcendentals=B * NH * pages_per_seq * ps,
+        ),
+    )(lengths, block_tables, q, k_pages, v_pages)
+
+
+def paged_decode_attention_xla(q: jax.Array, k_pages: jax.Array,
+                               v_pages: jax.Array, block_tables: jax.Array,
+                               lengths: jax.Array) -> jax.Array:
+    """XLA oracle/fallback: materialise the gathered KV then run masked
+    attention (the fill_from_kv_cache-style copy the kernel eliminates).
+    Used for equivalence tests (test_paged_attn.c pattern) and on backends
+    without Mosaic."""
+    from llmc_paged_tpu.kv.layouts import gather_layer_kv
+
+    k, v = gather_layer_kv(k_pages, v_pages, block_tables)
+    return L.decode_attention(q, k, v, lengths)

@@ -1,0 +1,275 @@
+"""Block manager state-machine tests.
+
+Covers the reference's own unit test scenario (block_manager_test.c:5-54),
+the gaps SURVEY.md §4 calls out (LRU eviction under pressure,
+block-boundary-crossing appends), Python↔C++ equivalence under randomized
+op sequences, and — when /root/reference is present — exact state parity
+against the ACTUAL reference C allocator compiled with a probe harness.
+"""
+
+import os
+import random
+import subprocess
+
+import pytest
+
+from llmc_paged_tpu.kv.manager import BlockManager
+from llmc_paged_tpu.kv.native import make_block_manager
+
+REFERENCE = "/root/reference/block_manager.c"
+
+
+def both_managers(num_pages=8, page_size=4, max_seqs=5):
+    mgrs = [BlockManager(num_pages, page_size, max_seqs)]
+    try:
+        mgrs.append(make_block_manager(num_pages, page_size, max_seqs,
+                                       native=True))
+    except ImportError:
+        pass
+    return mgrs
+
+
+@pytest.mark.parametrize("mgr_idx", [0, 1])
+def test_reference_unit_scenario(mgr_idx):
+    """block_manager_test.c: request 2 blocks for prompt 0, fill the first
+    to BLOCK_SIZE, partially fill the second, check counters, then free."""
+    mgrs = both_managers(num_pages=100, page_size=32, max_seqs=100)
+    if mgr_idx >= len(mgrs):
+        pytest.skip("native manager unavailable")
+    m = mgrs[mgr_idx]
+    b0, ev = m.request_block(0)
+    assert b0 == 0 and ev == []
+    segs, _ = m.append_tokens(0, 32)  # fill first block exactly
+    assert [(s.page, s.offset, s.count) for s in segs] == [(0, 0, 32)]
+    b1, _ = m.request_block(0)
+    assert b1 == 1
+    segs, _ = m.append_tokens(0, 5)
+    assert [(s.page, s.offset, s.count) for s in segs] == [(1, 0, 5)]
+    assert m.seq_len(0) == 37
+    assert m.block_table(0) == [0, 1]
+    m.free_prompt(0)
+    assert m.block_table(0) == []
+    assert m.num_free() == 100
+
+
+def test_spanning_append():
+    """Appends that cross page boundaries (the reference's admitted missing
+    case, paged_infer.c:542-545)."""
+    for m in both_managers(num_pages=8, page_size=4):
+        segs, ev = m.append_tokens(1, 10)
+        assert ev == []
+        assert [(s.offset, s.count) for s in segs] == [(0, 4), (0, 4), (0, 2)]
+        assert m.seq_len(1) == 10
+        assert len(m.block_table(1)) == 3
+        segs, _ = m.append_tokens(1, 3)
+        assert [(s.offset, s.count) for s in segs] == [(2, 2), (0, 1)]
+        assert m.seq_len(1) == 13
+
+
+def test_lru_eviction_whole_prompt():
+    """Pool pressure evicts the least-recently-touched page's ENTIRE prompt
+    (page_out_lru_block, block_manager.c:104-113)."""
+    for m in both_managers(num_pages=4, page_size=2, max_seqs=5):
+        m.append_tokens(0, 4)   # prompt 0 owns pages 0,1
+        m.append_tokens(1, 4)   # prompt 1 owns pages 2,3 — pool now full
+        m.append_tokens(1, 0)
+        # touch prompt 1 so prompt 0 is LRU
+        segs, ev = m.append_tokens(2, 2)
+        assert ev == [0], "prompt 0 (LRU) should be evicted wholesale"
+        assert m.block_table(0) == []
+        assert len(segs) == 1 and segs[0].count == 2
+        assert sorted(m.block_table(1)) == [2, 3]  # survivor untouched
+
+
+def test_self_eviction_reports_preemption():
+    """If the requesting prompt is itself the LRU victim the append fails
+    and the caller must preempt (engine contract)."""
+    for m in both_managers(num_pages=2, page_size=2, max_seqs=3):
+        m.append_tokens(0, 4)        # prompt 0 owns the whole pool
+        segs, ev = m.append_tokens(0, 1)   # needs a 3rd page → evicts itself
+        assert ev == [0]
+        assert segs == []
+
+
+def test_lru_counter_touch_on_append():
+    """Appending into a non-full page bumps its counter
+    (add_to_cache, paged_infer.c:524)."""
+    m = BlockManager(num_pages=4, page_size=4)
+    m.append_tokens(0, 1)
+    e1 = m.pages[0].lru_counter
+    m.append_tokens(0, 1)
+    assert m.pages[0].lru_counter == e1 + 1
+    assert m.lru_epoch == e1 + 1
+
+
+def test_python_cpp_randomized_equivalence():
+    """Model-checking: random op sequences drive both implementations; full
+    metadata state must stay identical."""
+    try:
+        native = make_block_manager(6, 3, 4, native=True)
+    except ImportError:
+        pytest.skip("no C++ toolchain")
+    py = BlockManager(6, 3, 4)
+    rng = random.Random(1234)
+    for step in range(500):
+        op = rng.random()
+        prompt = rng.randrange(4)
+        if op < 0.6:
+            n = rng.randrange(1, 5)
+            segs_a, ev_a = py.append_tokens(prompt, n)
+            segs_b, ev_b = native.append_tokens(prompt, n)
+            assert segs_a == segs_b, step
+            assert ev_a == ev_b, step
+            if not segs_a and n > 0:  # preempted: engine would free
+                py.free_prompt(prompt)
+                native.free_prompt(prompt)
+        elif op < 0.8:
+            pa, ev_a = py.request_block(prompt)
+            pb, ev_b = native.request_block(prompt)
+            assert pa == pb and ev_a == ev_b, step
+        else:
+            py.free_prompt(prompt)
+            native.free_prompt(prompt)
+        assert py.lru_epoch == native.lru_epoch, step
+        assert py.num_free() == native.num_free(), step
+        for pr in range(4):
+            assert py.block_table(pr) == native.block_table(pr), step
+        for pg in range(6):
+            meta = native.page_meta(pg)
+            mine = py.pages[pg]
+            assert meta == (mine.prompt_id, mine.filled, mine.lru_counter), step
+
+
+# -- exact parity against the reference C allocator --------------------------
+
+HARNESS = r"""
+#include <stdio.h>
+#include <string.h>
+#include "block_manager.c"
+
+// Drives the reference allocator with ops on stdin, dumping state per op:
+//   R <prompt>        request_block
+//   C <prompt> <n>    the add_to_cache state transition (one-block writes)
+//   F <prompt>        free_blocks_for_prompt
+// After each op prints: epoch, per-page (prompt,filled,lru), tables.
+int main(void) {
+    BlockManager *m = create_block_manager(8);
+    char op; int prompt, n;
+    while (scanf(" %c %d", &op, &prompt) == 2) {
+        if (op == 'R') {
+            KVBlock *b = request_block(m, prompt);
+            printf("ret %ld\n", b ? (long)(b - m->blocks) : -1L);
+        } else if (op == 'C') {
+            if (scanf("%d", &n) != 1) return 1;
+            KVBlock *cur = get_current_block(m, prompt);
+            if (cur) {
+                if (cur->filled >= BLOCK_SIZE) cur = request_block(m, prompt);
+                else cur->lru_counter = ++m->lru_epoch;
+            } else {
+                cur = request_block(m, prompt);
+            }
+            if (cur) { cur->filled += n; printf("ret %ld\n", (long)(cur - m->blocks)); }
+            else printf("ret -1\n");
+        } else if (op == 'F') {
+            free_blocks_for_prompt(m, prompt);
+            printf("ret 0\n");
+        }
+        printf("epoch %d\n", m->lru_epoch);
+        for (int i = 0; i < MAX_BLOCKS; i++)
+            printf("page %d %d %d %d\n", i, m->blocks[i].prompt_id,
+                   m->blocks[i].prompt_id == -1 ? 0 : m->blocks[i].filled,
+                   m->blocks[i].prompt_id == -1 ? 0 : m->blocks[i].lru_counter);
+        for (int p = 0; p < 4; p++) {
+            printf("table %d:", p);
+            for (int i = 0; i < m->prompt_block_count[p]; i++)
+                printf(" %d", m->prompt_block_list[p][i]);
+            printf("\n");
+        }
+        printf("---\n");
+    }
+    return 0;
+}
+"""
+
+
+@pytest.mark.skipif(not os.path.exists(REFERENCE),
+                    reason="reference sources not mounted")
+def test_exact_parity_with_reference_c(tmp_path):
+    """Drive the REAL block_manager.c through the same op sequence as our
+    manager and diff the complete metadata state after every op."""
+    src = tmp_path / "harness.c"
+    src.write_text(HARNESS)
+    exe = tmp_path / "harness"
+    try:
+        subprocess.run(
+            ["gcc", "-O0", "-I", os.path.dirname(REFERENCE), "-o", str(exe),
+             str(src)], check=True, capture_output=True)
+    except (OSError, subprocess.CalledProcessError):
+        pytest.skip("no C compiler")
+
+    # op sequence within the reference's supported envelope (one-block
+    # writes); heavy on R so the MAX_BLOCKS=100 pool actually exhausts and
+    # the LRU-eviction path (including self-eviction) gets exercised.
+    rng = random.Random(99)
+    ops = []
+    for _ in range(600):
+        r = rng.random()
+        prompt = rng.randrange(4)
+        if r < 0.55:
+            ops.append(("R", prompt))
+        elif r < 0.95:
+            ops.append(("C", prompt, 1))
+        else:
+            ops.append(("F", prompt))
+
+    stdin = "\n".join(" ".join(str(x) for x in op) for op in ops)
+    out = subprocess.run([str(exe)], input=stdin, capture_output=True,
+                         text=True, check=True).stdout
+    frames = [f for f in out.split("---\n") if f.strip()]
+    assert len(frames) == len(ops)
+
+    m = BlockManager(num_pages=100, page_size=32, max_seqs=100)
+    for op, frame in zip(ops, frames):
+        lines = [ln for ln in frame.strip().splitlines()
+                 if not ln.startswith(("Current", "Freeing", "Paging",
+                                       "No blocks", "Got", "how_many"))]
+        if op[0] == "R":
+            got, _ = m.request_block(op[1])
+            got = -1 if got is None else got
+        elif op[0] == "C":
+            # emulate add_to_cache's exact control flow (paged_infer.c:
+            # 517-529,570) with the low-level ops — request_block itself
+            # matches the reference bit-for-bit including self-eviction,
+            # while the engine-facing append_tokens treats self-eviction
+            # as preemption instead
+            cur = m.get_current_block(op[1])
+            if cur is not None and m.pages[cur].filled < m.page_size:
+                m.lru_epoch += 1
+                m.pages[cur].lru_counter = m.lru_epoch
+            else:
+                cur, _ = m.request_block(op[1])
+            if cur is not None:
+                m.pages[cur].filled += op[2]
+                got = cur
+            else:
+                got = -1
+        else:
+            m.free_prompt(op[1])
+            got = 0
+        ret = int([ln for ln in lines if ln.startswith("ret")][0].split()[1])
+        assert got == ret, (op, got, ret)
+        epoch = int([ln for ln in lines if ln.startswith("epoch")][0].split()[1])
+        assert m.lru_epoch == epoch, op
+        for ln in lines:
+            if ln.startswith("page"):
+                _, i, pid, filled, lru = ln.split()
+                pg = m.pages[int(i)]
+                ours = (pg.prompt_id,
+                        pg.filled if pg.allocated else 0,
+                        pg.lru_counter if pg.allocated else 0)
+                assert ours == (int(pid), int(filled), int(lru)), (op, ln)
+            elif ln.startswith("table"):
+                head, _, rest = ln.partition(":")
+                prompt = int(head.split()[1])
+                table = [int(x) for x in rest.split()]
+                assert m.block_table(prompt) == table, (op, ln)

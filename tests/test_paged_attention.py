@@ -1,0 +1,164 @@
+"""Paged-attention equivalence tests (test_paged_attn.c pattern: paged ==
+dense on random data, :241-253 — plus the ragged/partial-page/eviction
+cases the reference lacks). On CPU the kernel runs in interpret mode; the
+same code compiles under Mosaic on TPU."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from llmc_paged_tpu import formats
+from llmc_paged_tpu.config import GPT2Config, PageConfig
+from llmc_paged_tpu.kv.layouts import (
+    PagePool, init_pool, token_coords, write_layer_kv, gather_layer_kv)
+from llmc_paged_tpu.kv.manager import BlockManager
+from llmc_paged_tpu.models import gpt2, gpt2_paged
+from llmc_paged_tpu.ops import layers as L
+from llmc_paged_tpu.ops.paged_attention import (
+    paged_decode_attention, paged_decode_attention_xla)
+
+INTERP = jax.default_backend() != "tpu"
+
+
+def rand_case(B=3, NH=4, HS=64, P=16, ps=8, pps=4, seed=0):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.standard_normal((B, NH, HS), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((NH, P, ps, HS), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((NH, P, ps, HS), dtype=np.float32))
+    tables = jnp.asarray(
+        rng.permutation(P)[: B * pps].reshape(B, pps).astype(np.int32))
+    return q, k, v, tables, rng
+
+
+def test_kernel_matches_oracle_ragged():
+    q, k, v, tables, rng = rand_case()
+    lengths = jnp.asarray(np.array([1, 17, 32], dtype=np.int32))  # partial pages
+    out_k = paged_decode_attention(q, k, v, tables, lengths, interpret=INTERP)
+    out_x = paged_decode_attention_xla(q, k, v, tables, lengths)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_kernel_zero_length_row():
+    q, k, v, tables, _ = rand_case(seed=1)
+    lengths = jnp.asarray(np.array([0, 5, 9], dtype=np.int32))
+    out = paged_decode_attention(q, k, v, tables, lengths, interpret=INTERP)
+    assert np.all(np.asarray(out[0]) == 0.0)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_kernel_matches_dense_attention():
+    """The full chain: scatter K/V into shuffled pages, then the paged
+    kernel must equal dense decode attention over the contiguous layout."""
+    B, NH, HS, P, ps, pps = 2, 4, 64, 12, 8, 3
+    rng = np.random.default_rng(2)
+    S = pps * ps
+    k_dense = rng.standard_normal((B, NH, S, HS), dtype=np.float32)
+    v_dense = rng.standard_normal((B, NH, S, HS), dtype=np.float32)
+    q = jnp.asarray(rng.standard_normal((B, NH, HS), dtype=np.float32))
+    lengths_np = np.array([13, 24], dtype=np.int32)
+
+    # scatter each row's first `length` tokens into distinct random pages
+    perm = rng.permutation(P)
+    tables_np = perm[: B * pps].reshape(B, pps).astype(np.int32)
+    k_pages = np.zeros((NH, P, ps, HS), dtype=np.float32)
+    v_pages = np.zeros((NH, P, ps, HS), dtype=np.float32)
+    for b in range(B):
+        for t in range(lengths_np[b]):
+            pg, sl = tables_np[b, t // ps], t % ps
+            k_pages[:, pg, sl] = k_dense[b, :, t]
+            v_pages[:, pg, sl] = v_dense[b, :, t]
+
+    out_paged = paged_decode_attention(
+        q, jnp.asarray(k_pages), jnp.asarray(v_pages),
+        jnp.asarray(tables_np), jnp.asarray(lengths_np), interpret=INTERP)
+    out_dense = L.decode_attention(q, jnp.asarray(k_dense),
+                                   jnp.asarray(v_dense),
+                                   jnp.asarray(lengths_np))
+    np.testing.assert_allclose(np.asarray(out_paged), np.asarray(out_dense),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_token_coords_and_scatter_roundtrip():
+    B, pps, ps, P, NH, HS = 2, 3, 4, 8, 2, 8
+    tables = jnp.asarray(np.array([[3, 1, 6], [0, 5, 2]], dtype=np.int32))
+    positions = jnp.asarray(np.array([[4], [11]], dtype=np.int32))
+    valid = jnp.ones_like(positions, dtype=bool)
+    page, slot = token_coords(tables, positions, ps, valid, P)
+    np.testing.assert_array_equal(np.asarray(page), [[1], [2]])
+    np.testing.assert_array_equal(np.asarray(slot), [[0], [3]])
+    # invalid rows are dropped
+    page2, slot2 = token_coords(tables, positions, ps,
+                                jnp.zeros_like(valid), P)
+    np.testing.assert_array_equal(np.asarray(page2), [[P], [P]])
+    k_pool = jnp.zeros((NH, P, ps, HS))
+    v_pool = jnp.zeros((NH, P, ps, HS))
+    rows = jnp.ones((2, NH, HS))
+    k2, v2 = write_layer_kv(k_pool, v_pool, rows, rows,
+                            page2.ravel(), slot2.ravel())
+    assert float(jnp.sum(k2)) == 0.0  # dropped, page 0 not corrupted
+
+
+@pytest.fixture(scope="module")
+def golden(fixtures_dir):
+    cfg, params_np = formats.read_checkpoint(
+        os.path.join(fixtures_dir, "model_tiny.bin"))
+    state = formats.read_debug_state(
+        os.path.join(fixtures_dir, "state_tiny.bin"), cfg)
+    return cfg, gpt2.to_device(params_np, cfg), state
+
+
+@pytest.mark.parametrize("use_kernel", [True, False])
+def test_paged_model_matches_dense_model(golden, use_kernel):
+    """End-to-end: paged prefill+decode logits == no-cache forward logits,
+    with sequences scattered over a shuffled page pool by the real
+    BlockManager (the reference never tests this chain end-to-end —
+    SURVEY.md §4 gaps)."""
+    cfg, params, state = golden
+    page_cfg = PageConfig(page_size=8, num_pages=32, max_seqs=4,
+                          pages_per_seq=4)
+    x = state["x"][:2, :20]  # 2 sequences, 20 tokens
+    B, T = x.shape
+    full = np.asarray(gpt2.forward(params, jnp.asarray(x), cfg))
+
+    mgr = BlockManager(page_cfg.num_pages, page_cfg.page_size,
+                       page_cfg.max_seqs)
+    # fragment the pool: scatter some pages to another prompt first
+    mgr.append_tokens(3, 9)
+    pool = init_pool(cfg, page_cfg)
+
+    split = 11
+    for b in range(B):
+        segs, ev = mgr.append_tokens(b, split)
+        assert ev == []
+    tables = np.stack([mgr.block_table_array(b, page_cfg.pages_per_seq)
+                       for b in range(B)])
+    pos = np.tile(np.arange(T), (B, 1)).astype(np.int32)
+    page, slot = token_coords(jnp.asarray(tables),
+                              jnp.asarray(pos[:, :split]), page_cfg.page_size,
+                              jnp.ones((B, split), bool), page_cfg.num_pages)
+    logits_pre, pool = gpt2_paged.prefill_paged(
+        params, jnp.asarray(x[:, :split]), page, slot, pool, cfg)
+    np.testing.assert_allclose(np.asarray(logits_pre), full[:, :split],
+                               rtol=1e-4, atol=1e-5)
+
+    for t in range(split, T):
+        for b in range(B):
+            segs, ev = mgr.append_tokens(b, 1)
+            assert len(segs) == 1 and ev == []
+        tables = np.stack([mgr.block_table_array(b, page_cfg.pages_per_seq)
+                           for b in range(B)])
+        seg_page = np.array([mgr.block_table(b)[t // page_cfg.page_size]
+                             for b in range(B)], dtype=np.int32)
+        seg_slot = np.full((B,), t % page_cfg.page_size, dtype=np.int32)
+        lengths = jnp.full((B,), t + 1, dtype=jnp.int32)
+        logits_t, pool = gpt2_paged.decode_step_paged(
+            params, jnp.asarray(x[:, t]), jnp.full((B,), t, jnp.int32),
+            jnp.asarray(seg_page), jnp.asarray(seg_slot),
+            jnp.asarray(tables), lengths, pool, cfg, use_kernel=use_kernel)
+        np.testing.assert_allclose(np.asarray(logits_t), full[:, t],
+                                   rtol=1e-4, atol=1e-5, err_msg=str(t))
