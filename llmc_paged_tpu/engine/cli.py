@@ -1,0 +1,108 @@
+"""CLI driver — the role of the reference's main() functions
+(infer.c:5-144, cached_infer.c:911-1052, paged_infer.c:953-1101), with the
+knobs those binaries hardcode exposed as flags (SURVEY.md §5 config gap).
+
+Example (paged decode, 8 concurrent sequences, prompts from a token file):
+    python -m llmc_paged_tpu.engine.cli \
+        --checkpoint model.bin --tokenizer tok.bin --data tokens.bin \
+        --mode paged --batch 8 --prompt-size 32 --max-new 50
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+from llmc_paged_tpu import formats
+from llmc_paged_tpu.config import EngineConfig, PageConfig
+from llmc_paged_tpu.engine.engine import InferenceEngine
+from llmc_paged_tpu.engine.scheduler import Request
+from llmc_paged_tpu.sampler import Sampler
+from llmc_paged_tpu.tokenizer import Tokenizer
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="llmc_paged_tpu",
+                                description="TPU paged GPT-2 inference")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--tokenizer", default=None)
+    p.add_argument("--data", required=True,
+                   help="raw int32 token stream; prompts are slices of it "
+                        "(the reference seeds prompts from the val set)")
+    p.add_argument("--mode", choices=["none", "dense", "paged"],
+                   default="paged")
+    p.add_argument("--batch", type=int, default=1,
+                   help="concurrent sequences (paged mode only)")
+    p.add_argument("--prompt-size", type=int, default=32)
+    p.add_argument("--max-new", type=int, default=50)
+    p.add_argument("--window", type=int, default=None,
+                   help="sliding-window size for reference-parity decode "
+                        "(infer.c/cached_infer.c/paged_infer.c T)")
+    p.add_argument("--page-size", type=int, default=32)
+    p.add_argument("--num-pages", type=int, default=128)
+    p.add_argument("--pages-per-seq", type=int, default=32)
+    p.add_argument("--seed", type=int, default=1337)
+    p.add_argument("--greedy", action="store_true")
+    p.add_argument("--no-kernel", action="store_true",
+                   help="use the XLA gather fallback instead of Pallas")
+    p.add_argument("--json", action="store_true",
+                   help="emit machine-readable stats")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg, params = formats.read_checkpoint(args.checkpoint)
+    tok = Tokenizer.from_file(args.tokenizer) if args.tokenizer else None
+    stream = formats.read_token_stream(args.data)
+
+    page = PageConfig(page_size=args.page_size, num_pages=args.num_pages,
+                      max_seqs=max(args.batch, 8),
+                      pages_per_seq=args.pages_per_seq)
+    econf = EngineConfig(cache_mode=args.mode, page=page,
+                         max_batch=args.batch, seed=args.seed,
+                         greedy=args.greedy)
+    engine = InferenceEngine(params, cfg, econf,
+                             use_kernel=not args.no_kernel)
+
+    t0 = time.monotonic()
+    if args.mode == "paged" and args.batch > 1:
+        reqs = []
+        for b in range(args.batch):
+            lo = (b * args.prompt_size) % max(1, len(stream) - args.prompt_size)
+            prompt = stream[lo: lo + args.prompt_size].tolist()
+            reqs.append(Request(rid=b, prompt=prompt,
+                                max_new_tokens=args.max_new))
+        done = engine.run(reqs, window=args.window,
+                          sampler=Sampler(args.seed, args.greedy))
+        outs = {r.rid: r.tokens for r in done}
+        stats = dict(engine.stats)
+    else:
+        prompt = stream[: args.prompt_size].tolist()
+        toks = engine.generate(prompt, args.max_new, window=args.window,
+                               sampler=Sampler(args.seed, args.greedy))
+        outs = {0: toks}
+        stats = dict(getattr(engine, "stats", {}))
+    dt = time.monotonic() - t0
+
+    stats.update(mode=args.mode, batch=args.batch, wall_s=dt,
+                 total_new_tokens=args.max_new * len(outs))
+    if args.json:
+        print(json.dumps({"stats": stats,
+                          "tokens": {k: v for k, v in sorted(outs.items())}}))
+    else:
+        for rid in sorted(outs):
+            toks = outs[rid]
+            text = tok.decode_string(toks) if tok else ""
+            print(f"--- sequence {rid} ({len(toks)} tokens) ---")
+            print(text if tok else toks)
+        print(f"generated {stats['total_new_tokens']} tokens in {dt:.2f}s "
+              f"({stats['total_new_tokens'] / dt:.1f} tok/s)")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

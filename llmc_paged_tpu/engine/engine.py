@@ -1,0 +1,263 @@
+"""L4: the inference engine — the three decode paths of the reference as
+one engine (infer.c / cached_infer.c / paged_infer.c mains), plus
+continuous batching on the paged path.
+
+Host↔device contract per decode step: a few int32 metadata arrays go up
+(tokens, positions, page/slot coordinates, block tables, lengths, starts);
+full-vocab probabilities come down for the parity sampler (the reference
+also samples host-side from the device softmax, train_gpt2.cu:1238-1239).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from llmc_paged_tpu.config import EngineConfig, GPT2Config, PageConfig
+from llmc_paged_tpu.engine.scheduler import Request, Scheduler, State
+from llmc_paged_tpu.kv.layouts import init_pool, token_coords
+from llmc_paged_tpu.kv.native import make_block_manager
+from llmc_paged_tpu.models import gpt2, gpt2_paged
+from llmc_paged_tpu.sampler import Sampler
+
+
+def _bucket(n: int, step: int = 16) -> int:
+    """Pad prefill lengths to buckets so jit recompiles are bounded."""
+    return max(step, ((n + step - 1) // step) * step)
+
+
+class InferenceEngine:
+    def __init__(self, params: Dict[str, np.ndarray], cfg: GPT2Config,
+                 econf: Optional[EngineConfig] = None,
+                 use_kernel: bool = True, native_manager: Optional[bool] = None):
+        self.cfg = cfg
+        self.econf = econf or EngineConfig()
+        self.params = gpt2.to_device(params, cfg) if not isinstance(
+            next(iter(params.values())), jax.Array) else params
+        self.use_kernel = use_kernel
+        self.native_manager = native_manager
+        self.stats: Dict[str, float] = {}
+
+    # -- mode "none": full recompute with sliding window (infer.c) ----------
+
+    def generate_nocache(self, prompt: Sequence[int], max_new_tokens: int,
+                         window: Optional[int] = None,
+                         sampler: Optional[Sampler] = None) -> List[int]:
+        """infer.c semantics: re-run the full forward over the last
+        `window` tokens each step (phase-2 slide, infer.c:104-127)."""
+        window = window or self.cfg.max_seq_len
+        sampler = sampler or Sampler(self.econf.seed, self.econf.greedy)
+        toks = list(prompt)
+        for _ in range(max_new_tokens):
+            ctx = toks[-window:]
+            logits = gpt2.forward(self.params,
+                                  jnp.asarray([ctx], jnp.int32), self.cfg)
+            probs = jax.nn.softmax(logits[0, -1])
+            toks.append(sampler.sample(np.asarray(probs)))
+        return toks
+
+    # -- mode "dense": contiguous KV cache (cached_infer.c) -----------------
+
+    def generate_dense(self, prompt: Sequence[int], max_new_tokens: int,
+                       window: Optional[int] = None,
+                       sampler: Optional[Sampler] = None) -> List[int]:
+        """cached_infer.c semantics: prefill once, then one-token steps.
+        When `window` is set and the sequence outgrows it, attention is
+        masked to the trailing window and the position embedding clamps to
+        window-1 (the cache-pointer bump of cached_infer.c:606: every
+        post-window token is computed as the last position of its window)."""
+        cfg = self.cfg
+        window = window or cfg.max_seq_len
+        total = len(prompt) + max_new_tokens
+        sampler = sampler or Sampler(self.econf.seed, self.econf.greedy)
+        cache = gpt2.init_cache(cfg, 1, total)
+        toks = list(prompt)
+        logits, cache = gpt2.prefill(
+            self.params, jnp.asarray([toks], jnp.int32), cache, cfg)
+        probs = jax.nn.softmax(logits[0, -1])
+        toks.append(sampler.sample(np.asarray(probs)))
+        for _ in range(max_new_tokens - 1):
+            pos = len(toks) - 1
+            wpe_pos = min(pos, window - 1)
+            start = max(0, pos + 1 - window)
+            logits, cache = gpt2.decode_step(
+                self.params, jnp.asarray([toks[-1]], jnp.int32),
+                jnp.asarray([pos], jnp.int32), cache, cfg,
+                wpe_pos=jnp.asarray([wpe_pos], jnp.int32),
+                starts=jnp.asarray([start], jnp.int32))
+            probs = jax.nn.softmax(logits[0])
+            toks.append(sampler.sample(np.asarray(probs)))
+        return toks
+
+    # -- mode "paged": block-table KV + continuous batching ------------------
+
+    def _paged_state(self):
+        page = self.econf.page
+        mgr = make_block_manager(page.num_pages, page.page_size,
+                                 max(page.max_seqs, self.econf.max_batch),
+                                 native=self.native_manager)
+        pool = init_pool(self.cfg, page,
+                         dtype=jnp.dtype(page.kv_dtype)
+                         if page.kv_dtype != "int8" else jnp.float32)
+        return mgr, pool
+
+    def generate_paged(self, prompt: Sequence[int], max_new_tokens: int,
+                       window: Optional[int] = None,
+                       sampler: Optional[Sampler] = None) -> List[int]:
+        """Single-sequence paged decode (paged_infer.c main semantics,
+        including its sliding-window `offset` when `window` is set)."""
+        reqs = [Request(rid=0, prompt=list(prompt),
+                        max_new_tokens=max_new_tokens)]
+        out = self.run(reqs, window=window, sampler=sampler)
+        return out[0].tokens
+
+    def run(self, requests: List[Request], window: Optional[int] = None,
+            sampler: Optional[Sampler] = None) -> List[Request]:
+        """Continuous batching over the paged pool. Returns the finished
+        requests (same objects, with .generated/.ttft/.preemptions filled)."""
+        cfg, econf = self.cfg, self.econf
+        page = econf.page
+        window = window or cfg.max_seq_len
+        sampler = sampler or Sampler(econf.seed, econf.greedy)
+        mgr, pool = self._paged_state()
+        sched = Scheduler(econf.max_batch)
+        for r in requests:
+            if len(r.prompt) + r.max_new_tokens > page.max_context:
+                raise ValueError(
+                    f"request {r.rid} needs {len(r.prompt) + r.max_new_tokens}"
+                    f" tokens > max_context {page.max_context}")
+            sched.submit(r)
+
+        B = econf.max_batch
+        pps = page.pages_per_seq
+        t_start = time.monotonic()
+        decode_tokens = 0
+
+        def requeue_evicted(evicted: List[int], skip_slot: int = -1) -> List[int]:
+            preempted = []
+            for victim in set(evicted):
+                if victim != skip_slot and victim in sched.running:
+                    mgr.free_prompt(victim)
+                    sched.preempt(victim)
+                    preempted.append(victim)
+            return preempted
+
+        while sched.has_work:
+            # ---- admission + prefill ----------------------------------
+            progressed = False
+            for slot in sched.free_slots():
+                req = sched.pop_next_waiting()
+                if req is None:
+                    break
+                toks = req.tokens
+                n = len(toks)
+                segs, evicted = mgr.append_tokens(slot, n)
+                requeue_evicted(evicted, skip_slot=slot)
+                if not segs:
+                    mgr.free_prompt(slot)
+                    sched.waiting.insert(0, req)  # retry once pool drains
+                    break
+                progressed = True
+                sched.admit(req, slot)
+                Tb = _bucket(n)
+                xs = np.zeros((1, Tb), np.int32)
+                xs[0, :n] = toks
+                valid = np.zeros((1, Tb), bool)
+                valid[0, :n] = True
+                table = mgr.block_table_array(slot, pps)[None]
+                pos = np.arange(Tb, dtype=np.int32)[None]
+                pg, sl = token_coords(jnp.asarray(table), jnp.asarray(pos),
+                                      page.page_size, jnp.asarray(valid),
+                                      page.num_pages)
+                logits, pool = gpt2_paged.prefill_paged(
+                    self.params, jnp.asarray(xs), pg, sl, pool, cfg)
+                probs = jax.nn.softmax(logits[0, n - 1])
+                nxt = sampler.sample(np.asarray(probs))
+                req.generated.append(nxt)
+                req.mark_first_token()
+                if req.done:
+                    mgr.free_prompt(slot)
+                    sched.finish(slot)
+
+            # ---- batched decode step ----------------------------------
+            if sched.running:
+                toks = np.zeros(B, np.int32)
+                wpe_pos = np.zeros(B, np.int32)
+                pg = np.full(B, page.num_pages, np.int32)
+                sl = np.zeros(B, np.int32)
+                lengths = np.zeros(B, np.int32)
+                starts = np.zeros(B, np.int32)
+                tables = np.zeros((B, pps), np.int32)
+                stepped: List[int] = []
+                for slot, req in list(sched.running.items()):
+                    segs, evicted = mgr.append_tokens(slot, 1)
+                    # a victim may already be staged in this batch: its pages
+                    # were freed (and may be re-allocated right here), so its
+                    # row must be neutralized or its K/V scatter would
+                    # corrupt the new owner's page
+                    for victim in requeue_evicted(evicted, skip_slot=slot):
+                        if victim in stepped:
+                            stepped.remove(victim)
+                            pg[victim] = page.num_pages
+                            lengths[victim] = 0
+                    if not segs:
+                        mgr.free_prompt(slot)
+                        sched.preempt(slot)
+                        continue
+                    pos = len(req.tokens) - 1
+                    toks[slot] = req.tokens[-1]
+                    wpe_pos[slot] = min(pos, window - 1)
+                    pg[slot], sl[slot] = segs[0].page, segs[0].offset
+                    lengths[slot] = pos + 1
+                    starts[slot] = max(0, pos + 1 - window)
+                    tables[slot] = mgr.block_table_array(slot, pps)
+                    stepped.append(slot)
+                if stepped:
+                    progressed = True
+                    logits, pool = gpt2_paged.decode_step_paged(
+                        self.params, jnp.asarray(toks), jnp.asarray(wpe_pos),
+                        jnp.asarray(pg), jnp.asarray(sl), jnp.asarray(tables),
+                        jnp.asarray(lengths), pool, cfg,
+                        use_kernel=self.use_kernel,
+                        starts=jnp.asarray(starts))
+                    probs = jax.nn.softmax(jnp.asarray(logits), axis=-1)
+                    probs_np = np.asarray(probs)
+                    decode_tokens += len(stepped)
+                    for slot in stepped:
+                        req = sched.running[slot]
+                        req.generated.append(sampler.sample(probs_np[slot]))
+                        if req.done:
+                            mgr.free_prompt(slot)
+                            sched.finish(slot)
+
+            if not progressed and not sched.running:
+                raise RuntimeError(
+                    "scheduler stalled: pool too small for any waiting "
+                    "request (need a larger page pool or shorter prompts)")
+
+        dt = time.monotonic() - t_start
+        self.stats = {
+            "wall_s": dt,
+            "decode_tokens": decode_tokens,
+            "decode_tok_per_s": decode_tokens / dt if dt > 0 else 0.0,
+            "preemptions": sum(r.preemptions for r in sched.finished),
+            "p50_ttft_s": float(np.median([r.ttft for r in sched.finished
+                                           if r.ttft is not None] or [0.0])),
+        }
+        return sched.finished
+
+    # -- dispatch ------------------------------------------------------------
+
+    def generate(self, prompt: Sequence[int], max_new_tokens: int,
+                 window: Optional[int] = None,
+                 sampler: Optional[Sampler] = None) -> List[int]:
+        mode = self.econf.cache_mode
+        fn = {"none": self.generate_nocache,
+              "dense": self.generate_dense,
+              "paged": self.generate_paged}[mode]
+        return fn(prompt, max_new_tokens, window=window, sampler=sampler)

@@ -1,0 +1,108 @@
+"""Continuous-batching scheduler (L4).
+
+The reference decodes one sequence in a fixed loop (paged_infer.c main
+:953-1101); its BlockManager already supports MAX_PROMPTS concurrent
+sequences and LRU page-out. This scheduler elevates that page-out into a
+real policy (BASELINE config 4: "continuous batching with sequence
+preemption/page reuse"):
+
+  * requests are admitted into decode slots while pages are available;
+  * every decode step runs ALL running slots in one batched device step;
+  * when the pool exhausts, the manager's whole-prompt LRU eviction
+    preempts a sequence; the victim keeps its generated tokens and is
+    requeued for recompute-style re-admission (its next prefill covers
+    prompt + generated-so-far).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import time
+from typing import Dict, List, Optional
+
+
+class State(enum.Enum):
+    WAITING = "waiting"
+    RUNNING = "running"
+    DONE = "done"
+
+
+@dataclasses.dataclass
+class Request:
+    rid: int
+    prompt: List[int]
+    max_new_tokens: int
+    generated: List[int] = dataclasses.field(default_factory=list)
+    state: State = State.WAITING
+    slot: Optional[int] = None
+    preemptions: int = 0
+    t_submit: float = 0.0
+    t_first_token: Optional[float] = None
+    t_done: Optional[float] = None
+
+    @property
+    def tokens(self) -> List[int]:
+        return self.prompt + self.generated
+
+    @property
+    def ttft(self) -> Optional[float]:
+        if self.t_first_token is None:
+            return None
+        return self.t_first_token - self.t_submit
+
+    def mark_first_token(self) -> None:
+        if self.t_first_token is None:
+            self.t_first_token = time.monotonic()
+
+    @property
+    def done(self) -> bool:
+        return len(self.generated) >= self.max_new_tokens
+
+
+class Scheduler:
+    """Slot/queue bookkeeping; page accounting is delegated to the block
+    manager owned by the engine."""
+
+    def __init__(self, max_batch: int):
+        self.max_batch = max_batch
+        self.waiting: List[Request] = []
+        self.running: Dict[int, Request] = {}   # slot -> request
+        self.finished: List[Request] = []
+
+    def submit(self, req: Request) -> None:
+        req.t_submit = time.monotonic()
+        self.waiting.append(req)
+
+    def free_slots(self) -> List[int]:
+        return [s for s in range(self.max_batch) if s not in self.running]
+
+    def pop_next_waiting(self) -> Optional[Request]:
+        return self.waiting.pop(0) if self.waiting else None
+
+    def admit(self, req: Request, slot: int) -> None:
+        req.state = State.RUNNING
+        req.slot = slot
+        self.running[slot] = req
+
+    def preempt(self, slot: int) -> Request:
+        """Victim keeps its generated tokens and goes to the FRONT of the
+        queue (it has seniority); re-admission re-prefills prompt+generated."""
+        req = self.running.pop(slot)
+        req.state = State.WAITING
+        req.slot = None
+        req.preemptions += 1
+        self.waiting.insert(0, req)
+        return req
+
+    def finish(self, slot: int) -> Request:
+        req = self.running.pop(slot)
+        req.state = State.DONE
+        req.slot = None
+        req.t_done = time.monotonic()
+        self.finished.append(req)
+        return req
+
+    @property
+    def has_work(self) -> bool:
+        return bool(self.waiting or self.running)

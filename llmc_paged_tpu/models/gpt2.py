@@ -208,7 +208,9 @@ def _write_cache_at(cache_l: jax.Array, new: jax.Array,
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def decode_step(params: Params, tokens: jax.Array, pos: jax.Array,
-                cache: DenseKVCache, cfg: GPT2Config
+                cache: DenseKVCache, cfg: GPT2Config,
+                wpe_pos: jax.Array | None = None,
+                starts: jax.Array | None = None
                 ) -> Tuple[jax.Array, DenseKVCache]:
     """One decode step over the dense cache.
 
@@ -216,9 +218,16 @@ def decode_step(params: Params, tokens: jax.Array, pos: jax.Array,
     row's current length). Returns (logits (B,V), updated cache). This is
     the cached_infer.c step with the matmul restricted to the new token
     (matmul_cached, cached_infer.c:111-160) and attention reading the cache
-    directly instead of rebuilding a packed qkv buffer."""
+    directly instead of rebuilding a packed qkv buffer.
+
+    Sliding-window parity mode (cached_infer.c:606 pointer bump): pass
+    ``starts`` = per-row window lower bounds and ``wpe_pos`` = clamped
+    position-embedding indices (a post-window token always sits at window
+    position W-1 when its K/V is computed)."""
     B = tokens.shape[0]
-    x = params["wte"][tokens] + params["wpe"][pos]  # (B, C)
+    if wpe_pos is None:
+        wpe_pos = pos
+    x = params["wte"][tokens] + params["wpe"][wpe_pos]  # (B, C)
 
     def body(carry, xs):
         lp, k_l, v_l = xs
@@ -227,7 +236,7 @@ def decode_step(params: Params, tokens: jax.Array, pos: jax.Array,
         q, k, v = _split_qkv(qkv, cfg)             # (B, NH, HS)
         k_l = _write_cache_at(k_l, k, pos)
         v_l = _write_cache_at(v_l, v, pos)
-        att = L.decode_attention(q, k_l, v_l, pos + 1)  # (B, NH, HS)
+        att = L.decode_attention(q, k_l, v_l, pos + 1, start=starts)
         att = att.reshape(B, cfg.channels)
         xout = carry + L.linear(att, lp["attprojw"], lp["attprojb"])
         h2 = L.layernorm(xout, lp["ln2w"], lp["ln2b"])

@@ -39,15 +39,18 @@ def decode_step_paged(params: gpt2.Params, tokens: jax.Array,
                       positions: jax.Array, page: jax.Array,
                       slot: jax.Array, block_tables: jax.Array,
                       lengths: jax.Array, pool: PagePool,
-                      cfg: GPT2Config, use_kernel: bool = True
+                      cfg: GPT2Config, use_kernel: bool = True,
+                      starts: jax.Array | None = None
                       ) -> Tuple[jax.Array, PagePool]:
     """One batched decode step over the paged pool.
 
-    tokens:(B,) new ids; positions:(B,) their sequence positions;
-    page/slot:(B,) pool coordinates for the new K/V (page == num_pages for
-    inactive rows → scatter dropped); block_tables:(B,pages_per_seq);
-    lengths:(B,) valid tokens per row INCLUDING the new one (inactive rows
-    0). Returns (logits (B, V), updated pool)."""
+    tokens:(B,) new ids; positions:(B,) their wpe positions (the engine
+    clamps these in sliding-window parity mode); page/slot:(B,) pool
+    coordinates for the new K/V (page == num_pages for inactive rows →
+    scatter dropped); block_tables:(B,pages_per_seq); lengths:(B,) valid
+    tokens per row INCLUDING the new one (inactive rows 0); starts:(B,)
+    optional window lower bound (attention_paged's `offset`,
+    paged_infer.c:165). Returns (logits (B, V), updated pool)."""
     B = tokens.shape[0]
     x = params["wte"][tokens] + params["wpe"][positions]
 
@@ -63,9 +66,10 @@ def decode_step_paged(params: gpt2.Params, tokens: jax.Array,
                                             page, slot)
         if use_kernel:
             att = attend(q, k_pool_l, v_pool_l, block_tables, lengths,
-                         **interp)
+                         starts, **interp)
         else:
-            att = attend(q, k_pool_l, v_pool_l, block_tables, lengths)
+            att = attend(q, k_pool_l, v_pool_l, block_tables, lengths,
+                         starts)
         att = att.reshape(B, cfg.channels)
         xout = carry + L.linear(att, lp["attprojw"], lp["attprojb"])
         h2 = L.layernorm(xout, lp["ln2w"], lp["ln2b"])

@@ -74,19 +74,26 @@ def causal_attention(q: jax.Array, k: jax.Array, v: jax.Array,
 
 
 def decode_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
-                     length, precision=jax.lax.Precision.HIGHEST) -> jax.Array:
+                     length, start=None,
+                     precision=jax.lax.Precision.HIGHEST) -> jax.Array:
     """Single-position attention over a dense KV cache.
 
     q: (B, NH, HS); k_cache/v_cache: (B, NH, S, HS); ``length``: (B,) int32 —
     number of valid cache positions per row (the new token's K/V must
-    already be written). Replaces the reference's rebuild-qkv-then-dense
-    detour (fill_from_kv_cache, cached_infer.c:172-186,663-665) with a
-    masked attention directly over the cache."""
+    already be written). Optional ``start``: (B,) int32 window lower bound —
+    positions < start are masked out, implementing the reference's sliding
+    window (the `offset` of attention_paged, paged_infer.c:165,190 / the
+    cache-pointer bump of cached_infer.c:606). Replaces the reference's
+    rebuild-qkv-then-dense detour (fill_from_kv_cache,
+    cached_infer.c:172-186,663-665) with a masked attention directly over
+    the cache."""
     B, NH, S, HS = k_cache.shape
     scale = 1.0 / jnp.sqrt(jnp.asarray(HS, dtype=q.dtype))
     scores = jnp.einsum("bhd,bhkd->bhk", q, k_cache, precision=precision) * scale
     pos = jax.lax.broadcasted_iota(jnp.int32, (B, NH, S), 2)
     valid = pos < length[:, None, None]
+    if start is not None:
+        valid = valid & (pos >= start[:, None, None])
     neg = jnp.asarray(jnp.finfo(scores.dtype).min, dtype=scores.dtype)
     scores = jnp.where(valid, scores, neg)
     probs = jax.nn.softmax(scores, axis=-1)

@@ -40,6 +40,7 @@ NEG_INF = -1e30
 def _paged_decode_kernel(
     # scalar prefetch
     lengths_ref,      # (B,) int32 in SMEM
+    starts_ref,       # (B,) int32 in SMEM — sliding-window lower bounds
     tables_ref,       # (B, pages_per_seq) int32 in SMEM (unused in body;
                       # consumed by the index maps)
     # blocks
@@ -57,6 +58,7 @@ def _paged_decode_kernel(
     num_pages_per_seq = pl.num_programs(1)
     ps = k_ref.shape[2]
     length = lengths_ref[b]
+    start = starts_ref[b]
 
     @pl.when(i == 0)
     def _init():
@@ -64,7 +66,7 @@ def _paged_decode_kernel(
         l_ref[...] = jnp.zeros_like(l_ref)
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    @pl.when(i * ps < length)
+    @pl.when((i * ps < length) & ((i + 1) * ps > start))
     def _update():
         q = q_ref[0].astype(jnp.float32)            # (NH, HS)
         k = k_ref[:, 0].astype(jnp.float32)         # (NH, ps, HS)
@@ -78,7 +80,7 @@ def _paged_decode_kernel(
             precision=jax.lax.Precision.HIGHEST,
         )[:, 0, :] * scale                          # (NH, ps)
         pos = i * ps + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        scores = jnp.where(pos < length, scores, NEG_INF)
+        scores = jnp.where((pos < length) & (pos >= start), scores, NEG_INF)
 
         m_prev, l_prev = m_ref[...], l_ref[...]
         m_cur = jnp.max(scores, axis=1, keepdims=True)       # (NH, 1)
@@ -105,7 +107,7 @@ def _paged_decode_kernel(
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def paged_decode_attention(q: jax.Array, k_pages: jax.Array,
                            v_pages: jax.Array, block_tables: jax.Array,
-                           lengths: jax.Array,
+                           lengths: jax.Array, starts: jax.Array | None = None,
                            interpret: bool = False) -> jax.Array:
     """Flash-decode over paged KV.
 
@@ -114,23 +116,29 @@ def paged_decode_attention(q: jax.Array, k_pages: jax.Array,
     block_tables: (B, pages_per_seq) int32 — page ids per sequence, in order
     lengths:      (B,) int32 — valid tokens per sequence (including the
                   current token, whose K/V must already be in the pool)
+    starts:       (B,) int32 optional sliding-window lower bound (the
+                  `offset` of attention_paged, paged_infer.c:165,190);
+                  positions < start are masked and fully-below-start pages
+                  are skipped
     returns       (B, NH, HS)
     """
     B, NH, HS = q.shape
+    if starts is None:
+        starts = jnp.zeros_like(lengths)
     _, P, ps, _ = k_pages.shape
     pages_per_seq = block_tables.shape[1]
 
-    def q_map(b, i, lengths_ref, tables_ref):
+    def q_map(b, i, lengths_ref, starts_ref, tables_ref):
         return (b, 0, 0)
 
-    def kv_map(b, i, lengths_ref, tables_ref):
+    def kv_map(b, i, lengths_ref, starts_ref, tables_ref):
         return (0, tables_ref[b, i], 0, 0)
 
-    def out_map(b, i, lengths_ref, tables_ref):
+    def out_map(b, i, lengths_ref, starts_ref, tables_ref):
         return (b, 0, 0)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(B, pages_per_seq),
         in_specs=[
             pl.BlockSpec((1, NH, HS), q_map),
@@ -155,12 +163,13 @@ def paged_decode_attention(q: jax.Array, k_pages: jax.Array,
             * jnp.dtype(q.dtype).itemsize,
             transcendentals=B * NH * pages_per_seq * ps,
         ),
-    )(lengths, block_tables, q, k_pages, v_pages)
+    )(lengths, starts, block_tables, q, k_pages, v_pages)
 
 
 def paged_decode_attention_xla(q: jax.Array, k_pages: jax.Array,
                                v_pages: jax.Array, block_tables: jax.Array,
-                               lengths: jax.Array) -> jax.Array:
+                               lengths: jax.Array,
+                               starts: jax.Array | None = None) -> jax.Array:
     """XLA oracle/fallback: materialise the gathered KV then run masked
     attention (the fill_from_kv_cache-style copy the kernel eliminates).
     Used for equivalence tests (test_paged_attn.c pattern) and on backends
@@ -168,4 +177,4 @@ def paged_decode_attention_xla(q: jax.Array, k_pages: jax.Array,
     from llmc_paged_tpu.kv.layouts import gather_layer_kv
 
     k, v = gather_layer_kv(k_pages, v_pages, block_tables)
-    return L.decode_attention(q, k, v, lengths)
+    return L.decode_attention(q, k, v, lengths, start=starts)

@@ -1,0 +1,173 @@
+"""Engine equivalence + scheduler tests.
+
+The end-to-end comparison the reference lacks (SURVEY.md §4 gaps): its
+three mains never check that uncached / cached / paged decode produce the
+same tokens. Here all three modes must emit IDENTICAL token streams under
+greedy decoding, with and without the sliding window; plus continuous
+batching under pool pressure (preemption, requeue, completion)."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from llmc_paged_tpu import formats
+from llmc_paged_tpu.config import EngineConfig, PageConfig
+from llmc_paged_tpu.engine.engine import InferenceEngine
+from llmc_paged_tpu.engine.scheduler import Request
+from llmc_paged_tpu.sampler import Sampler
+from llmc_paged_tpu.utils.dataloader import DataLoader
+
+
+@pytest.fixture(scope="module")
+def setup(fixtures_dir):
+    cfg, params = formats.read_checkpoint(
+        os.path.join(fixtures_dir, "model_tiny.bin"))
+    stream = formats.read_token_stream(
+        os.path.join(fixtures_dir, "tokens_tiny.bin"))
+    return cfg, params, stream
+
+
+def make_engine(cfg, params, mode, **kw):
+    page = PageConfig(page_size=8, num_pages=64, max_seqs=8, pages_per_seq=8)
+    econf = EngineConfig(cache_mode=mode, page=page, greedy=True,
+                         max_batch=kw.pop("max_batch", 4))
+    return InferenceEngine(params, cfg, econf, **kw)
+
+
+def test_three_modes_identical_tokens(setup):
+    cfg, params, stream = setup
+    prompt = stream[:8].tolist()
+    outs = {}
+    for mode in ("none", "dense", "paged"):
+        eng = make_engine(cfg, params, mode)
+        outs[mode] = eng.generate(prompt, 20)
+    assert outs["none"] == outs["dense"] == outs["paged"]
+
+
+def test_three_modes_identical_with_window(setup):
+    """Sliding-window parity: all three modes slide a 16-token window
+    (the reference mains' T=32-window behavior at tiny scale)."""
+    cfg, params, stream = setup
+    prompt = stream[:8].tolist()
+    outs = {}
+    for mode in ("none", "dense", "paged"):
+        eng = make_engine(cfg, params, mode)
+        outs[mode] = eng.generate(prompt, 24, window=16)
+    assert outs["none"] == outs["dense"] == outs["paged"]
+    # the window must actually matter
+    eng = make_engine(cfg, params, "none")
+    assert outs["none"] != eng.generate(prompt, 24)
+
+
+def test_sampled_modes_identical(setup):
+    """With the parity RNG, dense and paged paths sample identical streams
+    (probabilities agree to ~1e-6 so CDF walks agree)."""
+    cfg, params, stream = setup
+    prompt = stream[:8].tolist()
+    outs = {}
+    for mode in ("dense", "paged"):
+        eng = make_engine(cfg, params, mode)
+        outs[mode] = eng.generate(prompt, 20,
+                                  sampler=Sampler(seed=1337, greedy=False))
+    assert outs["dense"] == outs["paged"]
+
+
+def test_continuous_batching_mixed_lengths(setup):
+    cfg, params, stream = setup
+    eng = make_engine(cfg, params, "paged", max_batch=4)
+    reqs = [Request(rid=i, prompt=stream[i * 7: i * 7 + 3 + i].tolist(),
+                    max_new_tokens=6 + i) for i in range(6)]
+    done = eng.run(reqs)
+    assert len(done) == 6
+    for r in done:
+        assert len(r.generated) == r.max_new_tokens
+        assert r.ttft is not None and r.ttft >= 0
+    assert eng.stats["decode_tokens"] > 0
+
+    # every request's tokens must match its single-sequence greedy decode
+    for r in done:
+        solo = make_engine(cfg, params, "paged").generate(
+            r.prompt, r.max_new_tokens)
+        assert r.tokens == solo, r.rid
+
+
+def test_preemption_under_pool_pressure(setup):
+    """A pool far too small for all sequences forces LRU preemption; every
+    request must still finish with exactly its requested tokens and the
+    recompute-after-preempt path must not corrupt outputs."""
+    cfg, params, stream = setup
+    page = PageConfig(page_size=4, num_pages=10, max_seqs=8, pages_per_seq=8)
+    econf = EngineConfig(cache_mode="paged", page=page, greedy=True,
+                         max_batch=3)
+    eng = InferenceEngine(params, cfg, econf)
+    reqs = [Request(rid=i, prompt=stream[i * 5: i * 5 + 4].tolist(),
+                    max_new_tokens=10) for i in range(4)]
+    done = eng.run(reqs)
+    assert len(done) == 4
+    assert eng.stats["preemptions"] > 0, "pressure test must actually preempt"
+    for r in done:
+        assert len(r.generated) == 10
+        solo = make_engine(cfg, params, "paged").generate(r.prompt, 10)
+        assert r.tokens == solo, f"request {r.rid} corrupted by preemption"
+
+
+def test_request_too_large_rejected(setup):
+    cfg, params, stream = setup
+    eng = make_engine(cfg, params, "paged")
+    with pytest.raises(ValueError, match="max_context"):
+        eng.run([Request(rid=0, prompt=stream[:8].tolist(),
+                         max_new_tokens=10_000)])
+
+
+def test_pool_too_small_raises(setup):
+    cfg, params, stream = setup
+    page = PageConfig(page_size=4, num_pages=2, max_seqs=4, pages_per_seq=8)
+    econf = EngineConfig(cache_mode="paged", page=page, greedy=True,
+                         max_batch=2)
+    eng = InferenceEngine(params, cfg, econf)
+    with pytest.raises(RuntimeError, match="stalled"):
+        eng.run([Request(rid=0, prompt=stream[:16].tolist(),
+                         max_new_tokens=4)])
+
+
+def test_dataloader_parity(setup, fixtures_dir):
+    """DataLoader strides and wraparound match train_gpt2.c:1016-1028."""
+    cfg, params, stream = setup
+    dl = DataLoader(os.path.join(fixtures_dir, "tokens_tiny.bin"), B=2, T=8)
+    x1, y1 = dl.next_batch()
+    np.testing.assert_array_equal(x1.ravel(), stream[:16])
+    np.testing.assert_array_equal(y1.ravel(), stream[1:17])
+    x2, _ = dl.next_batch()
+    np.testing.assert_array_equal(x2.ravel(), stream[16:32])
+    # wraparound: the final stride would need B*T+1 tokens past the end, so
+    # it wraps exactly like train_gpt2.c:1020 (the Nth batch re-reads the
+    # stream head)
+    n = len(stream) // 16
+    dl.reset()
+    for _ in range(n - 1):
+        dl.next_batch()
+    xw, _ = dl.next_batch()
+    np.testing.assert_array_equal(xw.ravel(), stream[:16])
+
+
+def test_cli_end_to_end(setup, fixtures_dir):
+    out = subprocess.run(
+        [sys.executable, "-m", "llmc_paged_tpu.engine.cli",
+         "--checkpoint", os.path.join(fixtures_dir, "model_tiny.bin"),
+         "--tokenizer", os.path.join(fixtures_dir, "tokenizer_tiny.bin"),
+         "--data", os.path.join(fixtures_dir, "tokens_tiny.bin"),
+         "--mode", "paged", "--batch", "3", "--prompt-size", "6",
+         "--max-new", "8", "--page-size", "8", "--num-pages", "32",
+         "--pages-per-seq", "8", "--greedy", "--json"],
+        capture_output=True, text=True, timeout=600,
+        env={**os.environ, "JAX_PLATFORMS": "cpu",
+             "PYTHONPATH": os.path.join(os.path.dirname(__file__), "..")})
+    assert out.returncode == 0, out.stderr[-2000:]
+    import json
+    payload = json.loads(out.stdout.strip().splitlines()[-1])
+    assert len(payload["tokens"]) == 3
+    for toks in payload["tokens"].values():
+        assert len(toks) == 14
