@@ -97,5 +97,6 @@ class EngineConfig:
     temperature: float = 1.0
     top_k: Optional[int] = None
     greedy: bool = False
+    decode_chunk: int = 16             # greedy tokens per device round trip
     seed: int = 1337                   # xorshift seed (paged_infer.c:975)
     mesh_shape: Optional[dict] = None  # e.g. {"data": 1, "model": 4}

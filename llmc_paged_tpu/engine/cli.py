@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import time
 
 import numpy as np
@@ -55,6 +56,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    # The TPU plugin in this environment force-sets JAX_PLATFORMS, so a
+    # platform override must go through jax.config before backend init.
+    if os.environ.get("LLMC_PLATFORM"):
+        import jax
+        jax.config.update("jax_platforms", os.environ["LLMC_PLATFORM"])
     cfg, params = formats.read_checkpoint(args.checkpoint)
     tok = Tokenizer.from_file(args.tokenizer) if args.tokenizer else None
     stream = formats.read_token_stream(args.data)

@@ -31,6 +31,16 @@ def _bucket(n: int, step: int = 16) -> int:
     return max(step, ((n + step - 1) // step) * step)
 
 
+def _pick_token(sampler: Sampler, logits_row) -> int:
+    """Sample one token from a (V,) logits row. Greedy takes the argmax on
+    device and ships 4 bytes; the parity sampler needs the full softmax on
+    the host (the reference also downloads the probs row and samples on the
+    CPU, train_gpt2.cu:1238-1239)."""
+    if sampler.greedy:
+        return int(jnp.argmax(logits_row))
+    return sampler.sample(np.asarray(jax.nn.softmax(logits_row)))
+
+
 class InferenceEngine:
     def __init__(self, params: Dict[str, np.ndarray], cfg: GPT2Config,
                  econf: Optional[EngineConfig] = None,
@@ -57,8 +67,7 @@ class InferenceEngine:
             ctx = toks[-window:]
             logits = gpt2.forward(self.params,
                                   jnp.asarray([ctx], jnp.int32), self.cfg)
-            probs = jax.nn.softmax(logits[0, -1])
-            toks.append(sampler.sample(np.asarray(probs)))
+            toks.append(_pick_token(sampler, logits[0, -1]))
         return toks
 
     # -- mode "dense": contiguous KV cache (cached_infer.c) -----------------
@@ -79,8 +88,7 @@ class InferenceEngine:
         toks = list(prompt)
         logits, cache = gpt2.prefill(
             self.params, jnp.asarray([toks], jnp.int32), cache, cfg)
-        probs = jax.nn.softmax(logits[0, -1])
-        toks.append(sampler.sample(np.asarray(probs)))
+        toks.append(_pick_token(sampler, logits[0, -1]))
         for _ in range(max_new_tokens - 1):
             pos = len(toks) - 1
             wpe_pos = min(pos, window - 1)
@@ -90,8 +98,7 @@ class InferenceEngine:
                 jnp.asarray([pos], jnp.int32), cache, cfg,
                 wpe_pos=jnp.asarray([wpe_pos], jnp.int32),
                 starts=jnp.asarray([start], jnp.int32))
-            probs = jax.nn.softmax(logits[0])
-            toks.append(sampler.sample(np.asarray(probs)))
+            toks.append(_pick_token(sampler, logits[0]))
         return toks
 
     # -- mode "paged": block-table KV + continuous batching ------------------
@@ -176,15 +183,75 @@ class InferenceEngine:
                                       page.num_pages)
                 logits, pool = gpt2_paged.prefill_paged(
                     self.params, jnp.asarray(xs), pg, sl, pool, cfg)
-                probs = jax.nn.softmax(logits[0, n - 1])
-                nxt = sampler.sample(np.asarray(probs))
-                req.generated.append(nxt)
+                req.generated.append(_pick_token(sampler, logits[0, n - 1]))
                 req.mark_first_token()
                 if req.done:
                     mgr.free_prompt(slot)
                     sched.finish(slot)
 
-            # ---- batched decode step ----------------------------------
+            # ---- chunked greedy decode (one device round trip per K
+            # tokens; page coordinates reserved K ahead) -----------------
+            chunk = 1
+            if sampler.greedy and sched.running and not sched.waiting:
+                # capacity-bound only: rows that hit max_new mid-chunk are
+                # truncated on the host (overshoot-and-discard beats paying
+                # a ~60ms sync per tail token on a tunneled chip)
+                cap = min(page.max_context - len(r.tokens)
+                          for r in sched.running.values())
+                dc = max(1, econf.decode_chunk)
+                for cand in (dc, max(dc // 4, 1)):
+                    if cap >= cand > 1:
+                        chunk = cand
+                        break
+            if chunk > 1 and sched.running:
+                first = np.zeros(B, np.int32)
+                pos0 = np.full(B, -1, np.int32)   # -1 → inactive row
+                pgs = np.full((chunk, B), page.num_pages, np.int32)
+                sls = np.zeros((chunk, B), np.int32)
+                tables = np.zeros((B, pps), np.int32)
+                stepped: List[int] = []
+                for slot, req in list(sched.running.items()):
+                    segs, evicted = mgr.append_tokens(slot, chunk)
+                    for victim in requeue_evicted(evicted, skip_slot=slot):
+                        if victim in stepped:
+                            stepped.remove(victim)
+                            pos0[victim] = -1
+                            pgs[:, victim] = page.num_pages
+                    if not segs:
+                        mgr.free_prompt(slot)
+                        sched.preempt(slot)
+                        continue
+                    coords = [(s.page, s.offset + i) for s in segs
+                              for i in range(s.count)]
+                    assert len(coords) == chunk
+                    first[slot] = req.tokens[-1]
+                    pos0[slot] = len(req.tokens) - 1
+                    for j, (pj, sj) in enumerate(coords):
+                        pgs[j, slot], sls[j, slot] = pj, sj
+                    tables[slot] = mgr.block_table_array(slot, pps)
+                    stepped.append(slot)
+                if stepped:
+                    progressed = True
+                    toks_out, pool = gpt2_paged.decode_chunk_paged(
+                        self.params, jnp.asarray(first), jnp.asarray(pos0),
+                        jnp.asarray(pgs), jnp.asarray(sls),
+                        jnp.asarray(tables), pool, cfg,
+                        num_steps=chunk, window=window,
+                        use_kernel=self.use_kernel)
+                    picks = np.asarray(toks_out)   # (chunk, B)
+                    for slot in stepped:
+                        req = sched.running[slot]
+                        keep = min(chunk,
+                                   req.max_new_tokens - len(req.generated))
+                        req.generated.extend(int(t)
+                                             for t in picks[:keep, slot])
+                        decode_tokens += keep
+                        if req.done:
+                            mgr.free_prompt(slot)
+                            sched.finish(slot)
+                continue
+
+            # ---- single-token decode step (parity sampling path) -------
             if sched.running:
                 toks = np.zeros(B, np.int32)
                 wpe_pos = np.zeros(B, np.int32)
@@ -225,12 +292,20 @@ class InferenceEngine:
                         jnp.asarray(lengths), pool, cfg,
                         use_kernel=self.use_kernel,
                         starts=jnp.asarray(starts))
-                    probs = jax.nn.softmax(jnp.asarray(logits), axis=-1)
-                    probs_np = np.asarray(probs)
                     decode_tokens += len(stepped)
+                    if sampler.greedy:
+                        picks = np.asarray(jnp.argmax(logits, axis=-1))
+                    else:
+                        picks = None
+                        probs_np = np.asarray(
+                            jax.nn.softmax(logits, axis=-1))
                     for slot in stepped:
                         req = sched.running[slot]
-                        req.generated.append(sampler.sample(probs_np[slot]))
+                        if picks is not None:
+                            req.generated.append(int(picks[slot]))
+                        else:
+                            req.generated.append(
+                                sampler.sample(probs_np[slot]))
                         if req.done:
                             mgr.free_prompt(slot)
                             sched.finish(slot)

@@ -8,8 +8,15 @@ device step consumes them as arrays, scatters new K/V into the pool and
 runs the Pallas paged-attention kernel per layer inside a lax.scan.
 
 All host↔device traffic per decode step is: token ids (B,), positions (B,),
-page/slot coordinates (B,), block tables (B, pages_per_seq), lengths (B,) —
-a few hundred bytes of metadata; KV never leaves the device.
+page/slot coordinates, block tables (B, pages_per_seq), lengths (B,) — a
+few hundred bytes of metadata; KV never leaves the device.
+
+Because page coordinates are decided by the host ALLOCATOR (not by data),
+the host can reserve K tokens ahead and run a whole K-step greedy decode
+chunk on-device (`decode_chunk_paged`): one host↔device round trip per K
+tokens. On this environment's relay-tunneled TPU a sync costs ~60ms, so
+chunking is worth ~15× on decode throughput; on directly-attached chips it
+still hides dispatch latency.
 """
 
 from __future__ import annotations
@@ -34,7 +41,40 @@ def _use_interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "use_kernel"))
+def _decode_core(params, tokens, wpe_pos, page, slot, block_tables, lengths,
+                 starts, pool: PagePool, cfg: GPT2Config, use_kernel: bool
+                 ) -> Tuple[jax.Array, PagePool]:
+    """Shared single-token decode body: embed → per-layer (qkv, pool
+    scatter, paged attention, mlp) scan → logits."""
+    B = tokens.shape[0]
+    x = params["wte"][tokens] + params["wpe"][wpe_pos]
+
+    attend = paged_decode_attention if use_kernel else paged_decode_attention_xla
+    interp = {"interpret": True} if (use_kernel and _use_interpret()) else {}
+
+    def body(carry, xs):
+        lp, k_pool_l, v_pool_l = xs
+        h = L.layernorm(carry, lp["ln1w"], lp["ln1b"])
+        qkv = L.linear(h, lp["qkvw"], lp["qkvb"])       # (B, 3C)
+        q, k, v = gpt2._split_qkv(qkv, cfg)             # (B, NH, HS)
+        k_pool_l, v_pool_l = write_layer_kv(k_pool_l, v_pool_l, k, v,
+                                            page, slot)
+        att = attend(q, k_pool_l, v_pool_l, block_tables, lengths,
+                     starts, **interp)
+        att = att.reshape(B, cfg.channels)
+        xout = carry + L.linear(att, lp["attprojw"], lp["attprojb"])
+        h2 = L.layernorm(xout, lp["ln2w"], lp["ln2b"])
+        ff = L.linear(L.gelu_tanh(L.linear(h2, lp["fcw"], lp["fcb"])),
+                      lp["fcprojw"], lp["fcprojb"])
+        return xout + ff, (k_pool_l, v_pool_l)
+
+    x, (k_new, v_new) = jax.lax.scan(
+        body, x, (gpt2._layer_stack(params), pool.k, pool.v))
+    return gpt2._logits(x, params, cfg), PagePool(k_new, v_new)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "use_kernel"),
+                   donate_argnums=(7,))
 def decode_step_paged(params: gpt2.Params, tokens: jax.Array,
                       positions: jax.Array, page: jax.Array,
                       slot: jax.Array, block_tables: jax.Array,
@@ -50,39 +90,59 @@ def decode_step_paged(params: gpt2.Params, tokens: jax.Array,
     scatter dropped); block_tables:(B,pages_per_seq); lengths:(B,) valid
     tokens per row INCLUDING the new one (inactive rows 0); starts:(B,)
     optional window lower bound (attention_paged's `offset`,
-    paged_infer.c:165). Returns (logits (B, V), updated pool)."""
-    B = tokens.shape[0]
-    x = params["wte"][tokens] + params["wpe"][positions]
-
-    attend = paged_decode_attention if use_kernel else paged_decode_attention_xla
-    interp = {"interpret": True} if (use_kernel and _use_interpret()) else {}
-
-    def body(carry, xs):
-        lp, k_pool_l, v_pool_l = xs
-        h = L.layernorm(carry, lp["ln1w"], lp["ln1b"])
-        qkv = L.linear(h, lp["qkvw"], lp["qkvb"])       # (B, 3C)
-        q, k, v = gpt2._split_qkv(qkv, cfg)             # (B, NH, HS)
-        k_pool_l, v_pool_l = write_layer_kv(k_pool_l, v_pool_l, k, v,
-                                            page, slot)
-        if use_kernel:
-            att = attend(q, k_pool_l, v_pool_l, block_tables, lengths,
-                         starts, **interp)
-        else:
-            att = attend(q, k_pool_l, v_pool_l, block_tables, lengths,
-                         starts)
-        att = att.reshape(B, cfg.channels)
-        xout = carry + L.linear(att, lp["attprojw"], lp["attprojb"])
-        h2 = L.layernorm(xout, lp["ln2w"], lp["ln2b"])
-        ff = L.linear(L.gelu_tanh(L.linear(h2, lp["fcw"], lp["fcb"])),
-                      lp["fcprojw"], lp["fcprojb"])
-        return xout + ff, (k_pool_l, v_pool_l)
-
-    x, (k_new, v_new) = jax.lax.scan(
-        body, x, (gpt2._layer_stack(params), pool.k, pool.v))
-    return gpt2._logits(x, params, cfg), PagePool(k_new, v_new)
+    paged_infer.c:165). Returns (logits (B, V), updated pool). The pool is
+    DONATED — callers must replace their reference with the returned one."""
+    if starts is None:
+        starts = jnp.zeros_like(lengths)
+    return _decode_core(params, tokens, positions, page, slot, block_tables,
+                        lengths, starts, pool, cfg, use_kernel)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "use_kernel", "num_steps",
+                                    "window"),
+                   donate_argnums=(6,))
+def decode_chunk_paged(params: gpt2.Params, first_tokens: jax.Array,
+                       positions0: jax.Array, pages: jax.Array,
+                       slots: jax.Array, block_tables: jax.Array,
+                       pool: PagePool, cfg: GPT2Config,
+                       num_steps: int, window: int,
+                       use_kernel: bool = True
+                       ) -> Tuple[jax.Array, PagePool]:
+    """K-step greedy decode entirely on device (one host round trip).
+
+    first_tokens:(B,) the token to feed at sub-step 0; positions0:(B,) its
+    position (rows with positions0 < 0 are inactive for the whole chunk);
+    pages/slots:(K, B) pre-reserved pool coordinates for each sub-step
+    (host block manager reserves K tokens ahead — allocation is
+    deterministic, so coordinates are known before the tokens exist);
+    block_tables: the FINAL tables including reserved pages (earlier
+    sub-steps simply mask beyond their length). Returns (tokens (K, B) —
+    the greedy pick of every sub-step, fed back on device — and the pool).
+    """
+    active = positions0 >= 0
+    safe_pos0 = jnp.where(active, positions0, 0)
+
+    def step(carry, xs):
+        toks, pool, j = carry
+        page_j, slot_j = xs
+        pos = safe_pos0 + j
+        wpe_pos = jnp.minimum(pos, window - 1)
+        lengths = jnp.where(active, pos + 1, 0)
+        starts = jnp.maximum(0, pos + 1 - window)
+        logits, pool = _decode_core(
+            params, toks, wpe_pos, page_j, slot_j, block_tables, lengths,
+            starts, pool, cfg, use_kernel)
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return (nxt, pool, j + 1), nxt
+
+    (_, pool, _), out = jax.lax.scan(
+        step, (first_tokens, pool, jnp.int32(0)), (pages, slots),
+        length=num_steps)
+    return out, pool
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(4,))
 def prefill_paged(params: gpt2.Params, tokens: jax.Array,
                   page: jax.Array, slot: jax.Array, pool: PagePool,
                   cfg: GPT2Config) -> Tuple[jax.Array, PagePool]:
@@ -92,7 +152,7 @@ def prefill_paged(params: gpt2.Params, tokens: jax.Array,
     per token (page == num_pages on padding → dropped). Attention during
     prefill is dense causal over the in-flight K/V (paged_infer.c first-pass
     semantics :699-704: full matmul_forward + copy-all-T-to-cache).
-    Returns (logits (B,T,V), updated pool)."""
+    Returns (logits (B,T,V), updated pool); the pool is DONATED."""
     B, T = tokens.shape
     pos = jnp.arange(T, dtype=jnp.int32)
     x = params["wte"][tokens] + params["wpe"][pos][None]

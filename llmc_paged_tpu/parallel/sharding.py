@@ -1,0 +1,272 @@
+"""L5: tensor parallelism over heads + data parallelism, jax.sharding-native.
+
+The reference's only distribution is DDP gradient all-reduce over NCCL
+(train_gpt2.py:400-428). The TPU-native scaling axis for this engine is
+tensor parallelism over attention heads (SURVEY.md §2.5): weights and the
+KV page pool shard on the head dimension over a mesh "model" axis, decode
+runs under shard_map with two psums per layer (Megatron-style), and the
+Pallas paged-attention kernel runs unchanged on each shard's local heads.
+Data parallelism ("data" axis) is used for training (gradient psum — the
+DDP equivalent) and, for serving, across engine replicas (continuous
+batching is host-level scheduling, not an array axis).
+
+Multi-host: the same code runs SPMD across hosts after
+jax.distributed.initialize(); the mesh spans all devices and collectives
+ride ICI within a slice / DCN across hosts.
+
+TP device layout note: the checkpoint packs qkv as (3C, C) rows (Q then K
+then V, train_gpt2.c:245). Head-sharding needs each of Q/K/V split by head,
+so prepare_tp_params re-lays qkvw to (L, 3, NH, HS, C) and attprojw to
+(L, C, NH, HS) before sharding — device layout is decoupled from the file
+format.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from llmc_paged_tpu.config import GPT2Config, PageConfig
+from llmc_paged_tpu.kv.layouts import PagePool, write_layer_kv
+from llmc_paged_tpu.models import gpt2
+from llmc_paged_tpu.ops import layers as L
+from llmc_paged_tpu.ops.paged_attention import (
+    paged_decode_attention,
+    paged_decode_attention_xla,
+)
+
+
+def make_mesh(model: int = 1, data: int = 1,
+              devices=None) -> Mesh:
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    assert devices.size >= model * data, (
+        f"need {model * data} devices, have {devices.size}")
+    grid = devices[: model * data].reshape(data, model)
+    return Mesh(grid, axis_names=("data", "model"))
+
+
+# PartitionSpecs for the TP device layout produced by prepare_tp_params.
+TP_PARAM_SPECS: Dict[str, P] = {
+    "wte": P("model", None),          # vocab-sharded for the logits matmul
+    "wpe": P(),
+    "ln1w": P(), "ln1b": P(),
+    "qkvw": P(None, None, "model", None, None),   # (L, 3, NH, HS, C)
+    "qkvb": P(None, None, "model", None),         # (L, 3, NH, HS)
+    "attprojw": P(None, None, "model", None),     # (L, C, NH, HS)
+    "attprojb": P(),
+    "ln2w": P(), "ln2b": P(),
+    "fcw": P(None, "model", None),                # (L, 4C, C) — 4C split
+    "fcb": P(None, "model"),
+    "fcprojw": P(None, None, "model"),            # (L, C, 4C)
+    "fcprojb": P(),
+    "lnfw": P(), "lnfb": P(),
+}
+
+
+def tp_pool_spec() -> P:
+    """(L, NH, P, page_size, HS) pool sharded over heads."""
+    return P(None, "model", None, None, None)
+
+
+def relayout_tp(params: Dict[str, jax.Array], cfg: GPT2Config
+                ) -> Dict[str, jax.Array]:
+    """File layout → TP device layout (see module docstring)."""
+    Lc, C, NH, HS = (cfg.num_layers, cfg.channels, cfg.num_heads,
+                     cfg.head_dim)
+    out = dict(params)
+    out["qkvw"] = params["qkvw"].reshape(Lc, 3, NH, HS, C)
+    out["qkvb"] = params["qkvb"].reshape(Lc, 3, NH, HS)
+    out["attprojw"] = params["attprojw"].reshape(Lc, C, NH, HS)
+    return out
+
+
+def prepare_tp_params(params: Dict[str, np.ndarray], cfg: GPT2Config,
+                      mesh: Mesh, dtype=jnp.float32) -> Dict[str, jax.Array]:
+    """Load + relayout + shard a checkpoint pytree onto the mesh."""
+    dev = gpt2.to_device(params, cfg, dtype)
+    tp = relayout_tp(dev, cfg)
+    return {k: jax.device_put(v, NamedSharding(mesh, TP_PARAM_SPECS[k]))
+            for k, v in tp.items()}
+
+
+def _tp_block_decode(x, lp, k_pool_l, v_pool_l, page, slot, block_tables,
+                     lengths, starts, cfg: GPT2Config, nh_local: int,
+                     use_kernel: bool, interpret: bool, axis: str):
+    """One transformer block, decode position, per TP shard.
+
+    x (B, C) replicated; lp holds this layer's local-shard params; the
+    pool slices hold nh_local heads. Two psums: attproj and fcproj
+    (Megatron pattern)."""
+    B = x.shape[0]
+    h = L.layernorm(x, lp["ln1w"], lp["ln1b"])
+    # qkv for local heads: (B,C) x (3, NHl, HS, C) -> (3, B, NHl, HS)
+    qkv = jnp.einsum("bc,thdc->tbhd", h, lp["qkvw"],
+                     precision=jax.lax.Precision.HIGHEST) + \
+        lp["qkvb"][:, None]
+    q, k, v = qkv[0], qkv[1], qkv[2]
+    k_pool_l, v_pool_l = write_layer_kv(k_pool_l, v_pool_l, k, v, page, slot)
+    if use_kernel:
+        att = paged_decode_attention(q, k_pool_l, v_pool_l, block_tables,
+                                     lengths, starts, interpret=interpret)
+    else:
+        att = paged_decode_attention_xla(q, k_pool_l, v_pool_l, block_tables,
+                                         lengths, starts)
+    # attproj over local heads -> partial (B, C), reduced across shards
+    partial = jnp.einsum("bhd,chd->bc", att, lp["attprojw"],
+                         precision=jax.lax.Precision.HIGHEST)
+    x = x + jax.lax.psum(partial, axis) + lp["attprojb"]
+    h2 = L.layernorm(x, lp["ln2w"], lp["ln2b"])
+    ff = L.linear(h2, lp["fcw"], lp["fcb"])          # (B, 4C/m) local
+    ff = L.gelu_tanh(ff)
+    partial = jnp.einsum("bf,cf->bc", ff, lp["fcprojw"],
+                         precision=jax.lax.Precision.HIGHEST)
+    x = x + jax.lax.psum(partial, axis) + lp["fcprojb"]
+    return x, k_pool_l, v_pool_l
+
+
+def _tp_embed(params, tokens, wpe_pos, axis: str, vocab_shard: int):
+    """Embedding lookup from the vocab-sharded wte: each shard contributes
+    rows it owns, psum combines."""
+    idx = jax.lax.axis_index(axis)
+    off = idx * vocab_shard
+    local = tokens - off
+    in_range = (local >= 0) & (local < vocab_shard)
+    safe = jnp.where(in_range, local, 0)
+    emb = jnp.where(in_range[..., None], params["wte"][safe], 0.0)
+    emb = jax.lax.psum(emb, axis)
+    return emb + params["wpe"][wpe_pos]
+
+
+def _tp_logits(params, x, axis: str, cfg: GPT2Config):
+    """Final LN + vocab-sharded lm_head; all-gather the vocab shards."""
+    x = L.layernorm(x, params["lnfw"], params["lnfb"])
+    logits_local = L.linear(x, params["wte"])        # (B, Vp/m)
+    logits = jax.lax.all_gather(logits_local, axis, axis=-1, tiled=True)
+    return logits[..., : cfg.vocab_size]
+
+
+def make_tp_decode_step(cfg: GPT2Config, mesh: Mesh,
+                        use_kernel: bool = True,
+                        interpret: Optional[bool] = None):
+    """Build the tensor-parallel batched paged decode step.
+
+    Returns step(params_tp, tokens, wpe_pos, page, slot, tables, lengths,
+    starts, pool) -> (logits (B, V) replicated, pool). params_tp from
+    prepare_tp_params; pool sharded with tp_pool_spec()."""
+    m = mesh.shape["model"]
+    assert cfg.num_heads % m == 0, (cfg.num_heads, m)
+    assert cfg.padded_vocab_size % m == 0
+    nh_local = cfg.num_heads // m
+    vocab_shard = cfg.padded_vocab_size // m
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    def step(params, tokens, wpe_pos, page, slot, tables, lengths, starts,
+             pool: PagePool):
+        x = _tp_embed(params, tokens, wpe_pos, "model", vocab_shard)
+
+        def body(carry, xs):
+            lp, k_l, v_l = xs
+            xo, k_l, v_l = _tp_block_decode(
+                carry, lp, k_l, v_l, page, slot, tables, lengths, starts,
+                cfg, nh_local, use_kernel, interpret, "model")
+            return xo, (k_l, v_l)
+
+        x, (k_new, v_new) = jax.lax.scan(
+            body, x, (gpt2._layer_stack(params), pool.k, pool.v))
+        return _tp_logits(params, x, "model", cfg), PagePool(k_new, v_new)
+
+    param_specs = {k: TP_PARAM_SPECS[k] for k in TP_PARAM_SPECS}
+    pool_spec = PagePool(tp_pool_spec(), tp_pool_spec())
+    sharded = shard_map(
+        step, mesh=mesh,
+        in_specs=(param_specs, P(), P(), P(), P(), P(), P(), P(), pool_spec),
+        out_specs=(P(), pool_spec),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_tp_prefill(cfg: GPT2Config, mesh: Mesh):
+    """Tensor-parallel prompt prefill writing into the sharded pool.
+    prefill(params_tp, tokens (B,T), page (B,T), slot (B,T), pool)
+    -> (logits (B,T,V), pool)."""
+    m = mesh.shape["model"]
+    nh_local = cfg.num_heads // m
+    vocab_shard = cfg.padded_vocab_size // m
+
+    def run(params, tokens, page, slot, pool: PagePool):
+        B, T = tokens.shape
+        pos = jnp.arange(T, dtype=jnp.int32)
+        x = _tp_embed(params, tokens, jnp.broadcast_to(pos, (B, T)),
+                      "model", vocab_shard)
+        fpage, fslot = page.reshape(B * T), slot.reshape(B * T)
+
+        def body(carry, xs):
+            lp, k_l, v_l = xs
+            h = L.layernorm(carry, lp["ln1w"], lp["ln1b"])
+            qkv = jnp.einsum("bsc,thdc->tbshd", h, lp["qkvw"],
+                             precision=jax.lax.Precision.HIGHEST) + \
+                lp["qkvb"][:, None, None]
+            q, k, v = qkv[0], qkv[1], qkv[2]      # (B, T, NHl, HS)
+            k_l, v_l = write_layer_kv(
+                k_l, v_l,
+                k.reshape(B * T, nh_local, cfg.head_dim),
+                v.reshape(B * T, nh_local, cfg.head_dim), fpage, fslot)
+            qh, kh, vh = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
+            att = L.causal_attention(qh, kh, vh)
+            att = att.transpose(0, 2, 1, 3)       # (B, T, NHl, HS)
+            partial = jnp.einsum("bshd,chd->bsc", att, lp["attprojw"],
+                                 precision=jax.lax.Precision.HIGHEST)
+            xo = carry + jax.lax.psum(partial, "model") + lp["attprojb"]
+            h2 = L.layernorm(xo, lp["ln2w"], lp["ln2b"])
+            ff = L.gelu_tanh(L.linear(h2, lp["fcw"], lp["fcb"]))
+            partial = jnp.einsum("bsf,cf->bsc", ff, lp["fcprojw"],
+                                 precision=jax.lax.Precision.HIGHEST)
+            return xo + jax.lax.psum(partial, "model") + lp["fcprojb"], \
+                (k_l, v_l)
+
+        x, (k_new, v_new) = jax.lax.scan(
+            body, x, (gpt2._layer_stack(params), pool.k, pool.v))
+        return _tp_logits(params, x, "model", cfg), PagePool(k_new, v_new)
+
+    pool_spec = PagePool(tp_pool_spec(), tp_pool_spec())
+    sharded = shard_map(
+        run, mesh=mesh,
+        in_specs=({k: v for k, v in TP_PARAM_SPECS.items()},
+                  P(), P(), P(), pool_spec),
+        out_specs=(P(), pool_spec),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_dp_train_step(cfg: GPT2Config, mesh: Mesh, optimizer):
+    """Data-parallel AdamW training step (the reference's DDP equivalent,
+    train_gpt2.py:519-521): batch sharded over "data", params replicated,
+    gradient reduction inserted by GSPMD. Returns (step, shard_batch)."""
+    batch_sharding = NamedSharding(mesh, P("data", None))
+    repl = NamedSharding(mesh, P())
+
+    @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(0, 1))
+    def step(params, opt_state, x, y, cfg):
+        loss, grads = jax.value_and_grad(gpt2.loss_fn)(params, x, y, cfg)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = jax.tree.map(lambda p, u: p + u, params, updates)
+        return params, opt_state, loss
+
+    def shard_batch(x, y):
+        return (jax.device_put(x, batch_sharding),
+                jax.device_put(y, batch_sharding))
+
+    def replicate(tree):
+        return jax.device_put(tree, repl)
+
+    return step, shard_batch, replicate

@@ -1,19 +1,22 @@
 """Test configuration: run everything on a virtual 8-device CPU mesh.
 
 Multi-chip TPU hardware is not available in CI; sharding logic is tested on
-host-platform virtual devices (SURVEY.md §4.5). Must run before jax import.
+host-platform virtual devices (SURVEY.md §4.5). The environment's TPU
+plugin forces its own JAX_PLATFORMS, so the override must go through
+jax.config (env vars are ignored); set LLMC_TEST_TPU=1 to run the suite on
+the real chip instead.
 """
 
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
-
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax  # noqa: E402
+
+if not os.environ.get("LLMC_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
 
 import subprocess  # noqa: E402
 

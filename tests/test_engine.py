@@ -163,8 +163,9 @@ def test_cli_end_to_end(setup, fixtures_dir):
          "--max-new", "8", "--page-size", "8", "--num-pages", "32",
          "--pages-per-seq", "8", "--greedy", "--json"],
         capture_output=True, text=True, timeout=600,
-        env={**os.environ, "JAX_PLATFORMS": "cpu",
-             "PYTHONPATH": os.path.join(os.path.dirname(__file__), "..")})
+        env={**os.environ, "LLMC_PLATFORM": "cpu",
+             "PYTHONPATH": os.path.join(os.path.dirname(__file__), "..") +
+             os.pathsep + os.environ.get("PYTHONPATH", "")})
     assert out.returncode == 0, out.stderr[-2000:]
     import json
     payload = json.loads(out.stdout.strip().splitlines()[-1])

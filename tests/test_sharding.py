@@ -1,0 +1,142 @@
+"""Tensor/data parallelism tests on the virtual 8-device CPU mesh
+(SURVEY.md §4.5: sharded kernel == single-device reference)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from llmc_paged_tpu import formats
+from llmc_paged_tpu.config import GPT2Config, PageConfig
+from llmc_paged_tpu.kv.layouts import init_pool, token_coords
+from llmc_paged_tpu.kv.manager import BlockManager
+from llmc_paged_tpu.models import gpt2, gpt2_paged
+from llmc_paged_tpu.parallel import sharding as sh
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-device CPU mesh")
+
+
+@pytest.fixture(scope="module")
+def golden(fixtures_dir):
+    cfg, params_np = formats.read_checkpoint(
+        os.path.join(fixtures_dir, "model_tiny.bin"))
+    state = formats.read_debug_state(
+        os.path.join(fixtures_dir, "state_tiny.bin"), cfg)
+    return cfg, params_np, state
+
+
+@pytest.mark.parametrize("tp", [2, 4])
+def test_tp_decode_matches_single_device(golden, tp):
+    cfg, params_np, state = golden
+    mesh = sh.make_mesh(model=tp)
+    page_cfg = PageConfig(page_size=8, num_pages=32, max_seqs=4,
+                          pages_per_seq=4)
+    B, T = 2, 12
+    x = state["x"][:B, :T]
+
+    # single-device reference: paged prefill + one decode step
+    params_1 = gpt2.to_device(params_np, cfg)
+    mgr = BlockManager(page_cfg.num_pages, page_cfg.page_size, 4)
+    pool_1 = init_pool(cfg, page_cfg)
+    for b in range(B):
+        mgr.append_tokens(b, T - 1)
+    tables = np.stack([mgr.block_table_array(b, page_cfg.pages_per_seq)
+                       for b in range(B)])
+    pos = np.tile(np.arange(T - 1), (B, 1)).astype(np.int32)
+    pg, sl = token_coords(jnp.asarray(tables), jnp.asarray(pos),
+                          page_cfg.page_size, jnp.ones((B, T - 1), bool),
+                          page_cfg.num_pages)
+    _, pool_1 = gpt2_paged.prefill_paged(params_1,
+                                         jnp.asarray(x[:, :T - 1]), pg, sl,
+                                         pool_1, cfg)
+    dec_page, dec_slot = [], []
+    for b in range(B):
+        segs, _ = mgr.append_tokens(b, 1)
+        dec_page.append(segs[0].page)
+        dec_slot.append(segs[0].offset)
+    tables = np.stack([mgr.block_table_array(b, page_cfg.pages_per_seq)
+                       for b in range(B)])
+    args = (jnp.asarray(x[:, T - 1]),
+            jnp.full((B,), T - 1, jnp.int32),
+            jnp.asarray(dec_page, dtype=jnp.int32),
+            jnp.asarray(dec_slot, dtype=jnp.int32),
+            jnp.asarray(tables),
+            jnp.full((B,), T, jnp.int32))
+    logits_1, _ = gpt2_paged.decode_step_paged(
+        params_1, *args, pool_1, cfg, use_kernel=True)
+
+    # TP: same flow through the sharded prefill + decode step
+    params_tp = sh.prepare_tp_params(params_np, cfg, mesh)
+    pool_tp = jax.device_put(init_pool(cfg, page_cfg),
+                             NamedSharding(mesh, sh.tp_pool_spec()))
+    tp_prefill = sh.make_tp_prefill(cfg, mesh)
+    tp_step = sh.make_tp_decode_step(cfg, mesh)
+    _, pool_tp = tp_prefill(params_tp, jnp.asarray(x[:, :T - 1]), pg, sl,
+                            pool_tp)
+    logits_tp, pool_tp_out = tp_step(
+        params_tp, args[0], args[1], args[2], args[3], args[4], args[5],
+        jnp.zeros((B,), jnp.int32), pool_tp)
+
+    np.testing.assert_allclose(np.asarray(logits_tp), np.asarray(logits_1),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_tp_embed_and_logits_roundtrip(golden):
+    """Vocab-sharded embedding + lm_head match the replicated versions."""
+    cfg, params_np, state = golden
+    mesh = sh.make_mesh(model=4)
+    params_tp = sh.prepare_tp_params(params_np, cfg, mesh)
+    params_1 = gpt2.to_device(params_np, cfg)
+    toks = jnp.asarray(state["x"][0, :8])
+    wpe_pos = jnp.arange(8, dtype=jnp.int32)
+
+    from jax import shard_map
+    vocab_shard = cfg.padded_vocab_size // 4
+
+    def run(params, toks, wpe_pos):
+        x = sh._tp_embed(params, toks, wpe_pos, "model", vocab_shard)
+        return x, sh._tp_logits(params, x, "model", cfg)
+
+    emb_tp, logits_tp = jax.jit(shard_map(
+        run, mesh=mesh,
+        in_specs=(dict(sh.TP_PARAM_SPECS), P(), P()),
+        out_specs=(P(), P()), check_vma=False))(params_tp, toks, wpe_pos)
+
+    emb_1 = params_1["wte"][toks] + params_1["wpe"][wpe_pos]
+    np.testing.assert_allclose(np.asarray(emb_tp), np.asarray(emb_1),
+                               rtol=1e-5, atol=1e-6)
+    from llmc_paged_tpu.ops import layers as L
+    logits_1 = gpt2._logits(emb_1, params_1, cfg)
+    np.testing.assert_allclose(np.asarray(logits_tp), np.asarray(logits_1),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_dp_train_step_matches_single_device(golden):
+    optax = pytest.importorskip("optax")
+    cfg, params_np, state = golden
+    mesh = sh.make_mesh(model=1, data=4)
+    tx = optax.adamw(1e-4, b1=0.9, b2=0.999, eps=1e-8, weight_decay=0.0)
+
+    x, y = jnp.asarray(state["x"]), jnp.asarray(state["y"])  # B=4
+    params_1 = gpt2.to_device(params_np, cfg)
+    opt_1 = tx.init(params_1)
+    loss_1, grads_1 = gpt2.grad_fn(params_1, x, y, cfg)
+
+    step, shard_batch, replicate = sh.make_dp_train_step(cfg, mesh, tx)
+    params_dp = replicate(gpt2.to_device(params_np, cfg))
+    opt_dp = replicate(tx.init(params_dp))
+    xd, yd = shard_batch(x, y)
+    params_dp, opt_dp, loss_dp = step(params_dp, opt_dp, xd, yd, cfg)
+    assert abs(float(loss_dp) - float(loss_1)) < 1e-5
+
+    # one more step must also agree with the single-device trajectory
+    upd, opt_1 = tx.update(grads_1, opt_1, params_1)
+    params_1 = optax.apply_updates(params_1, upd)
+    loss_1b = gpt2.loss_fn(params_1, x, y, cfg)
+    _, _, loss_dp2 = step(params_dp, opt_dp, xd, yd, cfg)
+    assert abs(float(loss_dp2) - float(loss_1b)) < 1e-5
