@@ -25,9 +25,11 @@ class GPT2Config:
     num_heads: int = 12       # NH
     channels: int = 768       # C
 
-    # TPU-side knob (not in the reference): logits matmul is padded to this
-    # multiple of lanes so the (C, V) projection tiles cleanly on the MXU.
-    vocab_pad_multiple: int = 128
+    # TPU-side knob (not in the reference): wte rows are padded to this
+    # multiple so the (C, V) logits projection tiles into large MXU/DMA
+    # blocks (2048 → 51200 for GPT-2's 50257; padded rows are zero and
+    # logits are sliced back to V).
+    vocab_pad_multiple: int = 2048
 
     @property
     def head_dim(self) -> int:

@@ -47,8 +47,16 @@ class InferenceEngine:
                  use_kernel: bool = True, native_manager: Optional[bool] = None):
         self.cfg = cfg
         self.econf = econf or EngineConfig()
-        self.params = gpt2.to_device(params, cfg) if not isinstance(
-            next(iter(params.values())), jax.Array) else params
+        if isinstance(next(iter(params.values())), jax.Array):
+            self.params = params
+        else:
+            dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
+                     "int8": jnp.float32}[self.econf.param_dtype]
+            self.params = gpt2.to_device(params, cfg, dtype)
+        if self.econf.param_dtype == "int8" and \
+                self.params["wte"].dtype != jnp.int8:
+            from llmc_paged_tpu.ops.int8 import quantize_params
+            self.params = quantize_params(self.params)
         self.use_kernel = use_kernel
         self.native_manager = native_manager
         self.stats: Dict[str, float] = {}
@@ -108,10 +116,7 @@ class InferenceEngine:
         mgr = make_block_manager(page.num_pages, page.page_size,
                                  max(page.max_seqs, self.econf.max_batch),
                                  native=self.native_manager)
-        pool = init_pool(self.cfg, page,
-                         dtype=jnp.dtype(page.kv_dtype)
-                         if page.kv_dtype != "int8" else jnp.float32)
-        return mgr, pool
+        return mgr, init_pool(self.cfg, page, dtype=page.kv_dtype)
 
     def generate_paged(self, prompt: Sequence[int], max_new_tokens: int,
                        window: Optional[int] = None,

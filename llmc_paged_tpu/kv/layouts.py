@@ -43,10 +43,65 @@ class PagePool(NamedTuple):
         return self.k.shape[3]
 
 
-def init_pool(cfg: GPT2Config, page: PageConfig, dtype=jnp.float32) -> PagePool:
+class QuantPagePool(NamedTuple):
+    """INT8 KV pages with per-(token-row, head) symmetric scales.
+
+    Scales are stored (L, NH, P, 1, page_size) — the trailing (1, ps) block
+    shape keeps Mosaic's last-two-dims tiling rule satisfied when the
+    kernel fetches one page's scales alongside the page."""
+    k: jax.Array        # (L, NH, P, page_size, HS) int8
+    v: jax.Array
+    k_scale: jax.Array  # (L, NH, P, 1, page_size) f32
+    v_scale: jax.Array
+
+    @property
+    def num_pages(self) -> int:
+        return self.k.shape[2]
+
+    @property
+    def page_size(self) -> int:
+        return self.k.shape[3]
+
+
+def init_pool(cfg: GPT2Config, page: PageConfig, dtype=jnp.float32):
     shape = (cfg.num_layers, cfg.num_heads, page.num_pages, page.page_size,
              cfg.head_dim)
+    if dtype == jnp.int8 or dtype == "int8":
+        sshape = shape[:3] + (1, page.page_size)
+        return QuantPagePool(jnp.zeros(shape, jnp.int8),
+                             jnp.zeros(shape, jnp.int8),
+                             jnp.ones(sshape, jnp.float32),
+                             jnp.ones(sshape, jnp.float32))
     return PagePool(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def quantize_rows(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Per-row symmetric int8 over the last axis: x (..., HS) →
+    (int8 (..., HS), scale f32 (...))."""
+    absmax = jnp.max(jnp.abs(x), axis=-1)
+    scale = jnp.where(absmax > 0, absmax / 127.0, 1.0).astype(jnp.float32)
+    xq = jnp.clip(jnp.round(x / scale[..., None]), -127, 127).astype(jnp.int8)
+    return xq, scale
+
+
+def write_layer_kv_quant(pool_l: Tuple[jax.Array, ...],
+                         k_new: jax.Array, v_new: jax.Array,
+                         page: jax.Array, slot: jax.Array):
+    """Quantize-and-scatter new K/V rows into one layer's int8 pool slices
+    (k, v, k_scale, v_scale), coordinates as in write_layer_kv."""
+    k_l, v_l, ks_l, vs_l = pool_l
+    kq, ks = quantize_rows(k_new)   # (N, NH, HS) int8, (N, NH)
+    vq, vs = quantize_rows(v_new)
+    k_l = k_l.at[:, page, slot].set(kq.transpose(1, 0, 2), mode="drop")
+    v_l = v_l.at[:, page, slot].set(vq.transpose(1, 0, 2), mode="drop")
+    ks_l = ks_l.at[:, page, 0, slot].set(ks.T, mode="drop")
+    vs_l = vs_l.at[:, page, 0, slot].set(vs.T, mode="drop")
+    return k_l, v_l, ks_l, vs_l
+
+
+def dequant_layer(k_l: jax.Array, ks_l: jax.Array) -> jax.Array:
+    """(NH, P, ps, HS) int8 + (NH, P, 1, ps) scales → f32."""
+    return k_l.astype(jnp.float32) * ks_l[:, :, 0, :, None]
 
 
 def token_coords(block_tables: jax.Array, positions: jax.Array,
@@ -77,8 +132,8 @@ def write_layer_kv(k_pool_l: jax.Array, v_pool_l: jax.Array,
     k_pool_l/v_pool_l: (NH, P, ps, HS); k_new/v_new: (N, NH, HS) with
     coordinate vectors page/slot: (N,). Rows whose page is out of range are
     dropped (the invalid-token convention of token_coords)."""
-    k_rows = k_new.transpose(1, 0, 2)  # (NH, N, HS)
-    v_rows = v_new.transpose(1, 0, 2)
+    k_rows = k_new.transpose(1, 0, 2).astype(k_pool_l.dtype)  # (NH, N, HS)
+    v_rows = v_new.transpose(1, 0, 2).astype(v_pool_l.dtype)
     k_pool_l = k_pool_l.at[:, page, slot].set(k_rows, mode="drop")
     v_pool_l = v_pool_l.at[:, page, slot].set(v_rows, mode="drop")
     return k_pool_l, v_pool_l

@@ -98,7 +98,34 @@ def to_device(params: Dict[str, np.ndarray], cfg: GPT2Config,
 
 
 def _layer_stack(params: Params) -> Params:
-    return {k: params[k] for k in LAYER_KEYS}
+    keys = [k for k in params
+            if k in LAYER_KEYS or (k.endswith("_scale")
+                                   and k[:-6] in LAYER_KEYS)]
+    return {k: params[k] for k in keys}
+
+
+def _lin(lp: Params, wkey: str, x: jax.Array,
+         bkey: str | None = None) -> jax.Array:
+    """Linear through either a float weight or an int8 (weight, scale)
+    pair produced by ops.int8.quantize_params."""
+    b = lp[bkey] if bkey else None
+    w = lp[wkey]
+    if w.dtype == jnp.int8:
+        from llmc_paged_tpu.ops.int8 import int8_linear
+        return int8_linear(x, w, lp[wkey + "_scale"], b)
+    return L.linear(x, w, b)
+
+
+def _embed(params: Params, tokens: jax.Array,
+           wpe_pos: jax.Array) -> jax.Array:
+    """wte[tokens] + wpe[pos], dequantizing int8 wte rows on the fly."""
+    wte = params["wte"]
+    if wte.dtype == jnp.int8:
+        rows = wte[tokens].astype(jnp.float32)
+        emb = rows * params["wte_scale"][tokens][..., None]
+    else:
+        emb = wte[tokens]
+    return emb + params["wpe"][wpe_pos]
 
 
 def _split_qkv(qkv: jax.Array, cfg: GPT2Config) -> Tuple[jax.Array, ...]:
@@ -115,15 +142,15 @@ def _block_dense(x: jax.Array, lp: Params, cfg: GPT2Config) -> jax.Array:
     x: (B, T, C)."""
     B, T, C = x.shape
     h = L.layernorm(x, lp["ln1w"], lp["ln1b"])
-    qkv = L.linear(h, lp["qkvw"], lp["qkvb"])
+    qkv = _lin(lp, "qkvw", h, "qkvb")
     q, k, v = _split_qkv(qkv, cfg)
     q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))  # (B,NH,T,HS)
     att = L.causal_attention(q, k, v)
     att = att.transpose(0, 2, 1, 3).reshape(B, T, C)
-    x = x + L.linear(att, lp["attprojw"], lp["attprojb"])
+    x = x + _lin(lp, "attprojw", att, "attprojb")
     h2 = L.layernorm(x, lp["ln2w"], lp["ln2b"])
-    ff = L.linear(L.gelu_tanh(L.linear(h2, lp["fcw"], lp["fcb"])),
-                  lp["fcprojw"], lp["fcprojb"])
+    ff = _lin(lp, "fcprojw", L.gelu_tanh(_lin(lp, "fcw", h2, "fcb")),
+              "fcprojb")
     return x + ff
 
 
@@ -131,7 +158,11 @@ def _logits(x: jax.Array, params: Params, cfg: GPT2Config) -> jax.Array:
     """Final layernorm + weight-tied lm_head (train_gpt2.c:790-792),
     computed on the padded vocab then sliced back to V."""
     x = L.layernorm(x, params["lnfw"], params["lnfb"])
-    logits = L.linear(x, params["wte"])
+    if params["wte"].dtype == jnp.int8:
+        from llmc_paged_tpu.ops.int8 import int8_linear
+        logits = int8_linear(x, params["wte"], params["wte_scale"])
+    else:
+        logits = L.linear(x, params["wte"])
     return logits[..., : cfg.vocab_size]
 
 
@@ -142,7 +173,7 @@ def forward(params: Params, tokens: jax.Array, cfg: GPT2Config) -> jax.Array:
     (train_scratch.c:733 semantics)."""
     B, T = tokens.shape
     pos = jnp.arange(T, dtype=jnp.int32)
-    x = params["wte"][tokens] + params["wpe"][pos][None]
+    x = _embed(params, tokens, pos[None])
 
     def body(carry, lp):
         return _block_dense(carry, lp, cfg), None
@@ -175,22 +206,22 @@ def prefill(params: Params, tokens: jax.Array, cache: DenseKVCache,
     K/V that decode_attention masks by length."""
     B, T = tokens.shape
     pos = jnp.arange(T, dtype=jnp.int32)
-    x = params["wte"][tokens] + params["wpe"][pos][None]
+    x = _embed(params, tokens, pos[None])
 
     def body(carry, xs):
         lp, k_l, v_l = xs
         h = L.layernorm(carry, lp["ln1w"], lp["ln1b"])
-        qkv = L.linear(h, lp["qkvw"], lp["qkvb"])
+        qkv = _lin(lp, "qkvw", h, "qkvb")
         q, k, v = _split_qkv(qkv, cfg)
         q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
         k_l = _write_cache_prefill(k_l, k)
         v_l = _write_cache_prefill(v_l, v)
         att = L.causal_attention(q, k, v)
         att = att.transpose(0, 2, 1, 3).reshape(B, T, cfg.channels)
-        xout = carry + L.linear(att, lp["attprojw"], lp["attprojb"])
+        xout = carry + _lin(lp, "attprojw", att, "attprojb")
         h2 = L.layernorm(xout, lp["ln2w"], lp["ln2b"])
-        ff = L.linear(L.gelu_tanh(L.linear(h2, lp["fcw"], lp["fcb"])),
-                      lp["fcprojw"], lp["fcprojb"])
+        ff = _lin(lp, "fcprojw", L.gelu_tanh(_lin(lp, "fcw", h2, "fcb")),
+                  "fcprojb")
         return xout + ff, (k_l, v_l)
 
     x, (k_new, v_new) = jax.lax.scan(body, x,
@@ -227,21 +258,21 @@ def decode_step(params: Params, tokens: jax.Array, pos: jax.Array,
     B = tokens.shape[0]
     if wpe_pos is None:
         wpe_pos = pos
-    x = params["wte"][tokens] + params["wpe"][wpe_pos]  # (B, C)
+    x = _embed(params, tokens, wpe_pos)  # (B, C)
 
     def body(carry, xs):
         lp, k_l, v_l = xs
         h = L.layernorm(carry, lp["ln1w"], lp["ln1b"])
-        qkv = L.linear(h, lp["qkvw"], lp["qkvb"])  # (B, 3C)
+        qkv = _lin(lp, "qkvw", h, "qkvb")          # (B, 3C)
         q, k, v = _split_qkv(qkv, cfg)             # (B, NH, HS)
         k_l = _write_cache_at(k_l, k, pos)
         v_l = _write_cache_at(v_l, v, pos)
         att = L.decode_attention(q, k_l, v_l, pos + 1, start=starts)
         att = att.reshape(B, cfg.channels)
-        xout = carry + L.linear(att, lp["attprojw"], lp["attprojb"])
+        xout = carry + _lin(lp, "attprojw", att, "attprojb")
         h2 = L.layernorm(xout, lp["ln2w"], lp["ln2b"])
-        ff = L.linear(L.gelu_tanh(L.linear(h2, lp["fcw"], lp["fcb"])),
-                      lp["fcprojw"], lp["fcprojb"])
+        ff = _lin(lp, "fcprojw", L.gelu_tanh(_lin(lp, "fcw", h2, "fcb")),
+                  "fcprojb")
         return xout + ff, (k_l, v_l)
 
     x, (k_new, v_new) = jax.lax.scan(body, x,

@@ -28,11 +28,18 @@ import jax
 import jax.numpy as jnp
 
 from llmc_paged_tpu.config import GPT2Config
-from llmc_paged_tpu.kv.layouts import PagePool, write_layer_kv
+from llmc_paged_tpu.kv.layouts import (
+    PagePool,
+    QuantPagePool,
+    write_layer_kv,
+    write_layer_kv_quant,
+)
 from llmc_paged_tpu.models import gpt2
 from llmc_paged_tpu.ops import layers as L
 from llmc_paged_tpu.ops.paged_attention import (
     paged_decode_attention,
+    paged_decode_attention_quant,
+    paged_decode_attention_quant_xla,
     paged_decode_attention_xla,
 )
 
@@ -42,35 +49,42 @@ def _use_interpret() -> bool:
 
 
 def _decode_core(params, tokens, wpe_pos, page, slot, block_tables, lengths,
-                 starts, pool: PagePool, cfg: GPT2Config, use_kernel: bool
-                 ) -> Tuple[jax.Array, PagePool]:
+                 starts, pool, cfg: GPT2Config, use_kernel: bool
+                 ) -> Tuple[jax.Array, "PagePool | QuantPagePool"]:
     """Shared single-token decode body: embed → per-layer (qkv, pool
-    scatter, paged attention, mlp) scan → logits."""
+    scatter, paged attention, mlp) scan → logits. Works over float pools
+    (PagePool) and INT8 pools (QuantPagePool, dequant fused in-kernel)."""
     B = tokens.shape[0]
-    x = params["wte"][tokens] + params["wpe"][wpe_pos]
-
-    attend = paged_decode_attention if use_kernel else paged_decode_attention_xla
+    x = gpt2._embed(params, tokens, wpe_pos)
+    quant = isinstance(pool, QuantPagePool)
     interp = {"interpret": True} if (use_kernel and _use_interpret()) else {}
 
     def body(carry, xs):
-        lp, k_pool_l, v_pool_l = xs
+        lp = xs[0]
         h = L.layernorm(carry, lp["ln1w"], lp["ln1b"])
-        qkv = L.linear(h, lp["qkvw"], lp["qkvb"])       # (B, 3C)
+        qkv = gpt2._lin(lp, "qkvw", h, "qkvb")          # (B, 3C)
         q, k, v = gpt2._split_qkv(qkv, cfg)             # (B, NH, HS)
-        k_pool_l, v_pool_l = write_layer_kv(k_pool_l, v_pool_l, k, v,
-                                            page, slot)
-        att = attend(q, k_pool_l, v_pool_l, block_tables, lengths,
-                     starts, **interp)
+        if quant:
+            pool_l = write_layer_kv_quant(xs[1:], k, v, page, slot)
+            attend = (paged_decode_attention_quant if use_kernel
+                      else paged_decode_attention_quant_xla)
+            att = attend(q, *pool_l, block_tables, lengths, starts, **interp)
+        else:
+            pool_l = write_layer_kv(xs[1], xs[2], k, v, page, slot)
+            attend = (paged_decode_attention if use_kernel
+                      else paged_decode_attention_xla)
+            att = attend(q, *pool_l, block_tables, lengths, starts, **interp)
         att = att.reshape(B, cfg.channels)
-        xout = carry + L.linear(att, lp["attprojw"], lp["attprojb"])
+        xout = carry + gpt2._lin(lp, "attprojw", att, "attprojb")
         h2 = L.layernorm(xout, lp["ln2w"], lp["ln2b"])
-        ff = L.linear(L.gelu_tanh(L.linear(h2, lp["fcw"], lp["fcb"])),
-                      lp["fcprojw"], lp["fcprojb"])
-        return xout + ff, (k_pool_l, v_pool_l)
+        ff = gpt2._lin(lp, "fcprojw",
+                       L.gelu_tanh(gpt2._lin(lp, "fcw", h2, "fcb")),
+                       "fcprojb")
+        return xout + ff, pool_l
 
-    x, (k_new, v_new) = jax.lax.scan(
-        body, x, (gpt2._layer_stack(params), pool.k, pool.v))
-    return gpt2._logits(x, params, cfg), PagePool(k_new, v_new)
+    x, pool_new = jax.lax.scan(
+        body, x, (gpt2._layer_stack(params),) + tuple(pool))
+    return gpt2._logits(x, params, cfg), type(pool)(*pool_new)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "use_kernel"),
@@ -155,29 +169,34 @@ def prefill_paged(params: gpt2.Params, tokens: jax.Array,
     Returns (logits (B,T,V), updated pool); the pool is DONATED."""
     B, T = tokens.shape
     pos = jnp.arange(T, dtype=jnp.int32)
-    x = params["wte"][tokens] + params["wpe"][pos][None]
+    x = gpt2._embed(params, tokens, pos[None])
     flat_page = page.reshape(B * T)
     flat_slot = slot.reshape(B * T)
+    quant = isinstance(pool, QuantPagePool)
 
     def body(carry, xs):
-        lp, k_pool_l, v_pool_l = xs
+        lp = xs[0]
         h = L.layernorm(carry, lp["ln1w"], lp["ln1b"])
-        qkv = L.linear(h, lp["qkvw"], lp["qkvb"])
+        qkv = gpt2._lin(lp, "qkvw", h, "qkvb")
         q, k, v = gpt2._split_qkv(qkv, cfg)             # (B, T, NH, HS)
-        k_pool_l, v_pool_l = write_layer_kv(
-            k_pool_l, v_pool_l,
-            k.reshape(B * T, cfg.num_heads, cfg.head_dim),
-            v.reshape(B * T, cfg.num_heads, cfg.head_dim),
-            flat_page, flat_slot)
+        k_rows = k.reshape(B * T, cfg.num_heads, cfg.head_dim)
+        v_rows = v.reshape(B * T, cfg.num_heads, cfg.head_dim)
+        if quant:
+            pool_l = write_layer_kv_quant(xs[1:], k_rows, v_rows,
+                                          flat_page, flat_slot)
+        else:
+            pool_l = write_layer_kv(xs[1], xs[2], k_rows, v_rows,
+                                    flat_page, flat_slot)
         qh, kh, vh = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
         att = L.causal_attention(qh, kh, vh)
         att = att.transpose(0, 2, 1, 3).reshape(B, T, cfg.channels)
-        xout = carry + L.linear(att, lp["attprojw"], lp["attprojb"])
+        xout = carry + gpt2._lin(lp, "attprojw", att, "attprojb")
         h2 = L.layernorm(xout, lp["ln2w"], lp["ln2b"])
-        ff = L.linear(L.gelu_tanh(L.linear(h2, lp["fcw"], lp["fcb"])),
-                      lp["fcprojw"], lp["fcprojb"])
-        return xout + ff, (k_pool_l, v_pool_l)
+        ff = gpt2._lin(lp, "fcprojw",
+                       L.gelu_tanh(gpt2._lin(lp, "fcw", h2, "fcb")),
+                       "fcprojb")
+        return xout + ff, pool_l
 
-    x, (k_new, v_new) = jax.lax.scan(
-        body, x, (gpt2._layer_stack(params), pool.k, pool.v))
-    return gpt2._logits(x, params, cfg), PagePool(k_new, v_new)
+    x, pool_new = jax.lax.scan(
+        body, x, (gpt2._layer_stack(params),) + tuple(pool))
+    return gpt2._logits(x, params, cfg), type(pool)(*pool_new)

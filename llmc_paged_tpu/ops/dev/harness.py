@@ -1,0 +1,71 @@
+"""Kernel-lab harness — the dev/cuda/common.h pattern for Pallas:
+every bench file pairs a reference implementation with N kernel versions,
+validates each against the reference, then sweeps configurations
+(dev/cuda/common.h:72-110 validate_result + benchmark_kernel)."""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Iterable, Tuple
+
+import numpy as np
+
+import jax
+
+
+def validate_result(fn: Callable, ref: Callable, args: tuple,
+                    rtol: float = 1e-4, atol: float = 1e-4,
+                    name: str = "kernel") -> None:
+    out = np.asarray(fn(*args))
+    expect = np.asarray(ref(*args))
+    err = np.max(np.abs(out - expect))
+    ok = np.allclose(out, expect, rtol=rtol, atol=atol)
+    status = "OK" if ok else "NOT OK"
+    print(f"[validate] {name}: max|Δ|={err:.3e} {status}")
+    if not ok:
+        raise AssertionError(f"{name} mismatch: {err}")
+
+
+def benchmark(fn: Callable, args: tuple, iters: int = 50,
+              warmup: int = 3) -> float:
+    """Median-of-3 wall time per call (ms), pipelined dispatch with a final
+    block_until_ready — the jax analogue of cudaEvent timing."""
+    for _ in range(warmup):
+        r = fn(*args)
+    jax.block_until_ready(r)
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            r = fn(*args)
+        jax.block_until_ready(r)
+        times.append((time.perf_counter() - t0) / iters * 1e3)
+    return sorted(times)[1]
+
+
+def sweep(versions: Dict[str, Callable], make_args: Callable[..., tuple],
+          configs: Iterable[Tuple], ref_name: str,
+          flops_fn: Callable[..., float] | None = None,
+          bytes_fn: Callable[..., float] | None = None) -> None:
+    """Run every version over every config; validate against `ref_name`
+    and print a ms / GFLOP/s / GB/s table."""
+    for cfg in configs:
+        args = make_args(*cfg)
+        ref = versions[ref_name]
+        if isinstance(ref, tuple):
+            ref = ref[0]
+        print(f"-- config {cfg}")
+        for name, fn in versions.items():
+            skip_validate = False
+            if isinstance(fn, tuple):  # (fn, {"validate": False, ...})
+                fn, opts = fn
+                skip_validate = not opts.get("validate", True)
+            if name != ref_name and not skip_validate:
+                validate_result(fn, ref, args, name=name)
+            ms = benchmark(fn, args)
+            extra = ""
+            if flops_fn:
+                extra += f"  {flops_fn(*cfg) / ms / 1e6:8.1f} GFLOP/s"
+            if bytes_fn:
+                extra += f"  {bytes_fn(*cfg) / ms / 1e6:8.1f} GB/s"
+            print(f"[bench] {name:24s} {ms:8.3f} ms{extra}")

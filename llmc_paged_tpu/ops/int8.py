@@ -1,0 +1,203 @@
+"""Weight-only INT8: per-output-channel quantization + fused
+dequant-matmul Pallas kernel (BASELINE config 4 / north-star INT8 path).
+
+Decode is weight-bandwidth-bound, so INT8 weights cut the per-step HBM
+traffic 4x vs fp32. The fused kernel streams int8 weight tiles HBM→VMEM,
+multiplies against the activations at fp32 precision (int8 values are
+exact in fp32 — quantization error comes only from the quantize step), and
+applies the per-channel scale once at the end:
+
+    out[b, oc] = s[oc] * sum_ic x[b, ic] * wq[oc, ic]     (+ bias outside)
+
+The XLA fallback (`int8_linear_xla`) computes the same expression; it
+materialises dequantized weights, which XLA usually fuses, but the Pallas
+version guarantees int8-sized weight reads.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def quantize_per_row(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Symmetric per-output-channel (row) int8 quantization.
+    w: (OC, IC) float → (wq int8 (OC, IC), scales f32 (OC,))."""
+    absmax = jnp.max(jnp.abs(w), axis=-1)
+    scale = jnp.where(absmax > 0, absmax / 127.0, 1.0).astype(jnp.float32)
+    wq = jnp.clip(jnp.round(w / scale[:, None]), -127, 127).astype(jnp.int8)
+    return wq, scale
+
+
+def dequantize(wq: jax.Array, scale: jax.Array) -> jax.Array:
+    return wq.astype(jnp.float32) * scale[:, None]
+
+
+def int8_linear_xla(x: jax.Array, wq: jax.Array, scale: jax.Array,
+                    b: jax.Array | None = None) -> jax.Array:
+    """Reference/fallback: x(..., IC) @ dequant(wq)(OC, IC)^T + b."""
+    out = jax.lax.dot_general(
+        x, wq.astype(x.dtype),
+        dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=x.dtype)
+    out = out * scale.astype(x.dtype)
+    if b is not None:
+        out = out + b
+    return out
+
+
+def _int8_matmul_kernel(x_ref, wq_ref, s_ref, out_ref, acc_ref):
+    j = pl.program_id(2)
+    nj = pl.num_programs(2)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    x = x_ref[...]                                 # (RT, ICT) f32
+    w = wq_ref[...].astype(jnp.float32)            # (OCT, ICT) exact
+    acc_ref[...] += jax.lax.dot_general(
+        x, w, dimension_numbers=(((1,), (1,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32)
+
+    @pl.when(j == nj - 1)
+    def _():
+        scaled = acc_ref[...] * s_ref[...][:, 0][None, :]
+        out_ref[...] = scaled.reshape(out_ref.shape)
+
+
+_OC_CANDS = (4096, 3200, 3072, 2048, 1600, 1536, 1280, 1200, 1024, 960,
+             800, 768, 640, 512, 400, 384, 320, 256, 200, 192, 128, 96,
+             64, 32, 16, 8)
+_IC_CANDS = (4096, 3072, 2048, 1536, 1280, 1024, 768, 640, 512, 384, 256,
+             128)
+
+
+def _pick_oc_tile(oc: int) -> Tuple[int, bool]:
+    """Pick the OC tile. Returns (OCT, aligned): aligned means OCT is a
+    multiple of 128 so the (B, OC) output can be tiled directly; otherwise
+    the kernel uses a 3D (tiles, B, OCT) output whose block spans the full
+    minor axis (needed for GPT-2 1.5B's OC ∈ {1600, 4800} which have no
+    128-multiple divisors)."""
+    for c in _OC_CANDS:
+        if c % 128 == 0 and oc % c == 0:
+            return c, True
+    if oc % 128 == 0:
+        return oc, True
+    for c in _OC_CANDS:
+        if oc % c == 0:
+            return c, False
+    return oc, False
+
+
+def _pick_ic_tile(ic: int, oct_: int, vmem_budget: int = 4 << 20) -> int:
+    """Last block dim: Mosaic wants a multiple of 128 or the full dim.
+    Prefer the full row when the weight tile fits the VMEM budget
+    (handles GPT-2 1.5B's C=1600, which no 128-multiple divides)."""
+    if oct_ * ic <= vmem_budget:
+        return ic
+    for c in _IC_CANDS:
+        if ic % c == 0:
+            return c
+    return ic
+
+
+def _pad_rows(x: jax.Array, multiple: int = 8) -> Tuple[jax.Array, int]:
+    rows = x.shape[0]
+    pad = (-rows) % multiple
+    if pad:
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+    return x, rows
+
+
+def int8_linear(x: jax.Array, wq: jax.Array, scale: jax.Array,
+                b: jax.Array | None = None,
+                interpret: bool | None = None) -> jax.Array:
+    """Dtype-dispatching linear for arbitrary leading dims: uses the fused
+    Pallas kernel when compiled for TPU, the XLA fallback otherwise."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    x2, rows = _pad_rows(x2)
+    out = int8_matmul(x2, wq, scale, interpret=interpret)
+    out = out[:rows].reshape(*lead, wq.shape[0])
+    if b is not None:
+        out = out + b
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def int8_matmul(x: jax.Array, wq: jax.Array, scale: jax.Array,
+                interpret: bool = False) -> jax.Array:
+    """Fused dequant-matmul: x (B, IC) f32 × wq (OC, IC) int8 → (B, OC) f32.
+    Bias and activation fusions are left to XLA outside the kernel."""
+    B, IC = x.shape
+    OC, _ = wq.shape
+    OCT, aligned = _pick_oc_tile(OC)
+    ICT = _pick_ic_tile(IC, OCT)
+    RT = next(c for c in (256, 128, 64, 32, 16, 8, B) if B % c == 0)
+    s2 = scale.reshape(OC, 1)
+    grid = (B // RT, OC // OCT, IC // ICT)
+    kwargs = dict(
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((RT, ICT), lambda r, i, j: (r, j)),
+            pl.BlockSpec((OCT, ICT), lambda r, i, j: (i, j)),
+            pl.BlockSpec((OCT, 1), lambda r, i, j: (i, 0)),
+        ],
+        scratch_shapes=[pltpu.VMEM((RT, OCT), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * OC * IC,
+            bytes_accessed=OC * IC + B * IC * 4 + B * OC * 4 + OC * 4,
+            transcendentals=0),
+    )
+    if aligned:
+        return pl.pallas_call(
+            _int8_matmul_kernel,
+            out_specs=pl.BlockSpec((RT, OCT), lambda r, i, j: (r, i)),
+            out_shape=jax.ShapeDtypeStruct((B, OC), jnp.float32),
+            **kwargs,
+        )(x.astype(jnp.float32), wq, s2)
+    # OCT not a 128-multiple (e.g. 1.5B's OC ∈ {1600, 4800}): emit a
+    # (tiles, B, OCT) output whose block spans the whole minor axis
+    # (Mosaic's "equal to the respective dimension" escape hatch), then
+    # fold tiles back into OC.
+    out3 = pl.pallas_call(
+        _int8_matmul_kernel,
+        out_specs=pl.BlockSpec((1, RT, OCT), lambda r, i, j: (i, r, 0)),
+        out_shape=jax.ShapeDtypeStruct((OC // OCT, B, OCT), jnp.float32),
+        **kwargs,
+    )(x.astype(jnp.float32), wq, s2)
+    return out3.transpose(1, 0, 2).reshape(B, OC)
+
+
+# ---- whole-model weight quantization ---------------------------------------
+
+QUANT_KEYS = ("qkvw", "attprojw", "fcw", "fcprojw", "wte")
+
+
+def quantize_params(params: Dict[str, jax.Array], keys=QUANT_KEYS
+                    ) -> Dict[str, jax.Array]:
+    """Quantize the matmul weights of a params pytree; adds '<k>_scale'
+    entries. Per-layer stacked tensors get per-(layer, row) scales.
+    Layernorms, biases and wpe stay float (the same split as the
+    reference's bf16 checkpoints, train_gpt2.py:267-298)."""
+    out = dict(params)
+    for k in keys:
+        w = params[k]
+        if w.ndim == 2:
+            wq, s = quantize_per_row(w)
+        else:  # (L, OC, IC) → vmap over layers
+            wq, s = jax.vmap(quantize_per_row)(w)
+        out[k] = wq
+        out[k + "_scale"] = s
+    return out

@@ -166,6 +166,134 @@ def paged_decode_attention(q: jax.Array, k_pages: jax.Array,
     )(lengths, starts, block_tables, q, k_pages, v_pages)
 
 
+def _paged_decode_quant_kernel(
+    lengths_ref, starts_ref, tables_ref,
+    q_ref,            # (1, NH, HS)
+    k_ref,            # (NH, 1, ps, HS) int8
+    v_ref,
+    ks_ref,           # (NH, 1, 1, ps) f32 — per-row scales
+    vs_ref,
+    out_ref,
+    m_ref, l_ref, acc_ref,
+):
+    """INT8-KV variant: identical flash-decode loop with the dequant fused
+    into the page load (k = k_q * scale), so pages move HBM→VMEM at 1/4 the
+    fp32 bytes (north-star INT8 KV pages)."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    num_pages_per_seq = pl.num_programs(1)
+    ps = k_ref.shape[2]
+    length = lengths_ref[b]
+    start = starts_ref[b]
+
+    @pl.when(i == 0)
+    def _init():
+        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    @pl.when((i * ps < length) & ((i + 1) * ps > start))
+    def _update():
+        q = q_ref[0].astype(jnp.float32)
+        ks = ks_ref[:, 0, 0, :]                       # (NH, ps)
+        vs = vs_ref[:, 0, 0, :]
+        k = k_ref[:, 0].astype(jnp.float32) * ks[..., None]
+        v = v_ref[:, 0].astype(jnp.float32) * vs[..., None]
+        scale = jax.lax.rsqrt(jnp.float32(q.shape[-1]))
+        scores = jax.lax.dot_general(
+            q[:, None, :], k,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )[:, 0, :] * scale
+        pos = i * ps + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+        scores = jnp.where((pos < length) & (pos >= start), scores, NEG_INF)
+        m_prev, l_prev = m_ref[...], l_ref[...]
+        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
+        p = jnp.exp(scores - m_new)
+        alpha = jnp.exp(m_prev - m_new)
+        l_ref[...] = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p[:, None, :], v,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )[:, 0, :]
+        m_ref[...] = m_new
+        acc_ref[...] = acc_ref[...] * alpha + pv
+
+    @pl.when(i == num_pages_per_seq - 1)
+    def _finalize():
+        l = l_ref[...]
+        l = jnp.where(l == 0.0, 1.0, l)
+        out_ref[0] = (acc_ref[...] / l).astype(out_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def paged_decode_attention_quant(q: jax.Array, k_pages: jax.Array,
+                                 v_pages: jax.Array, k_scale: jax.Array,
+                                 v_scale: jax.Array, block_tables: jax.Array,
+                                 lengths: jax.Array,
+                                 starts: jax.Array | None = None,
+                                 interpret: bool = False) -> jax.Array:
+    """Flash-decode over INT8 KV pages. k_pages/v_pages: int8
+    (NH, P, ps, HS); k_scale/v_scale: (NH, P, 1, ps) f32."""
+    B, NH, HS = q.shape
+    _, P, ps, _ = k_pages.shape
+    pages_per_seq = block_tables.shape[1]
+    if starts is None:
+        starts = jnp.zeros_like(lengths)
+
+    def q_map(b, i, lengths_ref, starts_ref, tables_ref):
+        return (b, 0, 0)
+
+    def kv_map(b, i, lengths_ref, starts_ref, tables_ref):
+        return (0, tables_ref[b, i], 0, 0)
+
+    def out_map(b, i, lengths_ref, starts_ref, tables_ref):
+        return (b, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B, pages_per_seq),
+        in_specs=[
+            pl.BlockSpec((1, NH, HS), q_map),
+            pl.BlockSpec((NH, 1, ps, HS), kv_map),
+            pl.BlockSpec((NH, 1, ps, HS), kv_map),
+            pl.BlockSpec((NH, 1, 1, ps), kv_map),
+            pl.BlockSpec((NH, 1, 1, ps), kv_map),
+        ],
+        out_specs=pl.BlockSpec((1, NH, HS), out_map),
+        scratch_shapes=[
+            pltpu.VMEM((NH, 1), jnp.float32),
+            pltpu.VMEM((NH, 1), jnp.float32),
+            pltpu.VMEM((NH, HS), jnp.float32),
+        ],
+    )
+    return pl.pallas_call(
+        _paged_decode_quant_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, NH, HS), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * NH * pages_per_seq * ps * HS,
+            bytes_accessed=2 * B * NH * pages_per_seq * ps * (HS + 4)
+            + B * NH * HS * 4,
+            transcendentals=B * NH * pages_per_seq * ps,
+        ),
+    )(lengths, starts, block_tables, q, k_pages, v_pages, k_scale, v_scale)
+
+
+def paged_decode_attention_quant_xla(q, k_pages, v_pages, k_scale, v_scale,
+                                     block_tables, lengths, starts=None):
+    """Oracle: dequantize the whole pool then run the float gather path."""
+    from llmc_paged_tpu.kv.layouts import dequant_layer
+
+    return paged_decode_attention_xla(
+        q, dequant_layer(k_pages, k_scale), dequant_layer(v_pages, v_scale),
+        block_tables, lengths, starts)
+
+
 def paged_decode_attention_xla(q: jax.Array, k_pages: jax.Array,
                                v_pages: jax.Array, block_tables: jax.Array,
                                lengths: jax.Array,

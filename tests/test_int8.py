@@ -1,0 +1,201 @@
+"""Weight-only INT8 tests: kernel == dequant oracle, whole-model INT8
+forward quality gate, and INT8 decode through the engine
+(BASELINE config 4; north-star gate: perplexity Δ ≤ 0.05)."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from llmc_paged_tpu import formats
+from llmc_paged_tpu.config import EngineConfig, PageConfig
+from llmc_paged_tpu.engine.engine import InferenceEngine
+from llmc_paged_tpu.models import gpt2
+from llmc_paged_tpu.ops.int8 import (
+    dequantize, int8_linear, int8_linear_xla, int8_matmul,
+    quantize_params, quantize_per_row)
+
+INTERP = jax.default_backend() != "tpu"
+
+
+def test_quantize_roundtrip_error_bound():
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((64, 128), dtype=np.float32) * 0.02)
+    wq, s = quantize_per_row(w)
+    assert wq.dtype == jnp.int8
+    err = jnp.max(jnp.abs(dequantize(wq, s) - w))
+    # max quantization error is scale/2 per element
+    assert float(err) <= float(jnp.max(s)) / 2 + 1e-7
+    # zero rows get scale 1.0, not NaN
+    wq0, s0 = quantize_per_row(jnp.zeros((4, 8)))
+    assert np.all(np.asarray(s0) == 1.0)
+    assert np.all(np.asarray(wq0) == 0)
+
+
+@pytest.mark.parametrize("shape", [(2304, 768), (768, 3072), (256, 64)])
+def test_kernel_matches_dequant_oracle(shape):
+    OC, IC = shape
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.standard_normal((8, IC), dtype=np.float32))
+    w = jnp.asarray(rng.standard_normal((OC, IC), dtype=np.float32) * 0.02)
+    wq, s = quantize_per_row(w)
+    out = int8_matmul(x, wq, s, interpret=INTERP)
+    ref = x @ dequantize(wq, s).T
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_int8_linear_leading_dims_and_row_padding():
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.standard_normal((3, 5, 64), dtype=np.float32))
+    w = jnp.asarray(rng.standard_normal((32, 64), dtype=np.float32))
+    b = jnp.asarray(rng.standard_normal(32, dtype=np.float32))
+    wq, s = quantize_per_row(w)
+    out = int8_linear(x, wq, s, b, interpret=INTERP)  # 15 rows → padded to 16
+    ref = int8_linear_xla(x, wq, s, b)
+    assert out.shape == (3, 5, 32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def golden(fixtures_dir):
+    cfg, params_np = formats.read_checkpoint(
+        os.path.join(fixtures_dir, "model_tiny.bin"))
+    state = formats.read_debug_state(
+        os.path.join(fixtures_dir, "state_tiny.bin"), cfg)
+    return cfg, params_np, state
+
+
+def test_int8_model_loss_gate(golden):
+    """Whole-model INT8 forward: loss within 0.05 of fp32 (the north-star
+    perplexity-delta gate applied to the val loss)."""
+    cfg, params_np, state = golden
+    x, y = jnp.asarray(state["x"]), jnp.asarray(state["y"])
+    params_f = gpt2.to_device(params_np, cfg)
+    params_q = quantize_params(params_f)
+    assert params_q["qkvw"].dtype == jnp.int8
+    loss_f = float(gpt2.loss_fn(params_f, x, y, cfg))
+    loss_q = float(gpt2.loss_fn(params_q, x, y, cfg))
+    assert abs(loss_q - loss_f) < 0.05, (loss_f, loss_q)
+
+
+def test_int8_paged_engine_generates(golden):
+    """INT8 weights through the full paged engine: runs, and the greedy
+    token stream stays close to fp32 (identical prefixes are expected but
+    not guaranteed — quantization can flip near-ties, so assert the loss
+    gate above plus executability + determinism here)."""
+    cfg, params_np, state = golden
+    page = PageConfig(page_size=8, num_pages=64, max_seqs=8, pages_per_seq=8)
+    stream = formats.read_token_stream(
+        os.path.join(os.path.dirname(__file__), "fixtures",
+                     "tokens_tiny.bin"))
+    prompt = stream[:8].tolist()
+    outs = []
+    for _ in range(2):
+        econf = EngineConfig(cache_mode="paged", page=page, greedy=True,
+                             max_batch=2, param_dtype="int8")
+        eng = InferenceEngine(params_np, cfg, econf)
+        assert eng.params["fcw"].dtype == jnp.int8
+        outs.append(eng.generate(prompt, 16))
+    assert outs[0] == outs[1]
+    assert len(outs[0]) == 24
+
+
+# ---- INT8 KV pages ----------------------------------------------------------
+
+def test_quant_kv_kernel_matches_oracle():
+    from llmc_paged_tpu.kv.layouts import quantize_rows
+    from llmc_paged_tpu.ops.paged_attention import (
+        paged_decode_attention_quant, paged_decode_attention_quant_xla)
+    B, NH, HS, P, ps, pps = 3, 4, 64, 16, 8, 4
+    rng = np.random.default_rng(5)
+    q = jnp.asarray(rng.standard_normal((B, NH, HS), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((NH, P, ps, HS), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((NH, P, ps, HS), dtype=np.float32))
+    kq, ks = quantize_rows(k)
+    vq, vs = quantize_rows(v)
+    ks, vs = ks[:, :, None, :], vs[:, :, None, :]
+    tables = jnp.asarray(
+        rng.permutation(P)[: B * pps].reshape(B, pps).astype(np.int32))
+    lengths = jnp.asarray(np.array([5, 17, 32], dtype=np.int32))
+    starts = jnp.asarray(np.array([0, 3, 10], dtype=np.int32))
+    out = paged_decode_attention_quant(q, kq, vq, ks, vs, tables, lengths,
+                                       starts, interpret=INTERP)
+    ref = paged_decode_attention_quant_xla(q, kq, vq, ks, vs, tables,
+                                           lengths, starts)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_int8_kv_close_to_fp32_kv():
+    """INT8 KV attention output stays within per-row quantization error of
+    the fp32 path (north-star: INT8 KV pages with fused dequant)."""
+    from llmc_paged_tpu.kv.layouts import quantize_rows
+    from llmc_paged_tpu.ops.paged_attention import (
+        paged_decode_attention, paged_decode_attention_quant)
+    B, NH, HS, P, ps, pps = 2, 4, 64, 8, 8, 2
+    rng = np.random.default_rng(6)
+    q = jnp.asarray(rng.standard_normal((B, NH, HS), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((NH, P, ps, HS), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((NH, P, ps, HS), dtype=np.float32))
+    kq, ks = quantize_rows(k)
+    vq, vs = quantize_rows(v)
+    tables = jnp.asarray(np.arange(B * pps).reshape(B, pps).astype(np.int32))
+    lengths = jnp.asarray(np.array([9, 16], dtype=np.int32))
+    out_q = paged_decode_attention_quant(
+        q, kq, vq, ks[:, :, None, :], vs[:, :, None, :], tables, lengths,
+        interpret=INTERP)
+    out_f = paged_decode_attention(q, k, v, tables, lengths, interpret=INTERP)
+    np.testing.assert_allclose(np.asarray(out_q), np.asarray(out_f),
+                               rtol=0.05, atol=0.05)
+
+
+def test_int8_kv_engine_loss_gate(golden):
+    """End-to-end gate: teacher-forced decode logits with INT8 KV pages vs
+    fp32 KV — cross-entropy delta ≤ 0.05 (the north-star perplexity gate)."""
+    from llmc_paged_tpu.kv.layouts import init_pool, token_coords
+    from llmc_paged_tpu.kv.manager import BlockManager
+    from llmc_paged_tpu.models import gpt2_paged
+    cfg, params_np, state = golden
+    params = gpt2.to_device(params_np, cfg)
+    page = PageConfig(page_size=8, num_pages=32, max_seqs=4, pages_per_seq=4)
+    x, y = state["x"][:2, :16], state["y"][:2, :16]
+    B, T = x.shape
+
+    losses = {}
+    for kv_dtype in ("float32", "int8"):
+        mgr = BlockManager(page.num_pages, page.page_size, 4)
+        pool = init_pool(cfg, page, dtype=kv_dtype)
+        for b in range(B):
+            mgr.append_tokens(b, 1)
+        logp_sum, n = 0.0, 0
+        # teacher-forced: feed x[t], score y[t], one decode step at a time
+        tables0 = np.stack([mgr.block_table_array(b, page.pages_per_seq)
+                            for b in range(B)])
+        pg = np.array([mgr.block_table(b)[0] for b in range(B)], np.int32)
+        sl = np.zeros(B, np.int32)
+        for t in range(T):
+            if t > 0:
+                pg, sl = [], []
+                for b in range(B):
+                    segs, _ = mgr.append_tokens(b, 1)
+                    pg.append(segs[0].page)
+                    sl.append(segs[0].offset)
+                pg, sl = np.asarray(pg, np.int32), np.asarray(sl, np.int32)
+            tables = np.stack([mgr.block_table_array(b, page.pages_per_seq)
+                               for b in range(B)])
+            logits, pool = gpt2_paged.decode_step_paged(
+                params, jnp.asarray(x[:, t]), jnp.full((B,), t, jnp.int32),
+                jnp.asarray(pg), jnp.asarray(sl), jnp.asarray(tables),
+                jnp.full((B,), t + 1, jnp.int32), pool, cfg)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            logp_sum += float(jnp.sum(
+                jnp.take_along_axis(logp, jnp.asarray(y[:, t])[:, None],
+                                    axis=1)))
+            n += B
+        losses[kv_dtype] = -logp_sum / n
+    assert abs(losses["int8"] - losses["float32"]) < 0.05, losses
