@@ -47,6 +47,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pages-per-seq", type=int, default=32)
     p.add_argument("--seed", type=int, default=1337)
     p.add_argument("--greedy", action="store_true")
+    p.add_argument("--top-k", type=int, default=None,
+                   help="top-k sampling (train_gpt2.py generate semantics)")
+    p.add_argument("--temperature", type=float, default=1.0)
     p.add_argument("--no-kernel", action="store_true",
                    help="use the XLA gather fallback instead of Pallas")
     p.add_argument("--json", action="store_true",
@@ -70,7 +73,8 @@ def main(argv=None) -> int:
                       pages_per_seq=args.pages_per_seq)
     econf = EngineConfig(cache_mode=args.mode, page=page,
                          max_batch=args.batch, seed=args.seed,
-                         greedy=args.greedy)
+                         greedy=args.greedy, top_k=args.top_k,
+                         temperature=args.temperature)
     engine = InferenceEngine(params, cfg, econf,
                              use_kernel=not args.no_kernel)
 
@@ -83,13 +87,17 @@ def main(argv=None) -> int:
             reqs.append(Request(rid=b, prompt=prompt,
                                 max_new_tokens=args.max_new))
         done = engine.run(reqs, window=args.window,
-                          sampler=Sampler(args.seed, args.greedy))
+                          sampler=Sampler(args.seed, args.greedy,
+                                          top_k=args.top_k,
+                                          temperature=args.temperature))
         outs = {r.rid: r.tokens for r in done}
         stats = dict(engine.stats)
     else:
         prompt = stream[: args.prompt_size].tolist()
         toks = engine.generate(prompt, args.max_new, window=args.window,
-                               sampler=Sampler(args.seed, args.greedy))
+                               sampler=Sampler(args.seed, args.greedy,
+                                          top_k=args.top_k,
+                                          temperature=args.temperature))
         outs = {0: toks}
         stats = dict(getattr(engine, "stats", {}))
     dt = time.monotonic() - t0

@@ -11,7 +11,7 @@ also samples host-side from the device softmax, train_gpt2.cu:1238-1239).
 from __future__ import annotations
 
 import time
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -35,9 +35,12 @@ def _pick_token(sampler: Sampler, logits_row) -> int:
     """Sample one token from a (V,) logits row. Greedy takes the argmax on
     device and ships 4 bytes; the parity sampler needs the full softmax on
     the host (the reference also downloads the probs row and samples on the
-    CPU, train_gpt2.cu:1238-1239)."""
+    CPU, train_gpt2.cu:1238-1239). Top-k/temperature samplers transform the
+    raw logits host-side (train_gpt2.py:197-222 semantics)."""
     if sampler.greedy:
         return int(jnp.argmax(logits_row))
+    if sampler.transforms_logits:
+        return sampler.sample_logits(np.asarray(logits_row))
     return sampler.sample(np.asarray(jax.nn.softmax(logits_row)))
 
 
@@ -69,7 +72,9 @@ class InferenceEngine:
         """infer.c semantics: re-run the full forward over the last
         `window` tokens each step (phase-2 slide, infer.c:104-127)."""
         window = window or self.cfg.max_seq_len
-        sampler = sampler or Sampler(self.econf.seed, self.econf.greedy)
+        sampler = sampler or Sampler(self.econf.seed, self.econf.greedy,
+                              top_k=self.econf.top_k,
+                              temperature=self.econf.temperature)
         toks = list(prompt)
         for _ in range(max_new_tokens):
             ctx = toks[-window:]
@@ -91,7 +96,9 @@ class InferenceEngine:
         cfg = self.cfg
         window = window or cfg.max_seq_len
         total = len(prompt) + max_new_tokens
-        sampler = sampler or Sampler(self.econf.seed, self.econf.greedy)
+        sampler = sampler or Sampler(self.econf.seed, self.econf.greedy,
+                              top_k=self.econf.top_k,
+                              temperature=self.econf.temperature)
         cache = gpt2.init_cache(cfg, 1, total)
         toks = list(prompt)
         logits, cache = gpt2.prefill(
@@ -135,7 +142,8 @@ class InferenceEngine:
         cfg, econf = self.cfg, self.econf
         page = econf.page
         window = window or cfg.max_seq_len
-        sampler = sampler or Sampler(econf.seed, econf.greedy)
+        sampler = sampler or Sampler(econf.seed, econf.greedy, top_k=econf.top_k,
+                              temperature=econf.temperature)
         mgr, pool = self._paged_state()
         sched = Scheduler(econf.max_batch)
         for r in requests:
@@ -209,52 +217,91 @@ class InferenceEngine:
                         chunk = cand
                         break
             if chunk > 1 and sched.running:
-                first = np.zeros(B, np.int32)
-                pos0 = np.full(B, -1, np.int32)   # -1 → inactive row
-                pgs = np.full((chunk, B), page.num_pages, np.int32)
-                sls = np.zeros((chunk, B), np.int32)
-                tables = np.zeros((B, pps), np.int32)
-                stepped: List[int] = []
-                for slot, req in list(sched.running.items()):
-                    segs, evicted = mgr.append_tokens(slot, chunk)
-                    for victim in requeue_evicted(evicted, skip_slot=slot):
-                        if victim in stepped:
-                            stepped.remove(victim)
-                            pos0[victim] = -1
-                            pgs[:, victim] = page.num_pages
-                    if not segs:
-                        mgr.free_prompt(slot)
-                        sched.preempt(slot)
-                        continue
-                    coords = [(s.page, s.offset + i) for s in segs
-                              for i in range(s.count)]
-                    assert len(coords) == chunk
-                    first[slot] = req.tokens[-1]
-                    pos0[slot] = len(req.tokens) - 1
-                    for j, (pj, sj) in enumerate(coords):
-                        pgs[j, slot], sls[j, slot] = pj, sj
-                    tables[slot] = mgr.block_table_array(slot, pps)
-                    stepped.append(slot)
-                if stepped:
-                    progressed = True
+                # Async chunk chain: greedy tokens feed back device-side
+                # inside each chunk AND between chunks (the next chunk's
+                # first_tokens is a device slice of the previous output), so
+                # the host only dispatches — token values are materialised
+                # ONCE after the chain. Page coordinates are decided by the
+                # host allocator ahead of time (allocation is deterministic),
+                # and each link is guarded by a free-page check so no
+                # eviction can occur mid-chain (evictions would require
+                # reading tokens back). On a relay-tunneled chip this turns
+                # ~60ms of sync per chunk into one sync per chain.
+                ps = page.page_size
+                pending: List = []       # (device toks (chunk,B), [(slot, keep)])
+                first_dev = None         # device (B,) — prev chain link output
+                while True:
+                    # rows still needing tokens, without eviction risk
+                    need_pages = 0
+                    plan: List[int] = []
+                    for slot, req in sched.running.items():
+                        rem = req.max_new_tokens - len(req.generated) \
+                            - sum(k for _, ks in pending
+                                  for s2, k in ks if s2 == slot)
+                        if rem <= 0:
+                            continue
+                        ln = mgr.seq_len(slot)
+                        if ln + chunk > page.max_context:
+                            continue
+                        tail = (ps - ln % ps) % ps
+                        need_pages += max(0, -(-(chunk - tail) // ps))
+                        plan.append(slot)
+                    if not plan or need_pages > mgr.num_free():
+                        break
+                    first = np.zeros(B, np.int32)
+                    pos0 = np.full(B, -1, np.int32)   # -1 → inactive row
+                    pgs = np.full((chunk, B), page.num_pages, np.int32)
+                    sls = np.zeros((chunk, B), np.int32)
+                    tables = np.zeros((B, pps), np.int32)
+                    stepped: List[Tuple[int, int]] = []
+                    for slot in plan:
+                        req = sched.running[slot]
+                        # tokens already produced by earlier links of THIS
+                        # chain (req.tokens/generated don't grow mid-chain)
+                        pend_ct = sum(k for _, ks in pending
+                                      for s2, k in ks if s2 == slot)
+                        segs, evicted = mgr.append_tokens(slot, chunk)
+                        assert not evicted, "free-page guard failed"
+                        coords = [(s.page, s.offset + i) for s in segs
+                                  for i in range(s.count)]
+                        assert len(coords) == chunk
+                        first[slot] = req.tokens[-1]  # used by link 0 only
+                        pos0[slot] = len(req.tokens) - 1 + pend_ct
+                        for j, (pj, sj) in enumerate(coords):
+                            pgs[j, slot], sls[j, slot] = pj, sj
+                        tables[slot] = mgr.block_table_array(slot, pps)
+                        keep = min(chunk, req.max_new_tokens
+                                   - len(req.generated) - pend_ct)
+                        stepped.append((slot, keep))
+                    link_first = (jnp.asarray(first) if first_dev is None
+                                  else first_dev)
                     toks_out, pool = gpt2_paged.decode_chunk_paged(
-                        self.params, jnp.asarray(first), jnp.asarray(pos0),
+                        self.params, link_first, jnp.asarray(pos0),
                         jnp.asarray(pgs), jnp.asarray(sls),
                         jnp.asarray(tables), pool, cfg,
                         num_steps=chunk, window=window,
                         use_kernel=self.use_kernel)
-                    picks = np.asarray(toks_out)   # (chunk, B)
-                    for slot in stepped:
-                        req = sched.running[slot]
-                        keep = min(chunk,
-                                   req.max_new_tokens - len(req.generated))
-                        req.generated.extend(int(t)
-                                             for t in picks[:keep, slot])
-                        decode_tokens += keep
-                        if req.done:
+                    first_dev = toks_out[-1]
+                    pending.append((toks_out, stepped))
+                if pending:
+                    progressed = True
+                    # one device→host transfer for the whole chain
+                    all_picks = np.asarray(
+                        jnp.stack([t for t, _ in pending]))
+                    for picks, (_, stepped) in zip(all_picks, pending):
+                        for slot, keep in stepped:
+                            req = sched.running[slot]
+                            req.generated.extend(int(t)
+                                                 for t in picks[:keep, slot])
+                            decode_tokens += keep
+                    for slot in list(sched.running):
+                        if sched.running[slot].done:
                             mgr.free_prompt(slot)
                             sched.finish(slot)
-                continue
+                    continue
+                # chain could not run (pool pressure): single-token path
+                # below handles eviction/preemption
+                chunk = 1
 
             # ---- single-token decode step (parity sampling path) -------
             if sched.running:
@@ -300,6 +347,10 @@ class InferenceEngine:
                     decode_tokens += len(stepped)
                     if sampler.greedy:
                         picks = np.asarray(jnp.argmax(logits, axis=-1))
+                    elif sampler.transforms_logits:
+                        picks = None
+                        probs_np = None
+                        logits_np = np.asarray(logits)
                     else:
                         picks = None
                         probs_np = np.asarray(
@@ -308,6 +359,9 @@ class InferenceEngine:
                         req = sched.running[slot]
                         if picks is not None:
                             req.generated.append(int(picks[slot]))
+                        elif probs_np is None:
+                            req.generated.append(
+                                sampler.sample_logits(logits_np[slot]))
                         else:
                             req.generated.append(
                                 sampler.sample(probs_np[slot]))

@@ -54,16 +54,51 @@ def sample_argmax(probabilities: np.ndarray) -> int:
     return int(np.argmax(probabilities))
 
 
+def topk_probs(logits: np.ndarray, top_k: int | None = None,
+               temperature: float = 1.0) -> np.ndarray:
+    """Temperature + top-k filtered softmax over a (V,) logits row — the
+    PyTorch reference's sampling transform (GPT.generate,
+    train_gpt2.py:197-222: logits / temperature, logits < kth-largest →
+    -inf, softmax). Ties at the k-th value are all kept, matching
+    torch.topk's `logits < v[:, [-1]]` masking."""
+    logits = np.asarray(logits, dtype=np.float32)
+    if temperature != 1.0:
+        logits = logits / np.float32(temperature)
+    if top_k is not None and 0 < top_k < logits.shape[-1]:
+        kth = np.partition(logits, -top_k)[-top_k]
+        logits = np.where(logits < kth, -np.inf, logits)
+    x = logits - logits.max()
+    p = np.exp(x, dtype=np.float32)
+    return p / p.sum(dtype=np.float32)
+
+
 class Sampler:
     """Per-engine sampler state. One shared RNG stream across the decode
-    loop, exactly like the single `rng_state` local in the reference mains."""
+    loop, exactly like the single `rng_state` local in the reference mains.
 
-    def __init__(self, seed: int = 1337, greedy: bool = False):
+    ``top_k`` / ``temperature`` add the PyTorch reference's sampling
+    transform (train_gpt2.py:197-222) in front of the C CDF walk; both
+    default to the C binaries' behavior (full vocab, T=1)."""
+
+    def __init__(self, seed: int = 1337, greedy: bool = False,
+                 top_k: int | None = None, temperature: float = 1.0):
         self.rng = XorshiftRNG(seed)
         self.greedy = greedy
+        self.top_k = top_k
+        self.temperature = temperature
+
+    @property
+    def transforms_logits(self) -> bool:
+        return self.top_k is not None or self.temperature != 1.0
 
     def sample(self, probabilities: np.ndarray) -> int:
         if self.greedy:
             return sample_argmax(probabilities)
         coin = self.rng.random_f32()
         return sample_mult(probabilities, coin)
+
+    def sample_logits(self, logits: np.ndarray) -> int:
+        """Sample from a raw (V,) logits row, applying temperature/top-k."""
+        if self.greedy:
+            return int(np.argmax(logits))
+        return self.sample(topk_probs(logits, self.top_k, self.temperature))

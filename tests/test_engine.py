@@ -172,3 +172,28 @@ def test_cli_end_to_end(setup, fixtures_dir):
     assert len(payload["tokens"]) == 3
     for toks in payload["tokens"].values():
         assert len(toks) == 14
+
+
+def test_chunk_chain_matches_unchunked(setup):
+    """The async chunk chain (device-fed tokens across links, lazy
+    materialisation) must emit exactly the tokens of the single-step path,
+    including rows finishing mid-chain with different max_new."""
+    cfg, params, stream = setup
+    page = PageConfig(page_size=8, num_pages=64, max_seqs=8, pages_per_seq=8)
+    prompts = [stream[i * 7: i * 7 + 6].tolist() for i in range(3)]
+    lens = [5, 20, 33]
+
+    def run(decode_chunk):
+        econf = EngineConfig(cache_mode="paged", page=page, greedy=True,
+                             max_batch=3, decode_chunk=decode_chunk)
+        eng = InferenceEngine(params, cfg, econf)
+        reqs = [Request(rid=i, prompt=prompts[i], max_new_tokens=lens[i])
+                for i in range(3)]
+        done = eng.run(reqs)
+        return {r.rid: r.tokens for r in done}
+
+    ref = run(1)
+    chained = run(8)
+    assert chained == ref
+    for i in range(3):
+        assert len(ref[i]) == len(prompts[i]) + lens[i]

@@ -101,3 +101,42 @@ def test_sampler_stream_deterministic():
     seq_a = [a.sample(probs) for _ in range(32)]
     seq_b = [b.sample(probs) for _ in range(32)]
     assert seq_a == seq_b
+
+
+def test_topk_probs_matches_torch_transform():
+    """topk_probs == the PyTorch reference's sampling transform
+    (train_gpt2.py GPT.generate :197-222: /temperature, logits < kth → -inf,
+    softmax), including keep-all-ties at the k-th value."""
+    import torch
+
+    from llmc_paged_tpu.sampler import topk_probs
+
+    rng = np.random.default_rng(7)
+    for k, temp in [(40, 1.0), (5, 0.8), (1, 1.0), (200, 2.5)]:
+        logits = rng.normal(size=128).astype(np.float32)
+        logits[3] = logits[17]  # force a tie
+        t = torch.from_numpy(logits.copy()) / temp
+        v, _ = torch.topk(t, min(k, t.shape[-1]))
+        t[t < v[-1]] = -float("inf")
+        expected = torch.softmax(t, dim=-1).numpy()
+        got = topk_probs(logits, top_k=k, temperature=temp)
+        np.testing.assert_allclose(got, expected, atol=1e-6)
+        assert (got > 0).sum() >= min(k, 128)
+
+
+def test_sampler_topk_restricts_support():
+    from llmc_paged_tpu.sampler import topk_probs
+
+    rng = np.random.default_rng(0)
+    logits = rng.normal(size=1000).astype(np.float32)
+    top5 = set(np.argsort(logits)[-5:].tolist())
+    s = Sampler(seed=1337, top_k=5)
+    assert s.transforms_logits
+    picks = {s.sample_logits(logits) for _ in range(200)}
+    assert picks <= top5
+    # no-transform sampler equals the plain softmax CDF walk
+    s0, s1 = Sampler(seed=42), Sampler(seed=42)
+    probs = topk_probs(logits)  # plain softmax
+    assert not s0.transforms_logits
+    for _ in range(20):
+        assert s0.sample(probs) == s1.sample_logits(logits)
