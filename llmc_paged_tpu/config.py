@@ -102,3 +102,9 @@ class EngineConfig:
     decode_chunk: int = 16             # greedy tokens per device round trip
     seed: int = 1337                   # xorshift seed (paged_infer.c:975)
     mesh_shape: Optional[dict] = None  # e.g. {"data": 1, "model": 4}
+    # Validate every device-bound index (block tables, page/slot coords,
+    # lengths) on the host before dispatch. The TPU-idiomatic replacement
+    # for the reference's printf probes (paged_infer.c:539-560 "segfault
+    # here?"): out-of-range indices on TPU don't segfault, they clamp/drop
+    # silently — this catches them at the source instead.
+    debug_checks: bool = False

@@ -54,6 +54,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="use the XLA gather fallback instead of Pallas")
     p.add_argument("--json", action="store_true",
                    help="emit machine-readable stats")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="write a jax.profiler trace of the run to DIR "
+                        "(view with tensorboard/xprof; SURVEY.md §5 "
+                        "tracing — the reference only has wall-clock "
+                        "printf timing)")
     return p
 
 
@@ -78,6 +83,9 @@ def main(argv=None) -> int:
     engine = InferenceEngine(params, cfg, econf,
                              use_kernel=not args.no_kernel)
 
+    if args.profile:
+        import jax
+        jax.profiler.start_trace(args.profile)
     t0 = time.monotonic()
     if args.mode == "paged" and args.batch > 1:
         reqs = []
@@ -101,6 +109,9 @@ def main(argv=None) -> int:
         outs = {0: toks}
         stats = dict(getattr(engine, "stats", {}))
     dt = time.monotonic() - t0
+    if args.profile:
+        import jax
+        jax.profiler.stop_trace()
 
     stats.update(mode=args.mode, batch=args.batch, wall_s=dt,
                  total_new_tokens=args.max_new * len(outs))

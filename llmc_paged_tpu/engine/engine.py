@@ -31,6 +31,24 @@ def _bucket(n: int, step: int = 16) -> int:
     return max(step, ((n + step - 1) // step) * step)
 
 
+def _validate_indices(page_cfg: PageConfig, tables: np.ndarray,
+                      pgs: np.ndarray, sls: np.ndarray,
+                      lengths: Optional[np.ndarray] = None) -> None:
+    """Host-side bounds check of everything the device step will index with
+    (EngineConfig.debug_checks). Scatters use page == num_pages as the
+    intentional drop sentinel, so pages must be <= num_pages and tables
+    strictly < num_pages."""
+    assert tables.min() >= 0 and tables.max() < page_cfg.num_pages, \
+        f"block table entry out of range [0, {page_cfg.num_pages})"
+    assert pgs.min() >= 0 and pgs.max() <= page_cfg.num_pages, \
+        "page coordinate out of range (num_pages is the drop sentinel)"
+    assert sls.min() >= 0 and sls.max() < page_cfg.page_size, \
+        f"slot out of range [0, {page_cfg.page_size})"
+    if lengths is not None:
+        assert lengths.min() >= 0 and \
+            lengths.max() <= page_cfg.max_context, "length exceeds table"
+
+
 def _pick_token(sampler: Sampler, logits_row) -> int:
     """Sample one token from a (V,) logits row. Greedy takes the argmax on
     device and ships 4 bytes; the parity sampler needs the full softmax on
@@ -168,15 +186,14 @@ class InferenceEngine:
             return preempted
 
         while sched.has_work:
-            # ---- admission + prefill ----------------------------------
+            # ---- admission + batched prefill ---------------------------
             progressed = False
+            admitted: List[Tuple[int, Request]] = []
             for slot in sched.free_slots():
                 req = sched.pop_next_waiting()
                 if req is None:
                     break
-                toks = req.tokens
-                n = len(toks)
-                segs, evicted = mgr.append_tokens(slot, n)
+                segs, evicted = mgr.append_tokens(slot, len(req.tokens))
                 requeue_evicted(evicted, skip_slot=slot)
                 if not segs:
                     mgr.free_prompt(slot)
@@ -184,23 +201,54 @@ class InferenceEngine:
                     break
                 progressed = True
                 sched.admit(req, slot)
-                Tb = _bucket(n)
-                xs = np.zeros((1, Tb), np.int32)
-                xs[0, :n] = toks
-                valid = np.zeros((1, Tb), bool)
-                valid[0, :n] = True
-                table = mgr.block_table_array(slot, pps)[None]
-                pos = np.arange(Tb, dtype=np.int32)[None]
-                pg, sl = token_coords(jnp.asarray(table), jnp.asarray(pos),
+                admitted.append((slot, req))
+            # One prefill per prompt-length bucket with all the bucket's
+            # rows in a single padded batch — one device round trip instead
+            # of one per request — and the lm_head projected only at each
+            # row's last prompt position (the only one serving samples;
+            # pass last_pos=None for the reference's full-T logits).
+            groups: Dict[int, List[Tuple[int, Request]]] = {}
+            for slot, req in admitted:
+                groups.setdefault(_bucket(len(req.tokens)),
+                                  []).append((slot, req))
+            for Tb, group in groups.items():
+                Bg = 1 << (len(group) - 1).bit_length()  # bounded recompiles
+                xs = np.zeros((Bg, Tb), np.int32)
+                valid = np.zeros((Bg, Tb), bool)
+                tables_g = np.zeros((Bg, pps), np.int32)
+                last = np.zeros(Bg, np.int32)
+                for i, (slot, req) in enumerate(group):
+                    n = len(req.tokens)
+                    xs[i, :n] = req.tokens
+                    valid[i, :n] = True
+                    tables_g[i] = mgr.block_table_array(slot, pps)
+                    last[i] = n - 1
+                pos = np.broadcast_to(np.arange(Tb, dtype=np.int32),
+                                      (Bg, Tb)).copy()
+                pg, sl = token_coords(jnp.asarray(tables_g), jnp.asarray(pos),
                                       page.page_size, jnp.asarray(valid),
                                       page.num_pages)
                 logits, pool = gpt2_paged.prefill_paged(
-                    self.params, jnp.asarray(xs), pg, sl, pool, cfg)
-                req.generated.append(_pick_token(sampler, logits[0, n - 1]))
-                req.mark_first_token()
-                if req.done:
-                    mgr.free_prompt(slot)
-                    sched.finish(slot)
+                    self.params, jnp.asarray(xs), pg, sl, pool, cfg,
+                    last_pos=jnp.asarray(last))          # (Bg, V)
+                picks = probs = raws = None
+                if sampler.greedy:
+                    picks = np.asarray(jnp.argmax(logits, axis=-1))
+                elif sampler.transforms_logits:
+                    raws = np.asarray(logits)
+                else:
+                    probs = np.asarray(jax.nn.softmax(logits, axis=-1))
+                for i, (slot, req) in enumerate(group):
+                    if picks is not None:
+                        req.generated.append(int(picks[i]))
+                    elif raws is not None:
+                        req.generated.append(sampler.sample_logits(raws[i]))
+                    else:
+                        req.generated.append(sampler.sample(probs[i]))
+                    req.mark_first_token()
+                    if req.done:
+                        mgr.free_prompt(slot)
+                        sched.finish(slot)
 
             # ---- chunked greedy decode (one device round trip per K
             # tokens; page coordinates reserved K ahead) -----------------
@@ -273,6 +321,8 @@ class InferenceEngine:
                         keep = min(chunk, req.max_new_tokens
                                    - len(req.generated) - pend_ct)
                         stepped.append((slot, keep))
+                    if econf.debug_checks:
+                        _validate_indices(page, tables, pgs, sls)
                     link_first = (jnp.asarray(first) if first_dev is None
                                   else first_dev)
                     toks_out, pool = gpt2_paged.decode_chunk_paged(
@@ -338,6 +388,9 @@ class InferenceEngine:
                     stepped.append(slot)
                 if stepped:
                     progressed = True
+                    if econf.debug_checks:
+                        _validate_indices(page, tables, pg[None], sl[None],
+                                          lengths)
                     logits, pool = gpt2_paged.decode_step_paged(
                         self.params, jnp.asarray(toks), jnp.asarray(wpe_pos),
                         jnp.asarray(pg), jnp.asarray(sl), jnp.asarray(tables),

@@ -2,13 +2,13 @@
 
 The reference stores each page as two malloc'd float buffers inside the
 manager (KVBlock.keys/values, block_manager.c:9-15, lazily allocated at
-:145-146). There is no user pointer arithmetic on TPU, so the pool is one
-preallocated dense array per K and V:
+:145-146). There is no user pointer arithmetic on TPU, so the pool is
+preallocated dense device arrays — one K and one V buffer PER LAYER:
 
-    (L, NH, num_pages, page_size, HS)
+    L x (NH, num_pages, page_size, HS)
 
 * head-major so tensor parallelism shards pages over heads with
-  P(None, "model", None, None, None) and the paged-attention kernel grids
+  P("model", None, None, None) and the paged-attention kernel grids
   over (head, batch) with contiguous (page_size, HS) tiles;
 * (page_size, HS) as the two minor dims so a page is a contiguous
   (sublane × lane) tile — page_size ≥ 8 and HS a multiple of 128 (or
@@ -31,48 +31,87 @@ from llmc_paged_tpu.config import GPT2Config, PageConfig
 
 
 class PagePool(NamedTuple):
-    k: jax.Array  # (L, NH, P, page_size, HS)
-    v: jax.Array
+    """Per-layer K/V page buffers: ``k``/``v`` are length-L tuples of
+    (NH, P, page_size, HS) arrays.
+
+    One buffer PER LAYER (not one stacked (L, ...) array) is a measured
+    performance decision: with separate buffers the unrolled layer loop
+    updates each one with a static-index scatter that XLA performs in
+    place, whereas a stacked pool must either stream layer planes through
+    lax.scan xs/ys (copies the whole pool every decode step, ~1.6ms at
+    124M fp32) or be carried whole (scatter not done in place, 6x slower)
+    — see ops/dev/probe_decode.py chunk_suite_unrolled."""
+    k: Tuple[jax.Array, ...]  # L x (NH, P, page_size, HS)
+    v: Tuple[jax.Array, ...]
+
+    @property
+    def num_layers(self) -> int:
+        return len(self.k)
 
     @property
     def num_pages(self) -> int:
-        return self.k.shape[2]
+        return self.k[0].shape[1]
 
     @property
     def page_size(self) -> int:
-        return self.k.shape[3]
+        return self.k[0].shape[2]
+
+    def layer(self, i: int) -> Tuple[jax.Array, ...]:
+        return (self.k[i], self.v[i])
+
+    def with_layer(self, i: int, new: Tuple[jax.Array, ...]) -> "PagePool":
+        return PagePool(self.k[:i] + (new[0],) + self.k[i + 1:],
+                        self.v[:i] + (new[1],) + self.v[i + 1:])
 
 
 class QuantPagePool(NamedTuple):
-    """INT8 KV pages with per-(token-row, head) symmetric scales.
+    """INT8 KV pages with per-(token-row, head) symmetric scales, as
+    per-layer buffer tuples (see PagePool for why).
 
-    Scales are stored (L, NH, P, 1, page_size) — the trailing (1, ps) block
+    Scales are stored (NH, P, 1, page_size) — the trailing (1, ps) block
     shape keeps Mosaic's last-two-dims tiling rule satisfied when the
     kernel fetches one page's scales alongside the page."""
-    k: jax.Array        # (L, NH, P, page_size, HS) int8
-    v: jax.Array
-    k_scale: jax.Array  # (L, NH, P, 1, page_size) f32
-    v_scale: jax.Array
+    k: Tuple[jax.Array, ...]        # L x (NH, P, page_size, HS) int8
+    v: Tuple[jax.Array, ...]
+    k_scale: Tuple[jax.Array, ...]  # L x (NH, P, 1, page_size) f32
+    v_scale: Tuple[jax.Array, ...]
+
+    @property
+    def num_layers(self) -> int:
+        return len(self.k)
 
     @property
     def num_pages(self) -> int:
-        return self.k.shape[2]
+        return self.k[0].shape[1]
 
     @property
     def page_size(self) -> int:
-        return self.k.shape[3]
+        return self.k[0].shape[2]
+
+    def layer(self, i: int) -> Tuple[jax.Array, ...]:
+        return (self.k[i], self.v[i], self.k_scale[i], self.v_scale[i])
+
+    def with_layer(self, i: int,
+                   new: Tuple[jax.Array, ...]) -> "QuantPagePool":
+        return QuantPagePool(
+            self.k[:i] + (new[0],) + self.k[i + 1:],
+            self.v[:i] + (new[1],) + self.v[i + 1:],
+            self.k_scale[:i] + (new[2],) + self.k_scale[i + 1:],
+            self.v_scale[:i] + (new[3],) + self.v_scale[i + 1:])
 
 
 def init_pool(cfg: GPT2Config, page: PageConfig, dtype=jnp.float32):
-    shape = (cfg.num_layers, cfg.num_heads, page.num_pages, page.page_size,
-             cfg.head_dim)
+    L = cfg.num_layers
+    shape = (cfg.num_heads, page.num_pages, page.page_size, cfg.head_dim)
     if dtype == jnp.int8 or dtype == "int8":
-        sshape = shape[:3] + (1, page.page_size)
-        return QuantPagePool(jnp.zeros(shape, jnp.int8),
-                             jnp.zeros(shape, jnp.int8),
-                             jnp.ones(sshape, jnp.float32),
-                             jnp.ones(sshape, jnp.float32))
-    return PagePool(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+        sshape = shape[:2] + (1, page.page_size)
+        return QuantPagePool(
+            tuple(jnp.zeros(shape, jnp.int8) for _ in range(L)),
+            tuple(jnp.zeros(shape, jnp.int8) for _ in range(L)),
+            tuple(jnp.ones(sshape, jnp.float32) for _ in range(L)),
+            tuple(jnp.ones(sshape, jnp.float32) for _ in range(L)))
+    return PagePool(tuple(jnp.zeros(shape, dtype) for _ in range(L)),
+                    tuple(jnp.zeros(shape, dtype) for _ in range(L)))
 
 
 def quantize_rows(x: jax.Array) -> Tuple[jax.Array, jax.Array]:
@@ -137,6 +176,37 @@ def write_layer_kv(k_pool_l: jax.Array, v_pool_l: jax.Array,
     k_pool_l = k_pool_l.at[:, page, slot].set(k_rows, mode="drop")
     v_pool_l = v_pool_l.at[:, page, slot].set(v_rows, mode="drop")
     return k_pool_l, v_pool_l
+
+
+def write_kv_full(pool: PagePool, layer: jax.Array, k_new: jax.Array,
+                  v_new: jax.Array, page: jax.Array,
+                  slot: jax.Array) -> PagePool:
+    """LAB ARTIFACT (stacked-pool layout): scatter (N, NH, HS) rows into
+    layer ``layer`` of a STACKED (L, NH, P, ps, HS) pool (a PagePool whose
+    k/v are single stacked arrays, not the production per-layer tuples).
+    Measured slower than per-layer buffers when carried through a scan —
+    XLA does not perform the carried scatter in place (probe_decode.py);
+    kept with the full-pool kernels as the documented alternative. The
+    mixed scalar/slice/array indexing puts the advanced axes first, so the
+    update operand is k_new's natural (N, NH, HS)."""
+    k = pool.k.at[layer, :, page, slot].set(
+        k_new.astype(pool.k.dtype), mode="drop")
+    v = pool.v.at[layer, :, page, slot].set(
+        v_new.astype(pool.v.dtype), mode="drop")
+    return PagePool(k, v)
+
+
+def write_kv_quant_full(pool: QuantPagePool, layer: jax.Array,
+                        k_new: jax.Array, v_new: jax.Array,
+                        page: jax.Array, slot: jax.Array) -> QuantPagePool:
+    """LAB ARTIFACT (stacked-pool layout): write_kv_full for int8 pools."""
+    kq, ks = quantize_rows(k_new)   # (N, NH, HS) int8, (N, NH) f32
+    vq, vs = quantize_rows(v_new)
+    k = pool.k.at[layer, :, page, slot].set(kq, mode="drop")
+    v = pool.v.at[layer, :, page, slot].set(vq, mode="drop")
+    k_scale = pool.k_scale.at[layer, :, page, 0, slot].set(ks, mode="drop")
+    v_scale = pool.v_scale.at[layer, :, page, 0, slot].set(vs, mode="drop")
+    return QuantPagePool(k, v, k_scale, v_scale)
 
 
 def gather_layer_kv(k_pool_l: jax.Array, v_pool_l: jax.Array,

@@ -4,8 +4,10 @@ The reference's paged forward (paged_infer.c gpt2_forward :575-729) calls
 add_to_cache + collect_kv_blocks + attention_paged per layer, assuming
 batch=1 and one-block writes. Here the same structure is batched and
 jittable: the host BlockManager decides (page, slot) coordinates; the
-device step consumes them as arrays, scatters new K/V into the pool and
-runs the Pallas paged-attention kernel per layer inside a lax.scan.
+device step consumes them as arrays, scatters new K/V into the per-layer
+pool buffers (in-place static-index updates — see kv/layouts.py PagePool
+for the measured layout rationale) and runs the Pallas paged-attention
+kernel per layer in an unrolled loop.
 
 All host↔device traffic per decode step is: token ids (B,), positions (B,),
 page/slot coordinates, block tables (B, pages_per_seq), lengths (B,) — a
@@ -52,39 +54,46 @@ def _decode_core(params, tokens, wpe_pos, page, slot, block_tables, lengths,
                  starts, pool, cfg: GPT2Config, use_kernel: bool
                  ) -> Tuple[jax.Array, "PagePool | QuantPagePool"]:
     """Shared single-token decode body: embed → per-layer (qkv, pool
-    scatter, paged attention, mlp) scan → logits. Works over float pools
-    (PagePool) and INT8 pools (QuantPagePool, dequant fused in-kernel)."""
+    scatter, paged attention, mlp), unrolled over layers → logits. Works
+    over float pools (PagePool) and INT8 pools (QuantPagePool, dequant
+    fused in-kernel).
+
+    The layer loop is UNROLLED Python (not lax.scan) so each per-layer pool
+    buffer is updated with a static-index scatter XLA performs in place.
+    Streaming stacked pool planes through scan xs/ys copies the whole pool
+    every step (~1.6ms at 124M fp32, 1.7-1.9x total slowdown), and carrying
+    a stacked pool whole is 6x slower (the carried scatter is not done in
+    place) — measured in ops/dev/probe_decode.py. Unroll compile cost at
+    124M: ~5-15s per decode-chunk shape."""
     B = tokens.shape[0]
     x = gpt2._embed(params, tokens, wpe_pos)
     quant = isinstance(pool, QuantPagePool)
     interp = {"interpret": True} if (use_kernel and _use_interpret()) else {}
+    stack = gpt2._layer_stack(params)
 
-    def body(carry, xs):
-        lp = xs[0]
-        h = L.layernorm(carry, lp["ln1w"], lp["ln1b"])
+    for i in range(cfg.num_layers):
+        lp = {name: w[i] for name, w in stack.items()}
+        h = L.layernorm(x, lp["ln1w"], lp["ln1b"])
         qkv = gpt2._lin(lp, "qkvw", h, "qkvb")          # (B, 3C)
         q, k, v = gpt2._split_qkv(qkv, cfg)             # (B, NH, HS)
         if quant:
-            pool_l = write_layer_kv_quant(xs[1:], k, v, page, slot)
+            pool_l = write_layer_kv_quant(pool.layer(i), k, v, page, slot)
             attend = (paged_decode_attention_quant if use_kernel
                       else paged_decode_attention_quant_xla)
-            att = attend(q, *pool_l, block_tables, lengths, starts, **interp)
         else:
-            pool_l = write_layer_kv(xs[1], xs[2], k, v, page, slot)
+            pool_l = write_layer_kv(*pool.layer(i), k, v, page, slot)
             attend = (paged_decode_attention if use_kernel
                       else paged_decode_attention_xla)
-            att = attend(q, *pool_l, block_tables, lengths, starts, **interp)
+        pool = pool.with_layer(i, pool_l)
+        att = attend(q, *pool_l, block_tables, lengths, starts, **interp)
         att = att.reshape(B, cfg.channels)
-        xout = carry + gpt2._lin(lp, "attprojw", att, "attprojb")
-        h2 = L.layernorm(xout, lp["ln2w"], lp["ln2b"])
-        ff = gpt2._lin(lp, "fcprojw",
-                       L.gelu_tanh(gpt2._lin(lp, "fcw", h2, "fcb")),
-                       "fcprojb")
-        return xout + ff, pool_l
+        x = x + gpt2._lin(lp, "attprojw", att, "attprojb")
+        h2 = L.layernorm(x, lp["ln2w"], lp["ln2b"])
+        x = x + gpt2._lin(lp, "fcprojw",
+                          L.gelu_tanh(gpt2._lin(lp, "fcw", h2, "fcb")),
+                          "fcprojb")
 
-    x, pool_new = jax.lax.scan(
-        body, x, (gpt2._layer_stack(params),) + tuple(pool))
-    return gpt2._logits(x, params, cfg), type(pool)(*pool_new)
+    return gpt2._logits(x, params, cfg), pool
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "use_kernel"),
@@ -159,44 +168,53 @@ def decode_chunk_paged(params: gpt2.Params, first_tokens: jax.Array,
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(4,))
 def prefill_paged(params: gpt2.Params, tokens: jax.Array,
                   page: jax.Array, slot: jax.Array, pool: PagePool,
-                  cfg: GPT2Config) -> Tuple[jax.Array, PagePool]:
+                  cfg: GPT2Config, last_pos: jax.Array | None = None
+                  ) -> Tuple[jax.Array, PagePool]:
     """Prompt forward that scatters all T tokens' K/V into the pool.
 
     tokens: (B, T) right-padded prompts; page/slot: (B, T) pool coordinates
     per token (page == num_pages on padding → dropped). Attention during
     prefill is dense causal over the in-flight K/V (paged_infer.c first-pass
     semantics :699-704: full matmul_forward + copy-all-T-to-cache).
-    Returns (logits (B,T,V), updated pool); the pool is DONATED."""
+    Returns (logits (B,T,V), updated pool); the pool is DONATED.
+
+    ``last_pos``: optional (B,) int32 — when given, the lm_head projection
+    runs only on each row's position ``last_pos[b]`` and logits are (B, V).
+    Serving only ever samples the last prompt position, and the (C, Vp)
+    projection over all T positions is the dominant prefill cost; the
+    reference always computes the full (B,T,V) logits
+    (paged_infer.c:727-728), kept here as the last_pos=None parity path."""
     B, T = tokens.shape
     pos = jnp.arange(T, dtype=jnp.int32)
     x = gpt2._embed(params, tokens, pos[None])
     flat_page = page.reshape(B * T)
     flat_slot = slot.reshape(B * T)
     quant = isinstance(pool, QuantPagePool)
+    stack = gpt2._layer_stack(params)
 
-    def body(carry, xs):
-        lp = xs[0]
-        h = L.layernorm(carry, lp["ln1w"], lp["ln1b"])
+    for i in range(cfg.num_layers):
+        lp = {name: w[i] for name, w in stack.items()}
+        h = L.layernorm(x, lp["ln1w"], lp["ln1b"])
         qkv = gpt2._lin(lp, "qkvw", h, "qkvb")
         q, k, v = gpt2._split_qkv(qkv, cfg)             # (B, T, NH, HS)
         k_rows = k.reshape(B * T, cfg.num_heads, cfg.head_dim)
         v_rows = v.reshape(B * T, cfg.num_heads, cfg.head_dim)
         if quant:
-            pool_l = write_layer_kv_quant(xs[1:], k_rows, v_rows,
+            pool_l = write_layer_kv_quant(pool.layer(i), k_rows, v_rows,
                                           flat_page, flat_slot)
         else:
-            pool_l = write_layer_kv(xs[1], xs[2], k_rows, v_rows,
+            pool_l = write_layer_kv(*pool.layer(i), k_rows, v_rows,
                                     flat_page, flat_slot)
+        pool = pool.with_layer(i, pool_l)
         qh, kh, vh = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
         att = L.causal_attention(qh, kh, vh)
         att = att.transpose(0, 2, 1, 3).reshape(B, T, cfg.channels)
-        xout = carry + gpt2._lin(lp, "attprojw", att, "attprojb")
-        h2 = L.layernorm(xout, lp["ln2w"], lp["ln2b"])
-        ff = gpt2._lin(lp, "fcprojw",
-                       L.gelu_tanh(gpt2._lin(lp, "fcw", h2, "fcb")),
-                       "fcprojb")
-        return xout + ff, pool_l
+        x = x + gpt2._lin(lp, "attprojw", att, "attprojb")
+        h2 = L.layernorm(x, lp["ln2w"], lp["ln2b"])
+        x = x + gpt2._lin(lp, "fcprojw",
+                          L.gelu_tanh(gpt2._lin(lp, "fcw", h2, "fcb")),
+                          "fcprojb")
 
-    x, pool_new = jax.lax.scan(
-        body, x, (gpt2._layer_stack(params),) + tuple(pool))
-    return gpt2._logits(x, params, cfg), type(pool)(*pool_new)
+    if last_pos is not None:
+        x = x[jnp.arange(B), last_pos]          # (B, C)
+    return gpt2._logits(x, params, cfg), pool

@@ -135,13 +135,114 @@ def chunk_suite(B: int, cfg, dtypes=("float32", "bfloat16")):
               f"({B/dt:.0f} tok/s at B={B}) --")
 
 
+def chunk_suite_unrolled(B: int, cfg, dtypes=("float32", "bfloat16")):
+    """Variant probe: pool as a TUPLE of per-layer buffers with an unrolled
+    Python layer loop (static indices → XLA can update each layer buffer in
+    place) instead of streaming stacked pool planes through lax.scan xs/ys.
+    Measures whether the scan's read+write of every pool plane per step is
+    worth eliminating at the cost of L-times compile."""
+    import functools as ft
+
+    import __graft_entry__ as _  # noqa: F401
+    from llmc_paged_tpu.config import PageConfig
+    from llmc_paged_tpu.kv.layouts import write_layer_kv
+    from llmc_paged_tpu.kv.manager import BlockManager
+    from llmc_paged_tpu.models import gpt2
+    from llmc_paged_tpu.ops import layers as OL
+    from llmc_paged_tpu.ops.paged_attention import paged_decode_attention
+
+    CHUNK = 32
+    page_cfg = PageConfig(page_size=32, num_pages=B * 12 + 8, max_seqs=B,
+                          pages_per_seq=12)
+    Lc = cfg.num_layers
+
+    @ft.partial(jax.jit, static_argnames=("num_steps", "window"),
+                donate_argnums=(2,))
+    def chunk_unrolled(params, meta, pools, num_steps, window):
+        first, pos0, pgs, sls, tables = meta
+        lps = [{k: params[k][i] for k in gpt2.LAYER_KEYS} for i in range(Lc)]
+
+        def step(carry, xs):
+            toks, pools, j = carry
+            page_j, slot_j = xs
+            pos = pos0 + j
+            lengths = pos + 1
+            starts = jnp.maximum(0, pos + 1 - window)
+            x = gpt2._embed(params, toks, jnp.minimum(pos, window - 1))
+            pools = list(pools)
+            for i in range(Lc):
+                lp = lps[i]
+                h = OL.layernorm(x, lp["ln1w"], lp["ln1b"])
+                qkv = gpt2._lin(lp, "qkvw", h, "qkvb")
+                q, k, v = gpt2._split_qkv(qkv, cfg)
+                k_l, v_l = write_layer_kv(pools[2 * i], pools[2 * i + 1],
+                                          k, v, page_j, slot_j)
+                pools[2 * i], pools[2 * i + 1] = k_l, v_l
+                att = paged_decode_attention(q, k_l, v_l, tables, lengths,
+                                             starts)
+                x = x + gpt2._lin(lp, "attprojw",
+                                  att.reshape(x.shape[0], cfg.channels),
+                                  "attprojb")
+                h2 = OL.layernorm(x, lp["ln2w"], lp["ln2b"])
+                x = x + gpt2._lin(
+                    lp, "fcprojw",
+                    OL.gelu_tanh(gpt2._lin(lp, "fcw", h2, "fcb")), "fcprojb")
+            logits = gpt2._logits(x, params, cfg)
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return (nxt, tuple(pools), j + 1), nxt
+
+        (_, pools, _), out = jax.lax.scan(
+            step, (first, pools, jnp.int32(0)), (pgs, sls),
+            length=num_steps)
+        return out, pools
+
+    params_np = jax.tree.map(
+        np.asarray, gpt2.init_params(cfg, jax.random.PRNGKey(0)))
+    for dtype_name in dtypes:
+        dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype_name]
+        params = gpt2.to_device(params_np, cfg, dtype)
+        shape = (cfg.num_heads, page_cfg.num_pages, page_cfg.page_size,
+                 cfg.head_dim)
+        pools = tuple(jnp.zeros(shape, dtype) for _ in range(2 * Lc))
+        mgr = BlockManager(page_cfg.num_pages, page_cfg.page_size, B)
+        prompt = 128
+        pgs = np.zeros((CHUNK, B), np.int32)
+        sls = np.zeros((CHUNK, B), np.int32)
+        for b in range(B):
+            mgr.append_tokens(b, prompt)
+            segs, _ = mgr.append_tokens(b, CHUNK)
+            coords = [(s.page, s.offset + i) for s in segs
+                      for i in range(s.count)]
+            for j, (pj, sj) in enumerate(coords):
+                pgs[j, b], sls[j, b] = pj, sj
+        tables = np.stack([mgr.block_table_array(b, page_cfg.pages_per_seq)
+                           for b in range(B)])
+        meta = (jnp.zeros(B, jnp.int32), jnp.full(B, prompt, jnp.int32),
+                jnp.asarray(pgs), jnp.asarray(sls), jnp.asarray(tables))
+        t0 = time.monotonic()
+        out, pools = chunk_unrolled(params, meta, pools,
+                                    num_steps=CHUNK, window=cfg.max_seq_len)
+        jax.block_until_ready(out)
+        compile_s = time.monotonic() - t0
+        iters = 8
+        t0 = time.monotonic()
+        for _ in range(iters):
+            out, pools = chunk_unrolled(params, meta, pools,
+                                        num_steps=CHUNK,
+                                        window=cfg.max_seq_len)
+        jax.block_until_ready(out)
+        dt = (time.monotonic() - t0) / iters / CHUNK
+        print(f"-- decode_chunk UNROLLED {dtype_name}: {dt*1e3:.3f} ms/step "
+              f"({B/dt:.0f} tok/s at B={B}; compile {compile_s:.1f}s) --")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", default="124m",
                     choices=["124m", "350m", "774m", "1558m"])
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--skip", default="",
-                    help="comma list: gemv,kernel,chunk")
+                    help="comma list: gemv,kernel,chunk,unrolled")
     args = ap.parse_args()
     from llmc_paged_tpu.config import GPT2Config
     cfg = getattr(GPT2Config, f"gpt2_{args.model}")()
@@ -153,6 +254,8 @@ def main():
         kernel_suite(args.batch, cfg)
     if "chunk" not in skip:
         chunk_suite(args.batch, cfg)
+    if "unrolled" not in skip:
+        chunk_suite_unrolled(args.batch, cfg)
 
 
 if __name__ == "__main__":

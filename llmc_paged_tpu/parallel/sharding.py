@@ -71,8 +71,9 @@ TP_PARAM_SPECS: Dict[str, P] = {
 
 
 def tp_pool_spec() -> P:
-    """(L, NH, P, page_size, HS) pool sharded over heads."""
-    return P(None, "model", None, None, None)
+    """Per-layer (NH, P, page_size, HS) pool buffer sharded over heads.
+    Applies uniformly to every leaf of a PagePool pytree."""
+    return P("model", None, None, None)
 
 
 def relayout_tp(params: Dict[str, jax.Array], cfg: GPT2Config
@@ -171,20 +172,21 @@ def make_tp_decode_step(cfg: GPT2Config, mesh: Mesh,
     def step(params, tokens, wpe_pos, page, slot, tables, lengths, starts,
              pool: PagePool):
         x = _tp_embed(params, tokens, wpe_pos, "model", vocab_shard)
-
-        def body(carry, xs):
-            lp, k_l, v_l = xs
-            xo, k_l, v_l = _tp_block_decode(
-                carry, lp, k_l, v_l, page, slot, tables, lengths, starts,
-                cfg, nh_local, use_kernel, interpret, "model")
-            return xo, (k_l, v_l)
-
-        x, (k_new, v_new) = jax.lax.scan(
-            body, x, (gpt2._layer_stack(params), pool.k, pool.v))
-        return _tp_logits(params, x, "model", cfg), PagePool(k_new, v_new)
+        stack = gpt2._layer_stack(params)
+        # unrolled layer loop over per-layer pool buffers (see
+        # gpt2_paged._decode_core for the measured rationale)
+        for i in range(cfg.num_layers):
+            lp = {name: w[i] for name, w in stack.items()}
+            x, k_l, v_l = _tp_block_decode(
+                x, lp, pool.k[i], pool.v[i], page, slot, tables, lengths,
+                starts, cfg, nh_local, use_kernel, interpret, "model")
+            pool = pool.with_layer(i, (k_l, v_l))
+        return _tp_logits(params, x, "model", cfg), pool
 
     param_specs = {k: TP_PARAM_SPECS[k] for k in TP_PARAM_SPECS}
-    pool_spec = PagePool(tp_pool_spec(), tp_pool_spec())
+    spec = tp_pool_spec()
+    pool_spec = PagePool(tuple(spec for _ in range(cfg.num_layers)),
+                         tuple(spec for _ in range(cfg.num_layers)))
     sharded = shard_map(
         step, mesh=mesh,
         in_specs=(param_specs, P(), P(), P(), P(), P(), P(), P(), pool_spec),
@@ -209,8 +211,7 @@ def make_tp_prefill(cfg: GPT2Config, mesh: Mesh):
                       "model", vocab_shard)
         fpage, fslot = page.reshape(B * T), slot.reshape(B * T)
 
-        def body(carry, xs):
-            lp, k_l, v_l = xs
+        def body_layer(carry, lp, k_l, v_l, fpage, fslot, B, T):
             h = L.layernorm(carry, lp["ln1w"], lp["ln1b"])
             qkv = jnp.einsum("bsc,thdc->tbshd", h, lp["qkvw"],
                              precision=jax.lax.Precision.HIGHEST) + \
@@ -233,11 +234,17 @@ def make_tp_prefill(cfg: GPT2Config, mesh: Mesh):
             return xo + jax.lax.psum(partial, "model") + lp["fcprojb"], \
                 (k_l, v_l)
 
-        x, (k_new, v_new) = jax.lax.scan(
-            body, x, (gpt2._layer_stack(params), pool.k, pool.v))
-        return _tp_logits(params, x, "model", cfg), PagePool(k_new, v_new)
+        stack = gpt2._layer_stack(params)
+        for i in range(cfg.num_layers):
+            lp = {name: w[i] for name, w in stack.items()}
+            x, (k_l, v_l) = body_layer(x, lp, pool.k[i], pool.v[i],
+                                       fpage, fslot, B, T)
+            pool = pool.with_layer(i, (k_l, v_l))
+        return _tp_logits(params, x, "model", cfg), pool
 
-    pool_spec = PagePool(tp_pool_spec(), tp_pool_spec())
+    spec = tp_pool_spec()
+    pool_spec = PagePool(tuple(spec for _ in range(cfg.num_layers)),
+                         tuple(spec for _ in range(cfg.num_layers)))
     sharded = shard_map(
         run, mesh=mesh,
         in_specs=({k: v for k, v in TP_PARAM_SPECS.items()},

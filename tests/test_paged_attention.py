@@ -162,3 +162,85 @@ def test_paged_model_matches_dense_model(golden, use_kernel):
             jnp.asarray(tables), lengths, pool, cfg, use_kernel=use_kernel)
         np.testing.assert_allclose(np.asarray(logits_t), full[:, t],
                                    rtol=1e-4, atol=1e-5, err_msg=str(t))
+
+
+def test_full_pool_kernel_matches_single_layer():
+    """The full-pool kernel (layer plane selected by scalar prefetch) must
+    equal the single-layer kernel on every layer of a multi-layer pool."""
+    from llmc_paged_tpu.ops.paged_attention import (
+        paged_decode_attention_full, paged_decode_attention_full_xla)
+
+    rng = np.random.default_rng(3)
+    Lk, B, NH, HS, P, ps, pps = 3, 2, 4, 64, 12, 8, 4
+    q = jnp.asarray(rng.standard_normal((B, NH, HS), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((Lk, NH, P, ps, HS), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((Lk, NH, P, ps, HS), dtype=np.float32))
+    tables = jnp.asarray(
+        rng.permutation(P)[: B * pps].reshape(B, pps).astype(np.int32))
+    lengths = jnp.asarray([29, 7], jnp.int32)
+    starts = jnp.asarray([4, 0], jnp.int32)
+    for layer in range(Lk):
+        ref = paged_decode_attention(q, k[layer], v[layer], tables, lengths,
+                                     starts, interpret=INTERP)
+        got = paged_decode_attention_full(q, k, v, jnp.int32(layer), tables,
+                                          lengths, starts, interpret=INTERP)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=1e-6)
+        oracle = paged_decode_attention_full_xla(q, k, v, layer, tables,
+                                                 lengths, starts)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(oracle),
+                                   atol=2e-5)
+
+
+def test_full_pool_quant_kernel_matches_oracle():
+    from llmc_paged_tpu.kv.layouts import quantize_rows
+    from llmc_paged_tpu.ops.paged_attention import (
+        paged_decode_attention_quant_full,
+        paged_decode_attention_quant_full_xla)
+
+    rng = np.random.default_rng(5)
+    Lk, B, NH, HS, P, ps, pps = 2, 2, 4, 64, 10, 8, 4
+    q = jnp.asarray(rng.standard_normal((B, NH, HS), dtype=np.float32))
+    kf = rng.standard_normal((Lk, NH, P, ps, HS)).astype(np.float32)
+    vf = rng.standard_normal((Lk, NH, P, ps, HS)).astype(np.float32)
+    kq, ks = quantize_rows(jnp.asarray(kf))   # (L,NH,P,ps,HS), (L,NH,P,ps)
+    vq, vs = quantize_rows(jnp.asarray(vf))
+    ks = ks[:, :, :, None, :]                 # (L,NH,P,1,ps)
+    vs = vs[:, :, :, None, :]
+    tables = jnp.asarray(
+        rng.permutation(P)[: B * pps].reshape(B, pps).astype(np.int32))
+    lengths = jnp.asarray([25, 12], jnp.int32)
+    for layer in range(Lk):
+        got = paged_decode_attention_quant_full(
+            q, kq, vq, ks, vs, jnp.int32(layer), tables, lengths,
+            interpret=INTERP)
+        oracle = paged_decode_attention_quant_full_xla(
+            q, kq, vq, ks, vs, layer, tables, lengths)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(oracle),
+                                   atol=2e-5)
+
+
+def test_write_kv_full_matches_per_layer():
+    from llmc_paged_tpu.kv.layouts import (
+        PagePool, write_kv_full, write_layer_kv)
+
+    rng = np.random.default_rng(9)
+    Lk, NH, P, ps, HS, N = 3, 2, 6, 4, 8, 5
+    pool = PagePool(jnp.zeros((Lk, NH, P, ps, HS)),
+                    jnp.zeros((Lk, NH, P, ps, HS)))
+    k_new = jnp.asarray(rng.standard_normal((N, NH, HS), dtype=np.float32))
+    v_new = jnp.asarray(rng.standard_normal((N, NH, HS), dtype=np.float32))
+    page = jnp.asarray([0, 0, 3, 5, 6], jnp.int32)   # last row: dropped
+    slot = jnp.asarray([0, 1, 2, 3, 0], jnp.int32)
+    for layer in range(Lk):
+        got = write_kv_full(pool, jnp.int32(layer), k_new, v_new, page, slot)
+        ref_k, ref_v = write_layer_kv(pool.k[layer], pool.v[layer],
+                                      k_new, v_new, page, slot)
+        np.testing.assert_array_equal(np.asarray(got.k[layer]),
+                                      np.asarray(ref_k))
+        np.testing.assert_array_equal(np.asarray(got.v[layer]),
+                                      np.asarray(ref_v))
+        # other layers untouched
+        for other in range(Lk):
+            if other != layer:
+                assert not np.asarray(got.k[other]).any()
