@@ -49,6 +49,9 @@ def run_paged(params_np, cfg, B, prompts, NEW, CHUNK, param_dtype, kv_dtype):
 def main():
     import jax
 
+    from llmc_paged_tpu.utils import enable_compile_cache
+    enable_compile_cache()
+
     from llmc_paged_tpu.config import EngineConfig, GPT2Config
     from llmc_paged_tpu.engine.engine import InferenceEngine
     from llmc_paged_tpu.models import gpt2

@@ -108,3 +108,8 @@ class EngineConfig:
     # here?"): out-of-range indices on TPU don't segfault, they clamp/drop
     # silently — this catches them at the source instead.
     debug_checks: bool = False
+    # Structured per-iteration log: every N scheduler iterations emit one
+    # line (step, running/waiting seqs, pages free, decode tokens, tok/s) —
+    # the reference's per-step print_state dump (block_manager.c:25-36,
+    # called at paged_infer.c:532,572) made machine-readable. 0 = off.
+    log_every: int = 0

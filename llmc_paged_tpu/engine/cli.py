@@ -54,6 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="use the XLA gather fallback instead of Pallas")
     p.add_argument("--json", action="store_true",
                    help="emit machine-readable stats")
+    p.add_argument("--log-every", type=int, default=0,
+                   help="emit a structured scheduler-state line every N "
+                        "iterations (print_state parity, machine-readable)")
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="write a jax.profiler trace of the run to DIR "
                         "(view with tensorboard/xprof; SURVEY.md §5 "
@@ -69,6 +72,8 @@ def main(argv=None) -> int:
     if os.environ.get("LLMC_PLATFORM"):
         import jax
         jax.config.update("jax_platforms", os.environ["LLMC_PLATFORM"])
+    from llmc_paged_tpu.utils import enable_compile_cache
+    enable_compile_cache()
     cfg, params = formats.read_checkpoint(args.checkpoint)
     tok = Tokenizer.from_file(args.tokenizer) if args.tokenizer else None
     stream = formats.read_token_stream(args.data)
@@ -79,7 +84,8 @@ def main(argv=None) -> int:
     econf = EngineConfig(cache_mode=args.mode, page=page,
                          max_batch=args.batch, seed=args.seed,
                          greedy=args.greedy, top_k=args.top_k,
-                         temperature=args.temperature)
+                         temperature=args.temperature,
+                         log_every=args.log_every)
     engine = InferenceEngine(params, cfg, econf,
                              use_kernel=not args.no_kernel)
 

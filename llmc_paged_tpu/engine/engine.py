@@ -175,6 +175,7 @@ class InferenceEngine:
         pps = page.pages_per_seq
         t_start = time.monotonic()
         decode_tokens = 0
+        iteration = 0
 
         def requeue_evicted(evicted: List[int], skip_slot: int = -1) -> List[int]:
             preempted = []
@@ -186,6 +187,17 @@ class InferenceEngine:
             return preempted
 
         while sched.has_work:
+            iteration += 1
+            if econf.log_every and iteration % econf.log_every == 0:
+                dt = time.monotonic() - t_start
+                print(f'{{"iter": {iteration}, '
+                      f'"running": {len(sched.running)}, '
+                      f'"waiting": {len(sched.waiting)}, '
+                      f'"finished": {len(sched.finished)}, '
+                      f'"pages_free": {mgr.num_free()}, '
+                      f'"decode_tokens": {decode_tokens}, '
+                      f'"tok_per_s": {decode_tokens / dt if dt else 0:.1f}}}',
+                      flush=True)
             # ---- admission + batched prefill ---------------------------
             progressed = False
             admitted: List[Tuple[int, Request]] = []

@@ -81,7 +81,7 @@ def kernel_suite(B: int, cfg, page_size=32, pages_per_seq=10):
           f"{bytes_moved/dt/1e9:.1f} GB/s --")
 
 
-def chunk_suite(B: int, cfg, dtypes=("float32", "bfloat16")):
+def chunk_suite(B: int, cfg, dtypes=("float32", "bfloat16", "int8")):
     """Per-step time of the real chunked decode, by param/pool dtype."""
     import __graft_entry__ as _  # noqa: F401  (repo root on path)
     from llmc_paged_tpu.config import PageConfig
@@ -96,9 +96,15 @@ def chunk_suite(B: int, cfg, dtypes=("float32", "bfloat16")):
     params_np = jax.tree.map(
         np.asarray, gpt2.init_params(cfg, jax.random.PRNGKey(0)))
     for dtype_name in dtypes:
-        dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype_name]
-        params = gpt2.to_device(params_np, cfg, dtype)
-        pool = init_pool(cfg, page_cfg, dtype=dtype)
+        if dtype_name == "int8":
+            from llmc_paged_tpu.ops.int8 import quantize_params
+            params = quantize_params(gpt2.to_device(params_np, cfg))
+            pool = init_pool(cfg, page_cfg, dtype="int8")
+        else:
+            dtype = {"float32": jnp.float32,
+                     "bfloat16": jnp.bfloat16}[dtype_name]
+            params = gpt2.to_device(params_np, cfg, dtype)
+            pool = init_pool(cfg, page_cfg, dtype=dtype)
         mgr = BlockManager(page_cfg.num_pages, page_cfg.page_size, B)
         prompt = 128
         pgs = np.zeros((CHUNK, B), np.int32)
@@ -243,8 +249,12 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--skip", default="",
                     help="comma list: gemv,kernel,chunk,unrolled")
+    ap.add_argument("--dtypes", default="float32,bfloat16,int8",
+                    help="comma list for the chunk suite")
     args = ap.parse_args()
     from llmc_paged_tpu.config import GPT2Config
+    from llmc_paged_tpu.utils import enable_compile_cache
+    enable_compile_cache()
     cfg = getattr(GPT2Config, f"gpt2_{args.model}")()
     skip = set(args.skip.split(","))
     print(f"device: {jax.devices()[0]}  model: {args.model}")
@@ -253,7 +263,7 @@ def main():
     if "kernel" not in skip:
         kernel_suite(args.batch, cfg)
     if "chunk" not in skip:
-        chunk_suite(args.batch, cfg)
+        chunk_suite(args.batch, cfg, dtypes=tuple(args.dtypes.split(",")))
     if "unrolled" not in skip:
         chunk_suite_unrolled(args.batch, cfg)
 

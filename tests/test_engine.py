@@ -197,3 +197,17 @@ def test_chunk_chain_matches_unchunked(setup):
     assert chained == ref
     for i in range(3):
         assert len(ref[i]) == len(prompts[i]) + lens[i]
+
+
+def test_debug_checks_validates_clean_run(setup):
+    """EngineConfig.debug_checks host-validates every device-bound index; a
+    healthy run must pass all assertions and produce identical tokens."""
+    cfg, params, stream = setup
+    prompt = stream[:8].tolist()
+    page = PageConfig(page_size=8, num_pages=64, max_seqs=8, pages_per_seq=8)
+    outs = {}
+    for dbg in (False, True):
+        econf = EngineConfig(cache_mode="paged", page=page, greedy=True,
+                             max_batch=2, debug_checks=dbg)
+        outs[dbg] = InferenceEngine(params, cfg, econf).generate(prompt, 12)
+    assert outs[False] == outs[True]

@@ -96,3 +96,28 @@ def test_prepro_text_byte_fallback(tmp_path):
     # decode round-trip of the first document
     text = b"".join(table[t] for t in val_toks[1:]).decode()
     assert text == "hello w"
+
+
+def test_prepro_text_parallel_shards_match_serial(tmp_path):
+    """--workers N (the tinystories ProcessPoolExecutor shard pattern,
+    prepro_tinystories.py:104-108) must produce byte-identical streams."""
+    src = tmp_path / "corpus.txt"
+    docs = [f"document number {i} with some text" for i in range(11)]
+    src.write_text("\n\n".join(docs))
+    tool = os.path.join(os.path.dirname(__file__), "..", "tools",
+                        "prepro_text.py")
+
+    def run(workers, prefix):
+        out = subprocess.run(
+            [sys.executable, tool, str(src), "--encoder", "byte",
+             "--val-tokens", "8", "--workers", str(workers),
+             "--out-prefix", str(tmp_path / prefix)],
+            capture_output=True, text=True, timeout=120)
+        assert out.returncode == 0, out.stderr[-1000:]
+        return (formats.read_token_stream(str(tmp_path / prefix) + "_train.bin"),
+                formats.read_token_stream(str(tmp_path / prefix) + "_val.bin"))
+
+    t1, v1 = run(1, "serial")
+    t3, v3 = run(3, "sharded")
+    np.testing.assert_array_equal(t1, t3)
+    np.testing.assert_array_equal(v1, v3)

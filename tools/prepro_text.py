@@ -47,6 +47,20 @@ def tiktoken_encoder():
     return encode, enc.eot_token, table
 
 
+def _encode_shard(encoder_choice: str, docs):
+    """Worker: tokenize a list of documents (module-level for pickling)."""
+    if encoder_choice in ("auto", "tiktoken"):
+        try:
+            encode, _, _ = tiktoken_encoder()
+        except Exception:
+            if encoder_choice == "tiktoken":
+                raise
+            encode, _, _ = byte_encoder()
+    else:
+        encode, _, _ = byte_encoder()
+    return [encode(d) for d in docs]
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(prog="prepro_text")
     ap.add_argument("input", help="local UTF-8 text file")
@@ -59,6 +73,10 @@ def main(argv=None) -> int:
                     help="document split; each doc is EOT-prefixed")
     ap.add_argument("--encoder", choices=["auto", "tiktoken", "byte"],
                     default="auto")
+    ap.add_argument("--workers", type=int, default=1,
+                    help="parallel document tokenization over a process "
+                         "pool (prepro_tinystories.py:104-108 shard "
+                         "pattern); documents are re-joined in order")
     args = ap.parse_args(argv)
 
     prefix = args.out_prefix or os.path.splitext(args.input)[0]
@@ -77,12 +95,32 @@ def main(argv=None) -> int:
         encode, eot, table = byte_encoder()
         name = "byte-fallback"
 
-    tokens = []
-    for doc in text.split(args.doc_delimiter):
-        if not doc.strip():
-            continue
-        tokens.append(eot)
-        tokens.extend(encode(doc))
+    docs = [d for d in text.split(args.doc_delimiter) if d.strip()]
+    if args.workers > 1:
+        # shard documents over a process pool, order-preserving
+        # (the reference tokenizes TinyStories shards the same way,
+        # prepro_tinystories.py:104-108)
+        from concurrent.futures import ProcessPoolExecutor
+        from functools import partial
+
+        worker = partial(_encode_shard, args.encoder)
+        shards = [docs[i:: args.workers] for i in range(args.workers)]
+        with ProcessPoolExecutor(max_workers=args.workers) as pool:
+            per_shard = list(pool.map(worker, shards))
+        # round-robin reassembly back to document order
+        by_doc = [None] * len(docs)
+        for w, shard_tokens in enumerate(per_shard):
+            for j, doc_tokens in enumerate(shard_tokens):
+                by_doc[w + j * args.workers] = doc_tokens
+        tokens = []
+        for doc_tokens in by_doc:
+            tokens.append(eot)
+            tokens.extend(doc_tokens)
+    else:
+        tokens = []
+        for doc in docs:
+            tokens.append(eot)
+            tokens.extend(encode(doc))
     tokens = np.asarray(tokens, dtype=np.int32)
 
     val = tokens[: args.val_tokens]
