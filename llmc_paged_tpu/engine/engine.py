@@ -81,6 +81,32 @@ class InferenceEngine:
         self.use_kernel = use_kernel
         self.native_manager = native_manager
         self.stats: Dict[str, float] = {}
+        # Tensor-parallel serving (EngineConfig.mesh_shape, e.g.
+        # {"model": 4} or {"data": 1, "model": 4}): weights, KV pool and
+        # the decode step are sharded over heads via shard_map; the
+        # scheduler/block-manager stay host-side and unchanged (block
+        # tables are replicated metadata; KV pages never move).
+        self._tp = None
+        if self.econf.mesh_shape:
+            from llmc_paged_tpu.parallel import sharding as sh
+            if self.econf.param_dtype != "float32":
+                raise NotImplementedError(
+                    "TP serving currently runs the fp32 path")
+            model = int(self.econf.mesh_shape.get("model", 1))
+            data = int(self.econf.mesh_shape.get("data", 1))
+            mesh = sh.make_mesh(model=model, data=data)
+            params_np = jax.tree.map(np.asarray, params) \
+                if not isinstance(next(iter(params.values())), jax.Array) \
+                else jax.tree.map(np.asarray, self.params)
+            self._tp = {
+                "mesh": mesh,
+                "params": sh.prepare_tp_params(params_np, cfg, mesh),
+                "decode": sh.make_tp_decode_step(
+                    cfg, mesh, use_kernel=use_kernel),
+                "prefill": sh.make_tp_prefill(cfg, mesh),
+                "pool_sharding": jax.sharding.NamedSharding(
+                    mesh, sh.tp_pool_spec()),
+            }
 
     # -- mode "none": full recompute with sliding window (infer.c) ----------
 
@@ -141,7 +167,10 @@ class InferenceEngine:
         mgr = make_block_manager(page.num_pages, page.page_size,
                                  max(page.max_seqs, self.econf.max_batch),
                                  native=self.native_manager)
-        return mgr, init_pool(self.cfg, page, dtype=page.kv_dtype)
+        pool = init_pool(self.cfg, page, dtype=page.kv_dtype)
+        if self._tp is not None:
+            pool = jax.device_put(pool, self._tp["pool_sharding"])
+        return mgr, pool
 
     def generate_paged(self, prompt: Sequence[int], max_new_tokens: int,
                        window: Optional[int] = None,
@@ -240,9 +269,14 @@ class InferenceEngine:
                 pg, sl = token_coords(jnp.asarray(tables_g), jnp.asarray(pos),
                                       page.page_size, jnp.asarray(valid),
                                       page.num_pages)
-                logits, pool = gpt2_paged.prefill_paged(
-                    self.params, jnp.asarray(xs), pg, sl, pool, cfg,
-                    last_pos=jnp.asarray(last))          # (Bg, V)
+                if self._tp is not None:
+                    full, pool = self._tp["prefill"](
+                        self._tp["params"], jnp.asarray(xs), pg, sl, pool)
+                    logits = full[jnp.arange(len(group)), last[: len(group)]]
+                else:
+                    logits, pool = gpt2_paged.prefill_paged(
+                        self.params, jnp.asarray(xs), pg, sl, pool, cfg,
+                        last_pos=jnp.asarray(last))      # (Bg, V)
                 picks = probs = raws = None
                 if sampler.greedy:
                     picks = np.asarray(jnp.argmax(logits, axis=-1))
@@ -265,7 +299,9 @@ class InferenceEngine:
             # ---- chunked greedy decode (one device round trip per K
             # tokens; page coordinates reserved K ahead) -----------------
             chunk = 1
-            if sampler.greedy and sched.running and not sched.waiting:
+            if self._tp is not None:
+                pass   # TP decode is single-step for now (no chunk graph)
+            elif sampler.greedy and sched.running and not sched.waiting:
                 # capacity-bound only: rows that hit max_new mid-chunk are
                 # truncated on the host (overshoot-and-discard beats paying
                 # a ~60ms sync per tail token on a tunneled chip)
@@ -403,12 +439,20 @@ class InferenceEngine:
                     if econf.debug_checks:
                         _validate_indices(page, tables, pg[None], sl[None],
                                           lengths)
-                    logits, pool = gpt2_paged.decode_step_paged(
-                        self.params, jnp.asarray(toks), jnp.asarray(wpe_pos),
-                        jnp.asarray(pg), jnp.asarray(sl), jnp.asarray(tables),
-                        jnp.asarray(lengths), pool, cfg,
-                        use_kernel=self.use_kernel,
-                        starts=jnp.asarray(starts))
+                    if self._tp is not None:
+                        logits, pool = self._tp["decode"](
+                            self._tp["params"], jnp.asarray(toks),
+                            jnp.asarray(wpe_pos), jnp.asarray(pg),
+                            jnp.asarray(sl), jnp.asarray(tables),
+                            jnp.asarray(lengths), jnp.asarray(starts), pool)
+                    else:
+                        logits, pool = gpt2_paged.decode_step_paged(
+                            self.params, jnp.asarray(toks),
+                            jnp.asarray(wpe_pos), jnp.asarray(pg),
+                            jnp.asarray(sl), jnp.asarray(tables),
+                            jnp.asarray(lengths), pool, cfg,
+                            use_kernel=self.use_kernel,
+                            starts=jnp.asarray(starts))
                     decode_tokens += len(stepped)
                     if sampler.greedy:
                         picks = np.asarray(jnp.argmax(logits, axis=-1))

@@ -43,6 +43,25 @@ from llmc_paged_tpu.ops.paged_attention import (
 )
 
 
+def init_distributed(coordinator_address: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> None:
+    """Multi-host init (the NCCL init_process_group analogue,
+    train_gpt2.py:400-408): call once per host before building the mesh.
+    With no arguments JAX auto-detects the TPU pod environment (the
+    torchrun-env-vars equivalent); explicit args cover manual clusters.
+    After this, jax.devices() spans the whole slice/pod and the same
+    make_mesh + shard_map code runs SPMD — collectives ride ICI within a
+    slice and DCN across hosts. No-op if already initialized."""
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    except RuntimeError as e:
+        if "already" not in str(e).lower():
+            raise
+
+
 def make_mesh(model: int = 1, data: int = 1,
               devices=None) -> Mesh:
     devices = np.asarray(devices if devices is not None else jax.devices())

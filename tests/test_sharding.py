@@ -140,3 +140,33 @@ def test_dp_train_step_matches_single_device(golden):
     loss_1b = gpt2.loss_fn(params_1, x, y, cfg)
     _, _, loss_dp2 = step(params_dp, opt_dp, xd, yd, cfg)
     assert abs(float(loss_dp2) - float(loss_1b)) < 1e-5
+
+
+def test_engine_tp_serving_matches_single_device(fixtures_dir):
+    """InferenceEngine with EngineConfig.mesh_shape runs the whole
+    continuous-batching loop through the shard_map TP step (config 5
+    single-host slice); greedy tokens must equal the single-device
+    engine's."""
+    from llmc_paged_tpu import formats
+    from llmc_paged_tpu.config import EngineConfig, PageConfig
+    from llmc_paged_tpu.engine.engine import InferenceEngine
+    from llmc_paged_tpu.engine.scheduler import Request
+
+    cfg, params = formats.read_checkpoint(
+        os.path.join(fixtures_dir, "model_tiny.bin"))
+    stream = formats.read_token_stream(
+        os.path.join(fixtures_dir, "tokens_tiny.bin"))
+    prompts = [stream[i * 5: i * 5 + 7].tolist() for i in range(2)]
+    page = PageConfig(page_size=8, num_pages=32, max_seqs=4, pages_per_seq=6)
+
+    def run(mesh_shape):
+        econf = EngineConfig(cache_mode="paged", page=page, greedy=True,
+                             max_batch=2, mesh_shape=mesh_shape)
+        eng = InferenceEngine(params, cfg, econf)
+        done = eng.run([Request(rid=i, prompt=prompts[i], max_new_tokens=10)
+                        for i in range(2)])
+        return {r.rid: r.tokens for r in done}
+
+    ref = run(None)
+    tp = run({"model": 2})
+    assert tp == ref
