@@ -50,6 +50,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--top-k", type=int, default=None,
                    help="top-k sampling (train_gpt2.py generate semantics)")
     p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--mesh-model", type=int, default=0,
+                   help="tensor-parallel ways over heads (0 = off); "
+                        "requires that many devices")
     p.add_argument("--no-kernel", action="store_true",
                    help="use the XLA gather fallback instead of Pallas")
     p.add_argument("--json", action="store_true",
@@ -85,7 +88,9 @@ def main(argv=None) -> int:
                          max_batch=args.batch, seed=args.seed,
                          greedy=args.greedy, top_k=args.top_k,
                          temperature=args.temperature,
-                         log_every=args.log_every)
+                         log_every=args.log_every,
+                         mesh_shape={"model": args.mesh_model}
+                         if args.mesh_model else None)
     engine = InferenceEngine(params, cfg, econf,
                              use_kernel=not args.no_kernel)
 
