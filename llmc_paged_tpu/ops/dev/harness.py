@@ -11,6 +11,7 @@ from typing import Callable, Dict, Iterable, Tuple
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 
 
 def validate_result(fn: Callable, ref: Callable, args: tuple,
@@ -26,19 +27,40 @@ def validate_result(fn: Callable, ref: Callable, args: tuple,
         raise AssertionError(f"{name} mismatch: {err}")
 
 
+def _chained_fn(fn: Callable) -> Callable:
+    """Wrap fn as jit(g(scalar, *args) -> (out, scalar')) where scalar' is
+    a cheap reduction of out and scalar feeds (scaled by 1e-30 so XLA cannot algebraically
+    eliminate it) into the first
+    float argument — one dispatch per call, each call data-dependent on
+    the previous. Without this the environment OVERLAPS independent queued
+    programs (and memoizes repeated identical ones), yielding impossible
+    multi-TB/s readings."""
+    @jax.jit
+    def g(scalar, *args):
+        a0 = args[0] + (scalar * jnp.float32(1e-30)).astype(args[0].dtype)
+        out = fn(a0, *args[1:])
+        first = out[0] if isinstance(out, (tuple, list)) else out
+        return out, jnp.sum(first).astype(jnp.float32)
+
+    return g
+
+
 def benchmark(fn: Callable, args: tuple, iters: int = 50,
               warmup: int = 3) -> float:
-    """Median-of-3 wall time per call (ms), pipelined dispatch with a final
-    block_until_ready — the jax analogue of cudaEvent timing."""
-    for _ in range(warmup):
-        r = fn(*args)
-    jax.block_until_ready(r)
+    """Median-of-3 wall time per call (ms): dispatches stay pipelined (one
+    final block_until_ready — the jax analogue of cudaEvent timing) but
+    every call is data-dependent on the previous one (see _chained_fn)."""
+    g = _chained_fn(fn)
+    s = jnp.float32(0)
+    for _ in range(warmup + 1):
+        r, s = g(s, *args)
+    jax.block_until_ready(s)
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(iters):
-            r = fn(*args)
-        jax.block_until_ready(r)
+            r, s = g(s, *args)
+        jax.block_until_ready(s)
         times.append((time.perf_counter() - t0) / iters * 1e3)
     return sorted(times)[1]
 

@@ -31,6 +31,33 @@ def timeit(fn, *args, iters=20, warmup=2):
     return (time.monotonic() - t0) / iters
 
 
+def timeit_cycle(fn, arg_sets, iters=20, warmup=0):
+    """Cycles over argument tuples AND chains every call on the previous
+    output (a zero-valued scalar folded into the first float arg). This
+    environment both memoizes repeated identical pure calls and OVERLAPS
+    independent queued programs — unchained timing reads multi-TB/s.
+    Dependency-chained, pipelined-dispatch timing is faithful."""
+    n = len(arg_sets)
+
+    @jax.jit
+    def g(scalar, *args):
+        a0 = args[0] + (scalar * jnp.float32(1e-30)).astype(args[0].dtype)
+        out = fn(a0, *args[1:])
+        first = out[0] if isinstance(out, (tuple, list)) else out
+        return out, jnp.sum(first).astype(jnp.float32)
+
+    s = jnp.float32(0)
+    out, s = g(s, *arg_sets[0])      # compile
+    for i in range(warmup):
+        out, s = g(s, *arg_sets[i % n])
+    jax.block_until_ready(s)
+    t0 = time.monotonic()
+    for i in range(iters):
+        out, s = g(s, *arg_sets[i % n])
+    jax.block_until_ready(s)
+    return (time.monotonic() - t0) / iters
+
+
 def gemv_suite(B: int, cfg):
     """Per-matmul time and achieved HBM bandwidth for the decode shapes."""
     from llmc_paged_tpu.ops import layers as L
@@ -49,10 +76,16 @@ def gemv_suite(B: int, cfg):
         for dtype, prec in [(jnp.float32, jax.lax.Precision.HIGHEST),
                             (jnp.float32, jax.lax.Precision.DEFAULT),
                             (jnp.bfloat16, jax.lax.Precision.DEFAULT)]:
-            x = jnp.asarray(rng.normal(size=(B, IC)), dtype)
-            w = jnp.asarray(rng.normal(size=(OC, IC)), dtype)
+            # every call must be a UNIQUE (x, w) pair: the runtime
+            # memoizes pure executions it has already seen
+            xs = [jnp.asarray(rng.normal(size=(B, IC)), dtype)
+                  for _ in range(24)]
+            ws = [jnp.asarray(rng.normal(size=(OC, IC)), dtype)
+                  for _ in range(3)]
             f = jax.jit(functools.partial(L.linear, precision=prec))
-            dt = timeit(f, x, w)
+            dt = timeit_cycle(f, [(x, ws[i % 3])
+                                  for i, x in enumerate(xs)], iters=20,
+                              warmup=0)
             gb = OC * IC * np.dtype(dtype.dtype if hasattr(dtype, "dtype")
                                     else dtype).itemsize / 1e9
             print(f"  {name:18s} {np.dtype(dtype).name:9s} "
@@ -67,14 +100,20 @@ def kernel_suite(B: int, cfg, page_size=32, pages_per_seq=10):
     P = B * pages_per_seq + 8
     rng = np.random.default_rng(0)
     q = jnp.asarray(rng.normal(size=(B, NH, HS)), jnp.float32)
-    kp = jnp.asarray(rng.normal(size=(NH, P, page_size, HS)), jnp.float32)
-    vp = jnp.asarray(rng.normal(size=(NH, P, page_size, HS)), jnp.float32)
+    pools = [(jnp.asarray(rng.normal(size=(NH, P, page_size, HS)),
+                          jnp.float32),
+              jnp.asarray(rng.normal(size=(NH, P, page_size, HS)),
+                          jnp.float32)) for _ in range(3)]
     tables = jnp.asarray(
         rng.permutation(P)[: B * pages_per_seq].reshape(B, pages_per_seq),
         jnp.int32)
     lengths = jnp.full((B,), page_size * pages_per_seq, jnp.int32)
     starts = jnp.zeros((B,), jnp.int32)
-    dt = timeit(paged_decode_attention, q, kp, vp, tables, lengths, starts)
+    qs = [jnp.asarray(rng.normal(size=(B, NH, HS)), jnp.float32)
+          for _ in range(24)]
+    dt = timeit_cycle(paged_decode_attention,
+                      [(qi, *pools[i % 3], tables, lengths, starts)
+                       for i, qi in enumerate(qs)], iters=20, warmup=0)
     bytes_moved = 2 * B * pages_per_seq * page_size * NH * HS * 4
     print(f"-- paged attention kernel: B={B} pages/seq={pages_per_seq} "
           f"ps={page_size}: {dt*1e6:.1f} us/layer-call, "
