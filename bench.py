@@ -84,6 +84,14 @@ def main():
                        "p50_ttft_s": round(stats["p50_ttft_s"], 4),
                        "runs": stats["runs"]}
 
+    # BASELINE metric "max concurrent seqs per GB": KV bytes per token by
+    # dtype decide how many 256-token sequences a GB of pool holds
+    kv_bpt = {"float32": 8, "bfloat16": 4, "int8": 2 + 8 / cfg.head_dim}
+    for name in sweep:
+        bpt = cfg.num_layers * cfg.num_heads * cfg.head_dim * kv_bpt[name]
+        sweep[name]["kv_bytes_per_token"] = int(bpt)
+        sweep[name]["max_seqs_256tok_per_gb"] = int(2**30 / (bpt * 256))
+
     best = max(sweep, key=lambda k: sweep[k]["tok_s"])
 
     # baseline strategy: infer.c full-recompute sliding window, batch=1,

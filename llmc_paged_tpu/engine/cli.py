@@ -50,6 +50,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--top-k", type=int, default=None,
                    help="top-k sampling (train_gpt2.py generate semantics)")
     p.add_argument("--temperature", type=float, default=1.0)
+    p.add_argument("--dtype", choices=["float32", "bfloat16", "int8"],
+                   default="float32",
+                   help="serving weight dtype (fp32 = exact parity)")
+    p.add_argument("--kv-dtype", choices=["float32", "bfloat16", "int8"],
+                   default=None,
+                   help="KV page dtype (default: same as --dtype)")
     p.add_argument("--mesh-model", type=int, default=0,
                    help="tensor-parallel ways over heads (0 = off); "
                         "requires that many devices")
@@ -83,8 +89,10 @@ def main(argv=None) -> int:
 
     page = PageConfig(page_size=args.page_size, num_pages=args.num_pages,
                       max_seqs=max(args.batch, 8),
-                      pages_per_seq=args.pages_per_seq)
+                      pages_per_seq=args.pages_per_seq,
+                      kv_dtype=args.kv_dtype or args.dtype)
     econf = EngineConfig(cache_mode=args.mode, page=page,
+                         param_dtype=args.dtype,
                          max_batch=args.batch, seed=args.seed,
                          greedy=args.greedy, top_k=args.top_k,
                          temperature=args.temperature,

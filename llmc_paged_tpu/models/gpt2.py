@@ -118,11 +118,14 @@ def _lin(lp: Params, wkey: str, x: jax.Array,
 
 def _embed(params: Params, tokens: jax.Array,
            wpe_pos: jax.Array) -> jax.Array:
-    """wte[tokens] + wpe[pos], dequantizing int8 wte rows on the fly."""
+    """wte[tokens] + wpe[pos], dequantizing int8 wte rows on the fly.
+    Quantized wte may be column-padded to a 128-multiple
+    (ops.int8.pad_weight_for_tpu) — slice back to the true channel dim."""
     wte = params["wte"]
     if wte.dtype == jnp.int8:
         rows = wte[tokens].astype(jnp.float32)
         emb = rows * params["wte_scale"][tokens][..., None]
+        emb = emb[..., : params["wpe"].shape[-1]]
     else:
         emb = wte[tokens]
     return emb + params["wpe"][wpe_pos]

@@ -38,6 +38,23 @@ def dequantize(wq: jax.Array, scale: jax.Array) -> jax.Array:
     return wq.astype(jnp.float32) * scale[:, None]
 
 
+def pad_weight_for_tpu(wq: jax.Array, scale: jax.Array, multiple: int = 128
+                       ) -> Tuple[jax.Array, jax.Array]:
+    """Zero-pad a quantized (OC, IC) weight to 128-multiples on BOTH dims
+    so the fused kernel always gets Mosaic-aligned tiles (GPT-2 1.5B's
+    1600/4800/6400 channels have no 128-multiple divisors; the unaligned
+    escape-hatch kernel measured ~2x slower end-to-end). Padded out rows
+    produce zeros that callers slice off (int8_linear slices by the bias
+    length; the logits path slices to vocab_size); padded in columns
+    multiply zero-padded activations."""
+    oc, ic = wq.shape
+    po, pi = (-oc) % multiple, (-ic) % multiple
+    if po or pi:
+        wq = jnp.pad(wq, ((0, po), (0, pi)))
+        scale = jnp.pad(scale, (0, po), constant_values=1.0)
+    return wq, scale
+
+
 def int8_linear_xla(x: jax.Array, wq: jax.Array, scale: jax.Array,
                     b: jax.Array | None = None) -> jax.Array:
     """Reference/fallback: x(..., IC) @ dequant(wq)(OC, IC)^T + b."""
@@ -52,7 +69,8 @@ def int8_linear_xla(x: jax.Array, wq: jax.Array, scale: jax.Array,
     return out
 
 
-def _int8_matmul_kernel(x_ref, wq_ref, s_ref, out_ref, acc_ref):
+def _int8_matmul_kernel(x_ref, wq_ref, s_ref, out_ref, acc_ref, *,
+                        bf16_compute: bool):
     j = pl.program_id(2)
     nj = pl.num_programs(2)
 
@@ -61,10 +79,22 @@ def _int8_matmul_kernel(x_ref, wq_ref, s_ref, out_ref, acc_ref):
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     x = x_ref[...]                                 # (RT, ICT) f32
-    w = wq_ref[...].astype(jnp.float32)            # (OCT, ICT) exact
+    if bf16_compute:
+        # int8 weight values are EXACT in bf16 (8-bit mantissa covers
+        # ±127); the multiply runs single-pass on the MXU with f32
+        # accumulation. Only the activation loses bits (f32 → bf16) —
+        # the same rounding class as the bf16 serving mode, covered by
+        # the loss-delta gate. The fp32 path (bf16_compute=False) keeps
+        # the multiply exact for oracle tests.
+        x = x.astype(jnp.bfloat16)
+        w = wq_ref[...].astype(jnp.bfloat16)
+        prec = jax.lax.Precision.DEFAULT
+    else:
+        w = wq_ref[...].astype(jnp.float32)
+        prec = jax.lax.Precision.HIGHEST
     acc_ref[...] += jax.lax.dot_general(
         x, w, dimension_numbers=(((1,), (1,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST,
+        precision=prec,
         preferred_element_type=jnp.float32)
 
     @pl.when(j == nj - 1)
@@ -82,15 +112,14 @@ _IC_CANDS = (4096, 3072, 2048, 1536, 1280, 1024, 768, 640, 512, 384, 256,
 
 def _pick_oc_tile(oc: int) -> Tuple[int, bool]:
     """Pick the OC tile. Returns (OCT, aligned): aligned means OCT is a
-    multiple of 128 so the (B, OC) output can be tiled directly; otherwise
-    the kernel uses a 3D (tiles, B, OCT) output whose block spans the full
-    minor axis (needed for GPT-2 1.5B's OC ∈ {1600, 4800} which have no
-    128-multiple divisors)."""
-    for c in _OC_CANDS:
-        if c % 128 == 0 and oc % c == 0:
+    multiple of 128 so the (B, OC) output can be tiled directly. Weights
+    quantized through quantize_params are PADDED to 128-multiples
+    (pad_weight_for_tpu), so the aligned path is the norm; the unaligned
+    3D-output escape hatch remains for raw unpadded weights."""
+    # largest 128-multiple divisor (bounded by VMEM-friendly 4096)
+    for c in range(min(oc, 4096) // 128 * 128, 127, -128):
+        if oc % c == 0:
             return c, True
-    if oc % 128 == 0:
-        return oc, True
     for c in _OC_CANDS:
         if oc % c == 0:
             return c, False
@@ -119,26 +148,38 @@ def _pad_rows(x: jax.Array, multiple: int = 8) -> Tuple[jax.Array, int]:
 
 def int8_linear(x: jax.Array, wq: jax.Array, scale: jax.Array,
                 b: jax.Array | None = None,
-                interpret: bool | None = None) -> jax.Array:
+                interpret: bool | None = None,
+                bf16_compute: bool = True) -> jax.Array:
     """Dtype-dispatching linear for arbitrary leading dims: uses the fused
-    Pallas kernel when compiled for TPU, the XLA fallback otherwise."""
+    Pallas kernel when compiled for TPU, the XLA fallback otherwise.
+    Handles weights padded by pad_weight_for_tpu: activations are
+    zero-padded to the weight's IC and, when a bias is given, the output
+    is sliced back to the bias length (bias-less callers slice
+    themselves)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     lead = x.shape[:-1]
     x2 = x.reshape(-1, x.shape[-1])
+    if x2.shape[-1] < wq.shape[1]:
+        x2 = jnp.pad(x2, ((0, 0), (0, wq.shape[1] - x2.shape[-1])))
     x2, rows = _pad_rows(x2)
-    out = int8_matmul(x2, wq, scale, interpret=interpret)
+    out = int8_matmul(x2, wq, scale, interpret=interpret,
+                      bf16_compute=bf16_compute)
     out = out[:rows].reshape(*lead, wq.shape[0])
     if b is not None:
-        out = out + b
+        out = out[..., : b.shape[-1]] + b
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "bf16_compute"))
 def int8_matmul(x: jax.Array, wq: jax.Array, scale: jax.Array,
-                interpret: bool = False) -> jax.Array:
+                interpret: bool = False,
+                bf16_compute: bool = True) -> jax.Array:
     """Fused dequant-matmul: x (B, IC) f32 × wq (OC, IC) int8 → (B, OC) f32.
-    Bias and activation fusions are left to XLA outside the kernel."""
+    Bias and activation fusions are left to XLA outside the kernel.
+    bf16_compute=True (default, serving): bf16 multiply / f32 accumulate —
+    the int8 weight side is exact; False: fully fp32-exact multiply for
+    oracle comparisons."""
     B, IC = x.shape
     OC, _ = wq.shape
     OCT, aligned = _pick_oc_tile(OC)
@@ -160,9 +201,11 @@ def int8_matmul(x: jax.Array, wq: jax.Array, scale: jax.Array,
             bytes_accessed=OC * IC + B * IC * 4 + B * OC * 4 + OC * 4,
             transcendentals=0),
     )
+    kern = functools.partial(_int8_matmul_kernel,
+                             bf16_compute=bf16_compute)
     if aligned:
         return pl.pallas_call(
-            _int8_matmul_kernel,
+            kern,
             out_specs=pl.BlockSpec((RT, OCT), lambda r, i, j: (r, i)),
             out_shape=jax.ShapeDtypeStruct((B, OC), jnp.float32),
             **kwargs,
@@ -172,7 +215,7 @@ def int8_matmul(x: jax.Array, wq: jax.Array, scale: jax.Array,
     # (Mosaic's "equal to the respective dimension" escape hatch), then
     # fold tiles back into OC.
     out3 = pl.pallas_call(
-        _int8_matmul_kernel,
+        kern,
         out_specs=pl.BlockSpec((1, RT, OCT), lambda r, i, j: (i, r, 0)),
         out_shape=jax.ShapeDtypeStruct((OC // OCT, B, OCT), jnp.float32),
         **kwargs,
@@ -196,8 +239,10 @@ def quantize_params(params: Dict[str, jax.Array], keys=QUANT_KEYS
         w = params[k]
         if w.ndim == 2:
             wq, s = quantize_per_row(w)
+            wq, s = pad_weight_for_tpu(wq, s)
         else:  # (L, OC, IC) → vmap over layers
             wq, s = jax.vmap(quantize_per_row)(w)
+            wq, s = jax.vmap(pad_weight_for_tpu)(wq, s)
         out[k] = wq
         out[k + "_scale"] = s
     return out

@@ -42,10 +42,16 @@ def test_kernel_matches_dequant_oracle(shape):
     x = jnp.asarray(rng.standard_normal((8, IC), dtype=np.float32))
     w = jnp.asarray(rng.standard_normal((OC, IC), dtype=np.float32) * 0.02)
     wq, s = quantize_per_row(w)
-    out = int8_matmul(x, wq, s, interpret=INTERP)
+    # fp32-exact compute path matches the oracle to float precision
+    out = int8_matmul(x, wq, s, interpret=INTERP, bf16_compute=False)
     ref = x @ dequantize(wq, s).T
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+    # serving path (bf16 multiply, f32 accumulate): weight side exact,
+    # activation rounded to bf16 — bounded relative error
+    out_h = int8_matmul(x, wq, s, interpret=INTERP, bf16_compute=True)
+    np.testing.assert_allclose(np.asarray(out_h), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2 * float(np.abs(ref).max()))
 
 
 def test_int8_linear_leading_dims_and_row_padding():
@@ -54,7 +60,8 @@ def test_int8_linear_leading_dims_and_row_padding():
     w = jnp.asarray(rng.standard_normal((32, 64), dtype=np.float32))
     b = jnp.asarray(rng.standard_normal(32, dtype=np.float32))
     wq, s = quantize_per_row(w)
-    out = int8_linear(x, wq, s, b, interpret=INTERP)  # 15 rows → padded to 16
+    out = int8_linear(x, wq, s, b, interpret=INTERP,  # 15 rows → pad to 16
+                      bf16_compute=False)
     ref = int8_linear_xla(x, wq, s, b)
     assert out.shape == (3, 5, 32)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
