@@ -99,6 +99,11 @@ class EngineConfig:
     temperature: float = 1.0
     top_k: Optional[int] = None
     greedy: bool = False
+    # Sample on DEVICE inside decode chunks (jax.random.categorical with
+    # the top_k/temperature transform) instead of the host parity sampler —
+    # enables chunked decoding for non-greedy serving at the cost of the
+    # bit-exact xorshift stream (which stays the default).
+    device_sampling: bool = False
     decode_chunk: int = 16             # greedy tokens per device round trip
     seed: int = 1337                   # xorshift seed (paged_infer.c:975)
     mesh_shape: Optional[dict] = None  # e.g. {"data": 1, "model": 4}

@@ -56,6 +56,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--kv-dtype", choices=["float32", "bfloat16", "int8"],
                    default=None,
                    help="KV page dtype (default: same as --dtype)")
+    p.add_argument("--device-sampling", action="store_true",
+                   help="sample on device inside decode chunks (fast "
+                        "non-greedy serving; not bit-parity with the C "
+                        "xorshift sampler)")
     p.add_argument("--mesh-model", type=int, default=0,
                    help="tensor-parallel ways over heads (0 = off); "
                         "requires that many devices")
@@ -96,6 +100,7 @@ def main(argv=None) -> int:
                          max_batch=args.batch, seed=args.seed,
                          greedy=args.greedy, top_k=args.top_k,
                          temperature=args.temperature,
+                         device_sampling=args.device_sampling,
                          log_every=args.log_every,
                          mesh_shape={"model": args.mesh_model}
                          if args.mesh_model else None)

@@ -205,6 +205,9 @@ class InferenceEngine:
         t_start = time.monotonic()
         decode_tokens = 0
         iteration = 0
+        link_no = 0
+        sample_key = (None if sampler.greedy or not econf.device_sampling
+                      else jax.random.PRNGKey(econf.seed))
 
         def requeue_evicted(evicted: List[int], skip_slot: int = -1) -> List[int]:
             preempted = []
@@ -299,9 +302,10 @@ class InferenceEngine:
             # ---- chunked greedy decode (one device round trip per K
             # tokens; page coordinates reserved K ahead) -----------------
             chunk = 1
+            chainable = sampler.greedy or econf.device_sampling
             if self._tp is not None:
                 pass   # TP decode is single-step for now (no chunk graph)
-            elif sampler.greedy and sched.running and not sched.waiting:
+            elif chainable and sched.running and not sched.waiting:
                 # capacity-bound only: rows that hit max_new mid-chunk are
                 # truncated on the host (overshoot-and-discard beats paying
                 # a ~60ms sync per tail token on a tunneled chip)
@@ -373,12 +377,19 @@ class InferenceEngine:
                         _validate_indices(page, tables, pgs, sls)
                     link_first = (jnp.asarray(first) if first_dev is None
                                   else first_dev)
+                    link_no += 1
                     toks_out, pool = gpt2_paged.decode_chunk_paged(
                         self.params, link_first, jnp.asarray(pos0),
                         jnp.asarray(pgs), jnp.asarray(sls),
                         jnp.asarray(tables), pool, cfg,
                         num_steps=chunk, window=window,
-                        use_kernel=self.use_kernel)
+                        use_kernel=self.use_kernel,
+                        rng_key=(None if sample_key is None else
+                                 jax.random.fold_in(sample_key, link_no)),
+                        top_k=(sampler.top_k if sample_key is not None
+                               else None),
+                        temperature=(sampler.temperature
+                                     if sample_key is not None else 1.0))
                     first_dev = toks_out[-1]
                     pending.append((toks_out, stepped))
                 if pending:

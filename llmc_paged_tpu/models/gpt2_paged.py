@@ -123,16 +123,19 @@ def decode_step_paged(params: gpt2.Params, tokens: jax.Array,
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "use_kernel", "num_steps",
-                                    "window"),
+                                    "window", "top_k"),
                    donate_argnums=(6,))
 def decode_chunk_paged(params: gpt2.Params, first_tokens: jax.Array,
                        positions0: jax.Array, pages: jax.Array,
                        slots: jax.Array, block_tables: jax.Array,
                        pool: PagePool, cfg: GPT2Config,
                        num_steps: int, window: int,
-                       use_kernel: bool = True
+                       use_kernel: bool = True,
+                       rng_key: jax.Array | None = None,
+                       top_k: int | None = None,
+                       temperature: float | jax.Array = 1.0
                        ) -> Tuple[jax.Array, PagePool]:
-    """K-step greedy decode entirely on device (one host round trip).
+    """K-step decode entirely on device (one host round trip).
 
     first_tokens:(B,) the token to feed at sub-step 0; positions0:(B,) its
     position (rows with positions0 < 0 are inactive for the whole chunk);
@@ -141,10 +144,25 @@ def decode_chunk_paged(params: gpt2.Params, first_tokens: jax.Array,
     deterministic, so coordinates are known before the tokens exist);
     block_tables: the FINAL tables including reserved pages (earlier
     sub-steps simply mask beyond their length). Returns (tokens (K, B) —
-    the greedy pick of every sub-step, fed back on device — and the pool).
-    """
+    each sub-step's pick, fed back on device — and the pool).
+
+    Token choice: greedy argmax when ``rng_key`` is None; otherwise
+    on-device sampling with temperature/top-k (train_gpt2.py:197-222
+    transform) via jax.random.categorical, one fold_in per sub-step.
+    Device sampling trades the host parity sampler's bit-exact xorshift
+    stream for chunked throughput (EngineConfig.device_sampling)."""
     active = positions0 >= 0
     safe_pos0 = jnp.where(active, positions0, 0)
+
+    def pick(logits, j):
+        if rng_key is None:
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        lg = logits / temperature
+        if top_k is not None and 0 < top_k < lg.shape[-1]:
+            kth = jax.lax.top_k(lg, top_k)[0][..., -1:]
+            lg = jnp.where(lg < kth, -jnp.inf, lg)
+        return jax.random.categorical(
+            jax.random.fold_in(rng_key, j), lg, axis=-1).astype(jnp.int32)
 
     def step(carry, xs):
         toks, pool, j = carry
@@ -156,7 +174,7 @@ def decode_chunk_paged(params: gpt2.Params, first_tokens: jax.Array,
         logits, pool = _decode_core(
             params, toks, wpe_pos, page_j, slot_j, block_tables, lengths,
             starts, pool, cfg, use_kernel)
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        nxt = pick(logits, j)
         return (nxt, pool, j + 1), nxt
 
     (_, pool, _), out = jax.lax.scan(

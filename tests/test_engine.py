@@ -211,3 +211,43 @@ def test_debug_checks_validates_clean_run(setup):
                              max_batch=2, debug_checks=dbg)
         outs[dbg] = InferenceEngine(params, cfg, econf).generate(prompt, 12)
     assert outs[False] == outs[True]
+
+
+def test_device_sampling_topk1_equals_greedy(setup):
+    """On-device chunked sampling with top_k=1 must reproduce the greedy
+    stream exactly (the categorical collapses to the argmax)."""
+    cfg, params, stream = setup
+    prompt = stream[:8].tolist()
+    page = PageConfig(page_size=8, num_pages=64, max_seqs=8, pages_per_seq=8)
+    greedy = InferenceEngine(params, cfg, EngineConfig(
+        cache_mode="paged", page=page, greedy=True, max_batch=1,
+        decode_chunk=8)).generate(prompt, 20)
+    sampled = InferenceEngine(params, cfg, EngineConfig(
+        cache_mode="paged", page=page, greedy=False, top_k=1,
+        device_sampling=True, max_batch=1,
+        decode_chunk=8)).generate(prompt, 20)
+    assert sampled == greedy
+
+
+def test_device_sampling_respects_topk_support(setup):
+    """Every device-sampled token must lie in the model's per-position
+    top-k set (teacher-forced check on the generated sequence)."""
+    import jax.numpy as jnp
+
+    from llmc_paged_tpu.models import gpt2
+
+    cfg, params, stream = setup
+    prompt = stream[:8].tolist()
+    K = 3
+    page = PageConfig(page_size=8, num_pages=64, max_seqs=8, pages_per_seq=8)
+    eng = InferenceEngine(params, cfg, EngineConfig(
+        cache_mode="paged", page=page, greedy=False, top_k=K,
+        device_sampling=True, max_batch=1, decode_chunk=8, seed=7))
+    toks = eng.generate(prompt, 16)
+    assert len(toks) == len(prompt) + 16
+    dev = gpt2.to_device(params, cfg)
+    logits = np.asarray(gpt2.forward(dev, jnp.asarray([toks[:-1]], jnp.int32),
+                                     cfg))[0]
+    for pos in range(len(prompt) - 1, len(toks) - 1):
+        topk = set(np.argsort(logits[pos])[-K:].tolist())
+        assert toks[pos + 1] in topk, (pos, toks[pos + 1], topk)
