@@ -99,6 +99,7 @@ class InferenceEngine:
                 if not isinstance(next(iter(params.values())), jax.Array) \
                 else jax.tree.map(np.asarray, self.params)
             self._tp = {
+                "sh": sh,
                 "mesh": mesh,
                 "params": sh.prepare_tp_params(params_np, cfg, mesh),
                 "decode": sh.make_tp_decode_step(
@@ -106,6 +107,7 @@ class InferenceEngine:
                 "prefill": sh.make_tp_prefill(cfg, mesh),
                 "pool_sharding": jax.sharding.NamedSharding(
                     mesh, sh.tp_pool_spec()),
+                "chunks": {},   # (num_steps, window) -> compiled chunk fn
             }
 
     # -- mode "none": full recompute with sliding window (infer.c) ----------
@@ -302,10 +304,11 @@ class InferenceEngine:
             # ---- chunked greedy decode (one device round trip per K
             # tokens; page coordinates reserved K ahead) -----------------
             chunk = 1
-            chainable = sampler.greedy or econf.device_sampling
-            if self._tp is not None:
-                pass   # TP decode is single-step for now (no chunk graph)
-            elif chainable and sched.running and not sched.waiting:
+            # TP chains are greedy-only (device sampling inside shard_map
+            # is not wired); single-device chains also cover device_sampling
+            chainable = sampler.greedy or (econf.device_sampling
+                                           and self._tp is None)
+            if chainable and sched.running and not sched.waiting:
                 # capacity-bound only: rows that hit max_new mid-chunk are
                 # truncated on the host (overshoot-and-discard beats paying
                 # a ~60ms sync per tail token on a tunneled chip)
@@ -378,18 +381,31 @@ class InferenceEngine:
                     link_first = (jnp.asarray(first) if first_dev is None
                                   else first_dev)
                     link_no += 1
-                    toks_out, pool = gpt2_paged.decode_chunk_paged(
-                        self.params, link_first, jnp.asarray(pos0),
-                        jnp.asarray(pgs), jnp.asarray(sls),
-                        jnp.asarray(tables), pool, cfg,
-                        num_steps=chunk, window=window,
-                        use_kernel=self.use_kernel,
-                        rng_key=(None if sample_key is None else
-                                 jax.random.fold_in(sample_key, link_no)),
-                        top_k=(sampler.top_k if sample_key is not None
-                               else None),
-                        temperature=(sampler.temperature
-                                     if sample_key is not None else 1.0))
+                    if self._tp is not None:
+                        fn = self._tp["chunks"].get((chunk, window))
+                        if fn is None:
+                            fn = self._tp["sh"].make_tp_decode_chunk(
+                                cfg, self._tp["mesh"], chunk, window,
+                                use_kernel=self.use_kernel)
+                            self._tp["chunks"][(chunk, window)] = fn
+                        toks_out, pool = fn(
+                            self._tp["params"], link_first,
+                            jnp.asarray(pos0), jnp.asarray(pgs),
+                            jnp.asarray(sls), jnp.asarray(tables), pool)
+                    else:
+                        toks_out, pool = gpt2_paged.decode_chunk_paged(
+                            self.params, link_first, jnp.asarray(pos0),
+                            jnp.asarray(pgs), jnp.asarray(sls),
+                            jnp.asarray(tables), pool, cfg,
+                            num_steps=chunk, window=window,
+                            use_kernel=self.use_kernel,
+                            rng_key=(None if sample_key is None else
+                                     jax.random.fold_in(sample_key,
+                                                        link_no)),
+                            top_k=(sampler.top_k if sample_key is not None
+                                   else None),
+                            temperature=(sampler.temperature
+                                         if sample_key is not None else 1.0))
                     first_dev = toks_out[-1]
                     pending.append((toks_out, stepped))
                 if pending:

@@ -215,6 +215,66 @@ def make_tp_decode_step(cfg: GPT2Config, mesh: Mesh,
     return jax.jit(sharded)
 
 
+def make_tp_decode_chunk(cfg: GPT2Config, mesh: Mesh, num_steps: int,
+                         window: int, use_kernel: bool = True,
+                         interpret: Optional[bool] = None):
+    """Tensor-parallel K-step greedy decode chunk (the TP twin of
+    gpt2_paged.decode_chunk_paged): the whole scan runs under one
+    shard_map, tokens feed back on device (logits are replicated after the
+    lm_head all-gather, so every shard computes the same argmax), and the
+    engine chains these exactly like the single-device chunks.
+
+    Returns chunk(params_tp, first (B,), pos0 (B,), pages (K,B),
+    slots (K,B), tables (B,pps), pool) -> (tokens (K,B), pool)."""
+    m = mesh.shape["model"]
+    assert cfg.num_heads % m == 0 and cfg.padded_vocab_size % m == 0
+    nh_local = cfg.num_heads // m
+    vocab_shard = cfg.padded_vocab_size // m
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    def chunk(params, first, pos0, pages, slots, tables, pool: PagePool):
+        active = pos0 >= 0
+        safe_pos0 = jnp.where(active, pos0, 0)
+        stack = gpt2._layer_stack(params)
+
+        def step(carry, xs):
+            toks, pool, j = carry
+            page_j, slot_j = xs
+            pos = safe_pos0 + j
+            wpe_pos = jnp.minimum(pos, window - 1)
+            lengths = jnp.where(active, pos + 1, 0)
+            starts = jnp.maximum(0, pos + 1 - window)
+            x = _tp_embed(params, toks, wpe_pos, "model", vocab_shard)
+            for i in range(cfg.num_layers):
+                lp = {name: w[i] for name, w in stack.items()}
+                x, k_l, v_l = _tp_block_decode(
+                    x, lp, pool.k[i], pool.v[i], page_j, slot_j, tables,
+                    lengths, starts, cfg, nh_local, use_kernel, interpret,
+                    "model")
+                pool = pool.with_layer(i, (k_l, v_l))
+            logits = _tp_logits(params, x, "model", cfg)
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return (nxt, pool, j + 1), nxt
+
+        (_, pool, _), out = jax.lax.scan(
+            step, (first, pool, jnp.int32(0)), (pages, slots),
+            length=num_steps)
+        return out, pool
+
+    spec = tp_pool_spec()
+    pool_spec = PagePool(tuple(spec for _ in range(cfg.num_layers)),
+                         tuple(spec for _ in range(cfg.num_layers)))
+    sharded = shard_map(
+        chunk, mesh=mesh,
+        in_specs=({k: v for k, v in TP_PARAM_SPECS.items()},
+                  P(), P(), P(), P(), P(), pool_spec),
+        out_specs=(P(), pool_spec),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
 def make_tp_prefill(cfg: GPT2Config, mesh: Mesh):
     """Tensor-parallel prompt prefill writing into the sharded pool.
     prefill(params_tp, tokens (B,T), page (B,T), slot (B,T), pool)
