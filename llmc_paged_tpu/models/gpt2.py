@@ -219,7 +219,7 @@ def prefill(params: Params, tokens: jax.Array, cache: DenseKVCache,
         q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
         k_l = _write_cache_prefill(k_l, k)
         v_l = _write_cache_prefill(v_l, v)
-        att = L.causal_attention(q, k, v)
+        att = L.prefill_attention(q, k, v)
         att = att.transpose(0, 2, 1, 3).reshape(B, T, cfg.channels)
         xout = carry + _lin(lp, "attprojw", att, "attprojb")
         h2 = L.layernorm(xout, lp["ln2w"], lp["ln2b"])

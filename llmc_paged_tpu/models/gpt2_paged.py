@@ -225,7 +225,7 @@ def prefill_paged(params: gpt2.Params, tokens: jax.Array,
                                     flat_page, flat_slot)
         pool = pool.with_layer(i, pool_l)
         qh, kh, vh = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
-        att = L.causal_attention(qh, kh, vh)
+        att = L.prefill_attention(qh, kh, vh)
         att = att.transpose(0, 2, 1, 3).reshape(B, T, cfg.channels)
         x = x + gpt2._lin(lp, "attprojw", att, "attprojb")
         h2 = L.layernorm(x, lp["ln2w"], lp["ln2b"])

@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 LN_EPS = 1e-5
 GELU_SCALE = 0.7978845608028654  # sqrt(2/pi), train_gpt2.c:356
@@ -71,6 +72,34 @@ def causal_attention(q: jax.Array, k: jax.Array, v: jax.Array,
     scores = jnp.where(kpos <= qpos, scores, neg)
     probs = jax.nn.softmax(scores, axis=-1)
     return jnp.einsum("bhqk,bhkd->bhqd", probs, v, precision=precision)
+
+
+def causal_attention_flash(q: jax.Array, k: jax.Array,
+                           v: jax.Array) -> jax.Array:
+    """Flash (tiled, online-softmax) causal attention via JAX's bundled
+    TPU Pallas kernel — O(T) memory instead of materialising the (T, T)
+    score matrix. q,k,v: (B, NH, T, HS). Used by prefill for long prompts
+    (T a multiple of 128); the jnp `causal_attention` above remains the
+    parity oracle and the short-prompt/CPU path."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        flash_attention,
+    )
+
+    scale = 1.0 / float(np.sqrt(q.shape[-1]))
+    return flash_attention(q, k, v, causal=True, sm_scale=scale)
+
+
+def prefill_attention(q: jax.Array, k: jax.Array, v: jax.Array) -> jax.Array:
+    """Dispatch: flash kernel on TPU for long 128-aligned bf16 sequences,
+    dense parity attention otherwise. The library flash kernel multiplies
+    at bf16 precision (measured ~1e-2 abs vs the fp32 dense oracle on
+    N(0,1) inputs), so it only serves the bf16 mode — fp32 prefill keeps
+    the HIGHEST-precision dense path for exact parity."""
+    T = q.shape[2]
+    if (q.dtype == jnp.bfloat16 and jax.default_backend() == "tpu"
+            and T >= 256 and T % 128 == 0):
+        return causal_attention_flash(q, k, v)
+    return causal_attention(q, k, v)
 
 
 def decode_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
