@@ -248,15 +248,19 @@ class InferenceEngine:
                 progressed = True
                 sched.admit(req, slot)
                 admitted.append((slot, req))
-            # One prefill per prompt-length bucket with all the bucket's
-            # rows in a single padded batch — one device round trip instead
-            # of one per request — and the lm_head projected only at each
-            # row's last prompt position (the only one serving samples;
-            # pass last_pos=None for the reference's full-T logits).
+            # ONE padded prefill batch per admission wave: rows are padded
+            # to the wave's longest bucket (valid masks drop the padding
+            # scatters; attention is causal so padding never leaks) and the
+            # lm_head projects only each row's true last position. Shorter
+            # rows waste some prefill FLOPs, but one device round trip per
+            # WAVE beats one per length bucket — mixed-length admission
+            # measured 1.6k vs 3.7k tok/s when bucket-split on a tunneled
+            # chip (pass last_pos=None for the reference's full-T logits).
             groups: Dict[int, List[Tuple[int, Request]]] = {}
-            for slot, req in admitted:
-                groups.setdefault(_bucket(len(req.tokens)),
-                                  []).append((slot, req))
+            if admitted:
+                wave_tb = _bucket(max(len(req.tokens)
+                                      for _, req in admitted))
+                groups[wave_tb] = list(admitted)
             for Tb, group in groups.items():
                 Bg = 1 << (len(group) - 1).bit_length()  # bounded recompiles
                 xs = np.zeros((Bg, Tb), np.int32)
