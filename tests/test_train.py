@@ -121,3 +121,27 @@ def test_prepro_text_parallel_shards_match_serial(tmp_path):
     t3, v3 = run(3, "sharded")
     np.testing.assert_array_equal(t1, t3)
     np.testing.assert_array_equal(v1, v3)
+
+
+def test_eval_cli_dtype_gate(fixtures_dir):
+    """The eval entry point reports val loss per serving dtype; int8 and
+    bf16 must sit within the 0.05 gate of fp32 (north-star check as a
+    user-facing tool)."""
+    import re
+
+    tool_env = dict(os.environ, LLMC_PLATFORM="cpu")
+    losses = {}
+    for dtype in ("float32", "bfloat16", "int8"):
+        out = subprocess.run(
+            [sys.executable, "-m", "llmc_paged_tpu.eval",
+             "--checkpoint", os.path.join(fixtures_dir, "model_tiny.bin"),
+             "--data", os.path.join(fixtures_dir, "tokens_tiny.bin"),
+             "--dtype", dtype, "--batch", "2", "--seq-len", "16",
+             "--batches", "3"],
+            capture_output=True, text=True, timeout=300, env=tool_env,
+            cwd=os.path.join(os.path.dirname(__file__), ".."))
+        assert out.returncode == 0, out.stderr[-1000:]
+        m = re.search(r"val loss ([0-9.]+)", out.stdout)
+        losses[dtype] = float(m.group(1))
+    assert abs(losses["bfloat16"] - losses["float32"]) < 0.05, losses
+    assert abs(losses["int8"] - losses["float32"]) < 0.05, losses
