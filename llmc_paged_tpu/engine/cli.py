@@ -111,31 +111,37 @@ def main(argv=None) -> int:
         import jax
         jax.profiler.start_trace(args.profile)
     t0 = time.monotonic()
-    if args.mode == "paged" and args.batch > 1:
-        reqs = []
-        for b in range(args.batch):
-            lo = (b * args.prompt_size) % max(1, len(stream) - args.prompt_size)
-            prompt = stream[lo: lo + args.prompt_size].tolist()
-            reqs.append(Request(rid=b, prompt=prompt,
-                                max_new_tokens=args.max_new))
-        done = engine.run(reqs, window=args.window,
-                          sampler=Sampler(args.seed, args.greedy,
-                                          top_k=args.top_k,
-                                          temperature=args.temperature))
-        outs = {r.rid: r.tokens for r in done}
-        stats = dict(engine.stats)
-    else:
-        prompt = stream[: args.prompt_size].tolist()
-        toks = engine.generate(prompt, args.max_new, window=args.window,
-                               sampler=Sampler(args.seed, args.greedy,
-                                          top_k=args.top_k,
-                                          temperature=args.temperature))
-        outs = {0: toks}
-        stats = dict(getattr(engine, "stats", {}))
-    dt = time.monotonic() - t0
-    if args.profile:
-        import jax
-        jax.profiler.stop_trace()
+    try:
+        if args.mode == "paged" and args.batch > 1:
+            reqs = []
+            for b in range(args.batch):
+                lo = (b * args.prompt_size) % max(
+                    1, len(stream) - args.prompt_size)
+                prompt = stream[lo: lo + args.prompt_size].tolist()
+                reqs.append(Request(rid=b, prompt=prompt,
+                                    max_new_tokens=args.max_new))
+            done = engine.run(reqs, window=args.window,
+                              sampler=Sampler(args.seed, args.greedy,
+                                              top_k=args.top_k,
+                                              temperature=args.temperature))
+            outs = {r.rid: r.tokens for r in done}
+            stats = dict(engine.stats)
+        else:
+            prompt = stream[: args.prompt_size].tolist()
+            toks = engine.generate(prompt, args.max_new, window=args.window,
+                                   sampler=Sampler(
+                                       args.seed, args.greedy,
+                                       top_k=args.top_k,
+                                       temperature=args.temperature))
+            outs = {0: toks}
+            stats = dict(getattr(engine, "stats", {}))
+        dt = time.monotonic() - t0
+    finally:
+        # stop even on failure so a --profile run debugging that very
+        # failure still gets its trace
+        if args.profile:
+            import jax
+            jax.profiler.stop_trace()
 
     stats.update(mode=args.mode, batch=args.batch, wall_s=dt,
                  total_new_tokens=args.max_new * len(outs))

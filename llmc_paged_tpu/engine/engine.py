@@ -92,12 +92,16 @@ class InferenceEngine:
             if self.econf.param_dtype != "float32":
                 raise NotImplementedError(
                     "TP serving currently runs the fp32 path")
+            if self.econf.page.kv_dtype == "int8":
+                raise NotImplementedError(
+                    "TP serving supports float32/bfloat16 KV pages (the "
+                    "shard_map steps are built for PagePool)")
             model = int(self.econf.mesh_shape.get("model", 1))
             data = int(self.econf.mesh_shape.get("data", 1))
             mesh = sh.make_mesh(model=model, data=data)
-            params_np = jax.tree.map(np.asarray, params) \
-                if not isinstance(next(iter(params.values())), jax.Array) \
-                else jax.tree.map(np.asarray, self.params)
+            # self.params is the fp32 device pytree (wte already padded);
+            # to_device is idempotent on padded wte
+            params_np = jax.tree.map(np.asarray, self.params)
             self._tp = {
                 "sh": sh,
                 "mesh": mesh,
@@ -240,7 +244,12 @@ class InferenceEngine:
                 if req is None:
                     break
                 segs, evicted = mgr.append_tokens(slot, len(req.tokens))
-                requeue_evicted(evicted, skip_slot=slot)
+                # a victim may be an EARLIER admission of this same wave:
+                # its pages were freed (and may be re-allocated right here),
+                # so it must be dropped from the wave or its prefill would
+                # scatter K/V through a cleared block table into page 0
+                for victim in requeue_evicted(evicted, skip_slot=slot):
+                    admitted = [(s, r) for s, r in admitted if s != victim]
                 if not segs:
                     mgr.free_prompt(slot)
                     sched.waiting.insert(0, req)  # retry once pool drains
@@ -256,12 +265,9 @@ class InferenceEngine:
             # WAVE beats one per length bucket — mixed-length admission
             # measured 1.6k vs 3.7k tok/s when bucket-split on a tunneled
             # chip (pass last_pos=None for the reference's full-T logits).
-            groups: Dict[int, List[Tuple[int, Request]]] = {}
             if admitted:
-                wave_tb = _bucket(max(len(req.tokens)
-                                      for _, req in admitted))
-                groups[wave_tb] = list(admitted)
-            for Tb, group in groups.items():
+                group = admitted
+                Tb = _bucket(max(len(req.tokens) for _, req in group))
                 Bg = 1 << (len(group) - 1).bit_length()  # bounded recompiles
                 xs = np.zeros((Bg, Tb), np.int32)
                 valid = np.zeros((Bg, Tb), bool)
@@ -279,9 +285,10 @@ class InferenceEngine:
                                       page.page_size, jnp.asarray(valid),
                                       page.num_pages)
                 if self._tp is not None:
-                    full, pool = self._tp["prefill"](
-                        self._tp["params"], jnp.asarray(xs), pg, sl, pool)
-                    logits = full[jnp.arange(len(group)), last[: len(group)]]
+                    logits, pool = self._tp["prefill"](
+                        self._tp["params"], jnp.asarray(xs), pg, sl, pool,
+                        jnp.asarray(last))
+                    logits = logits[: len(group)]
                 else:
                     logits, pool = gpt2_paged.prefill_paged(
                         self.params, jnp.asarray(xs), pg, sl, pool, cfg,

@@ -90,7 +90,10 @@ def to_device(params: Dict[str, np.ndarray], cfg: GPT2Config,
     out: Params = {}
     for k, v in params.items():
         arr = jnp.asarray(v, dtype=dtype)
-        if k == "wte" and cfg.padded_vocab_size != cfg.vocab_size:
+        if k == "wte" and arr.shape[0] == cfg.vocab_size \
+                and cfg.padded_vocab_size != cfg.vocab_size:
+            # idempotent: already-padded wte (a device pytree fed back
+            # through to_device) is left alone
             pad = cfg.padded_vocab_size - cfg.vocab_size
             arr = jnp.pad(arr, ((0, pad), (0, 0)))
         out[k] = arr

@@ -277,13 +277,16 @@ def make_tp_decode_chunk(cfg: GPT2Config, mesh: Mesh, num_steps: int,
 
 def make_tp_prefill(cfg: GPT2Config, mesh: Mesh):
     """Tensor-parallel prompt prefill writing into the sharded pool.
-    prefill(params_tp, tokens (B,T), page (B,T), slot (B,T), pool)
-    -> (logits (B,T,V), pool)."""
+    prefill(params_tp, tokens (B,T), page (B,T), slot (B,T), pool,
+    last_pos (B,)) -> (logits (B, V), pool): the lm_head + all-gather run
+    only on each row's last prompt position — serving never samples the
+    others, and gathering the full (B, T, Vp/m) shards is T times the
+    bytes (the same optimization as prefill_paged's last_pos)."""
     m = mesh.shape["model"]
     nh_local = cfg.num_heads // m
     vocab_shard = cfg.padded_vocab_size // m
 
-    def run(params, tokens, page, slot, pool: PagePool):
+    def run(params, tokens, page, slot, pool: PagePool, last_pos):
         B, T = tokens.shape
         pos = jnp.arange(T, dtype=jnp.int32)
         x = _tp_embed(params, tokens, jnp.broadcast_to(pos, (B, T)),
@@ -319,6 +322,7 @@ def make_tp_prefill(cfg: GPT2Config, mesh: Mesh):
             x, (k_l, v_l) = body_layer(x, lp, pool.k[i], pool.v[i],
                                        fpage, fslot, B, T)
             pool = pool.with_layer(i, (k_l, v_l))
+        x = x[jnp.arange(B), last_pos]            # (B, C)
         return _tp_logits(params, x, "model", cfg), pool
 
     spec = tp_pool_spec()
@@ -327,7 +331,7 @@ def make_tp_prefill(cfg: GPT2Config, mesh: Mesh):
     sharded = shard_map(
         run, mesh=mesh,
         in_specs=({k: v for k, v in TP_PARAM_SPECS.items()},
-                  P(), P(), P(), pool_spec),
+                  P(), P(), P(), pool_spec, P()),
         out_specs=(P(), pool_spec),
         check_vma=False,
     )

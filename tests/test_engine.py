@@ -251,3 +251,28 @@ def test_device_sampling_respects_topk_support(setup):
     for pos in range(len(prompt) - 1, len(toks) - 1):
         topk = set(np.argsort(logits[pos])[-K:].tolist())
         assert toks[pos + 1] in topk, (pos, toks[pos + 1], topk)
+
+
+def test_same_wave_admission_eviction_no_corruption(setup):
+    """An admission whose pages get LRU-evicted by a LATER admission in the
+    same wave must be dropped from that wave's prefill (otherwise its K/V
+    scatter goes through a cleared block table into page 0, corrupting the
+    new owner). The victim is requeued and must still finish with the same
+    tokens it would produce alone."""
+    cfg, params, stream = setup
+    # pool of 12 pages, page_size 8: A (64 tokens, 8 pages) + B (80 tokens,
+    # 10 pages) cannot coexist; B's admission evicts A mid-wave
+    page = PageConfig(page_size=8, num_pages=12, max_seqs=4, pages_per_seq=12)
+    pa = stream[:64].tolist()
+    pb = stream[5:85].tolist()
+    econf = EngineConfig(cache_mode="paged", page=page, greedy=True,
+                         max_batch=2, decode_chunk=4)
+    eng = InferenceEngine(params, cfg, econf)
+    done = eng.run([Request(rid=0, prompt=pa, max_new_tokens=6),
+                    Request(rid=1, prompt=pb, max_new_tokens=6)])
+    outs = {r.rid: r.tokens for r in done}
+    assert len(outs[0]) == 64 + 6 and len(outs[1]) == 80 + 6
+    # solo references
+    for rid, prompt in ((0, pa), (1, pb)):
+        solo = InferenceEngine(params, cfg, econf).generate(prompt, 6)
+        assert outs[rid] == solo, f"request {rid} corrupted"

@@ -77,7 +77,7 @@ def test_tp_decode_matches_single_device(golden, tp):
     tp_prefill = sh.make_tp_prefill(cfg, mesh)
     tp_step = sh.make_tp_decode_step(cfg, mesh)
     _, pool_tp = tp_prefill(params_tp, jnp.asarray(x[:, :T - 1]), pg, sl,
-                            pool_tp)
+                            pool_tp, jnp.full((B,), T - 2, jnp.int32))
     logits_tp, pool_tp_out = tp_step(
         params_tp, args[0], args[1], args[2], args[3], args[4], args[5],
         jnp.zeros((B,), jnp.int32), pool_tp)

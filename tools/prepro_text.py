@@ -103,7 +103,10 @@ def main(argv=None) -> int:
         from concurrent.futures import ProcessPoolExecutor
         from functools import partial
 
-        worker = partial(_encode_shard, args.encoder)
+        # pass the parent's RESOLVED encoder so a worker cannot silently
+        # fall back to a different vocabulary mid-stream
+        worker = partial(_encode_shard,
+                         "tiktoken" if name == "tiktoken-gpt2" else "byte")
         shards = [docs[i:: args.workers] for i in range(args.workers)]
         with ProcessPoolExecutor(max_workers=args.workers) as pool:
             per_shard = list(pool.map(worker, shards))
