@@ -128,9 +128,16 @@ class InferenceEngine:
         toks = list(prompt)
         for _ in range(max_new_tokens):
             ctx = toks[-window:]
-            logits = gpt2.forward(self.params,
-                                  jnp.asarray([ctx], jnp.int32), self.cfg)
-            toks.append(_pick_token(sampler, logits[0, -1]))
+            # pad to a length bucket so each new token doesn't recompile
+            # the full forward (zeros after the valid region are masked
+            # out by causality; sample from the last VALID position)
+            n = len(ctx)
+            Tb = min(_bucket(n), self.cfg.max_seq_len)
+            padded = np.zeros(Tb, np.int32)
+            padded[:n] = ctx
+            logits = gpt2.forward(self.params, jnp.asarray(padded[None]),
+                                  self.cfg)
+            toks.append(_pick_token(sampler, logits[0, n - 1]))
         return toks
 
     # -- mode "dense": contiguous KV cache (cached_infer.c) -----------------
@@ -145,17 +152,21 @@ class InferenceEngine:
         post-window token is computed as the last position of its window)."""
         cfg = self.cfg
         window = window or cfg.max_seq_len
-        total = len(prompt) + max_new_tokens
+        # a prompt longer than the window attends only to its trailing
+        # `window` tokens (mode-"none" parity); cache positions are
+        # relative to the dropped base
+        base = max(0, len(prompt) - window)
+        total = len(prompt) - base + max_new_tokens
         sampler = sampler or Sampler(self.econf.seed, self.econf.greedy,
                               top_k=self.econf.top_k,
                               temperature=self.econf.temperature)
         cache = gpt2.init_cache(cfg, 1, total)
         toks = list(prompt)
         logits, cache = gpt2.prefill(
-            self.params, jnp.asarray([toks], jnp.int32), cache, cfg)
+            self.params, jnp.asarray([toks[base:]], jnp.int32), cache, cfg)
         toks.append(_pick_token(sampler, logits[0, -1]))
         for _ in range(max_new_tokens - 1):
-            pos = len(toks) - 1
+            pos = len(toks) - 1 - base
             wpe_pos = min(pos, window - 1)
             start = max(0, pos + 1 - window)
             logits, cache = gpt2.decode_step(
@@ -200,10 +211,19 @@ class InferenceEngine:
         mgr, pool = self._paged_state()
         sched = Scheduler(econf.max_batch)
         for r in requests:
-            if len(r.prompt) + r.max_new_tokens > page.max_context:
+            # prompts longer than the window are truncated to their
+            # trailing `window` tokens at admission (mode-"none" parity),
+            # so capacity is window-relative
+            need = min(len(r.prompt), window) + r.max_new_tokens
+            if need > page.max_context:
                 raise ValueError(
-                    f"request {r.rid} needs {len(r.prompt) + r.max_new_tokens}"
-                    f" tokens > max_context {page.max_context}")
+                    f"request {r.rid} needs {need} cached tokens"
+                    f" > max_context {page.max_context}")
+            if -(-need // page.page_size) > page.num_pages:
+                raise ValueError(
+                    f"request {r.rid} needs {-(-need // page.page_size)}"
+                    f" pages > pool size {page.num_pages} — it can never"
+                    " be scheduled")
             sched.submit(r)
 
         B = econf.max_batch
@@ -211,6 +231,11 @@ class InferenceEngine:
         t_start = time.monotonic()
         decode_tokens = 0
         iteration = 0
+        # per-slot count of prompt tokens DROPPED at admission (prompt
+        # longer than the window attends only to its trailing `window`
+        # tokens, exactly like mode "none"); cache positions are relative
+        # to this base
+        bases: Dict[int, int] = {}
         link_no = 0
         sample_key = (None if sampler.greedy or not econf.device_sampling
                       else jax.random.PRNGKey(econf.seed))
@@ -243,7 +268,10 @@ class InferenceEngine:
                 req = sched.pop_next_waiting()
                 if req is None:
                     break
-                segs, evicted = mgr.append_tokens(slot, len(req.tokens))
+                base = max(0, len(req.tokens) - window)
+                bases[slot] = base
+                segs, evicted = mgr.append_tokens(slot,
+                                                  len(req.tokens) - base)
                 # a victim may be an EARLIER admission of this same wave:
                 # its pages were freed (and may be re-allocated right here),
                 # so it must be dropped from the wave or its prefill would
@@ -267,15 +295,16 @@ class InferenceEngine:
             # chip (pass last_pos=None for the reference's full-T logits).
             if admitted:
                 group = admitted
-                Tb = _bucket(max(len(req.tokens) for _, req in group))
+                Tb = _bucket(max(len(req.tokens) - bases[slot]
+                                 for slot, req in group))
                 Bg = 1 << (len(group) - 1).bit_length()  # bounded recompiles
                 xs = np.zeros((Bg, Tb), np.int32)
                 valid = np.zeros((Bg, Tb), bool)
                 tables_g = np.zeros((Bg, pps), np.int32)
                 last = np.zeros(Bg, np.int32)
                 for i, (slot, req) in enumerate(group):
-                    n = len(req.tokens)
-                    xs[i, :n] = req.tokens
+                    n = len(req.tokens) - bases[slot]
+                    xs[i, :n] = req.tokens[bases[slot]:]
                     valid[i, :n] = True
                     tables_g[i] = mgr.block_table_array(slot, pps)
                     last[i] = n - 1
@@ -354,7 +383,7 @@ class InferenceEngine:
                                   for s2, k in ks if s2 == slot)
                         if rem <= 0:
                             continue
-                        ln = mgr.seq_len(slot)
+                        ln = mgr.seq_len(slot)   # window-relative by design
                         if ln + chunk > page.max_context:
                             continue
                         tail = (ps - ln % ps) % ps
@@ -380,7 +409,8 @@ class InferenceEngine:
                                   for i in range(s.count)]
                         assert len(coords) == chunk
                         first[slot] = req.tokens[-1]  # used by link 0 only
-                        pos0[slot] = len(req.tokens) - 1 + pend_ct
+                        pos0[slot] = (len(req.tokens) - 1 + pend_ct
+                                      - bases.get(slot, 0))
                         for j, (pj, sj) in enumerate(coords):
                             pgs[j, slot], sls[j, slot] = pj, sj
                         tables[slot] = mgr.block_table_array(slot, pps)
@@ -450,6 +480,11 @@ class InferenceEngine:
                 tables = np.zeros((B, pps), np.int32)
                 stepped: List[int] = []
                 for slot, req in list(sched.running.items()):
+                    if slot not in sched.running:
+                        # preempted by an earlier slot's eviction THIS
+                        # iteration (the items() snapshot is stale) — it
+                        # must not allocate pages or step
+                        continue
                     segs, evicted = mgr.append_tokens(slot, 1)
                     # a victim may already be staged in this batch: its pages
                     # were freed (and may be re-allocated right here), so its
@@ -464,7 +499,7 @@ class InferenceEngine:
                         mgr.free_prompt(slot)
                         sched.preempt(slot)
                         continue
-                    pos = len(req.tokens) - 1
+                    pos = len(req.tokens) - 1 - bases.get(slot, 0)
                     toks[slot] = req.tokens[-1]
                     wpe_pos[slot] = min(pos, window - 1)
                     pg[slot], sl[slot] = segs[0].page, segs[0].offset
@@ -492,26 +527,24 @@ class InferenceEngine:
                             use_kernel=self.use_kernel,
                             starts=jnp.asarray(starts))
                     decode_tokens += len(stepped)
+                    # greedy: one device argmax + one 4B/row transfer;
+                    # otherwise the shared _pick_token dispatch per row
+                    # (parity softmax done batched on device first)
                     if sampler.greedy:
                         picks = np.asarray(jnp.argmax(logits, axis=-1))
                     elif sampler.transforms_logits:
-                        picks = None
-                        probs_np = None
-                        logits_np = np.asarray(logits)
+                        rows = np.asarray(logits)
                     else:
-                        picks = None
-                        probs_np = np.asarray(
-                            jax.nn.softmax(logits, axis=-1))
+                        rows = np.asarray(jax.nn.softmax(logits, axis=-1))
                     for slot in stepped:
                         req = sched.running[slot]
-                        if picks is not None:
+                        if sampler.greedy:
                             req.generated.append(int(picks[slot]))
-                        elif probs_np is None:
+                        elif sampler.transforms_logits:
                             req.generated.append(
-                                sampler.sample_logits(logits_np[slot]))
+                                sampler.sample_logits(rows[slot]))
                         else:
-                            req.generated.append(
-                                sampler.sample(probs_np[slot]))
+                            req.generated.append(sampler.sample(rows[slot]))
                         if req.done:
                             mgr.free_prompt(slot)
                             sched.finish(slot)

@@ -203,7 +203,7 @@ def _write_cache_prefill(cache_l: jax.Array, kv: jax.Array) -> jax.Array:
     return jax.lax.dynamic_update_slice(cache_l, kv, (0, 0, 0, 0))
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(2,))
 def prefill(params: Params, tokens: jax.Array, cache: DenseKVCache,
             cfg: GPT2Config) -> Tuple[jax.Array, DenseKVCache]:
     """Forward over the prompt that also populates the dense KV cache at
@@ -243,7 +243,7 @@ def _write_cache_at(cache_l: jax.Array, new: jax.Array,
     return jax.vmap(row)(cache_l, new, pos)
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(3,))
 def decode_step(params: Params, tokens: jax.Array, pos: jax.Array,
                 cache: DenseKVCache, cfg: GPT2Config,
                 wpe_pos: jax.Array | None = None,
@@ -260,7 +260,8 @@ def decode_step(params: Params, tokens: jax.Array, pos: jax.Array,
     Sliding-window parity mode (cached_infer.c:606 pointer bump): pass
     ``starts`` = per-row window lower bounds and ``wpe_pos`` = clamped
     position-embedding indices (a post-window token always sits at window
-    position W-1 when its K/V is computed)."""
+    position W-1 when its K/V is computed). The cache is DONATED — callers
+    must replace their reference with the returned one."""
     B = tokens.shape[0]
     if wpe_pos is None:
         wpe_pos = pos

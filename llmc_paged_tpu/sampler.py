@@ -83,6 +83,11 @@ class Sampler:
     def __init__(self, seed: int = 1337, greedy: bool = False,
                  top_k: int | None = None, temperature: float = 1.0):
         self.rng = XorshiftRNG(seed)
+        if temperature == 0:
+            # the common "temperature 0 = deterministic" idiom; dividing
+            # logits by zero would NaN the softmax and silently emit the
+            # CDF-fallback token (V-1) forever
+            greedy, temperature = True, 1.0
         self.greedy = greedy
         self.top_k = top_k
         self.temperature = temperature

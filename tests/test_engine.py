@@ -123,12 +123,14 @@ def test_request_too_large_rejected(setup):
 
 
 def test_pool_too_small_raises(setup):
+    """An unfittable request is rejected at submit (ValueError) rather than
+    livelocking until the scheduler stall detector fires."""
     cfg, params, stream = setup
     page = PageConfig(page_size=4, num_pages=2, max_seqs=4, pages_per_seq=8)
     econf = EngineConfig(cache_mode="paged", page=page, greedy=True,
                          max_batch=2)
     eng = InferenceEngine(params, cfg, econf)
-    with pytest.raises(RuntimeError, match="stalled"):
+    with pytest.raises(ValueError, match="pages > pool"):
         eng.run([Request(rid=0, prompt=stream[:16].tolist(),
                          max_new_tokens=4)])
 
@@ -276,3 +278,48 @@ def test_same_wave_admission_eviction_no_corruption(setup):
     for rid, prompt in ((0, pa), (1, pb)):
         solo = InferenceEngine(params, cfg, econf).generate(prompt, 6)
         assert outs[rid] == solo, f"request {rid} corrupted"
+
+
+def test_three_modes_identical_prompt_longer_than_window(setup):
+    """Prompt LONGER than the sliding window: dense/paged must truncate to
+    the trailing window at prefill (mode-"none" parity) instead of letting
+    prompt tokens attend beyond the window with unclamped positions."""
+    cfg, params, stream = setup
+    prompt = stream[:20].tolist()
+    window = 8
+    outs = {}
+    for mode in ("none", "dense", "paged"):
+        eng = make_engine(cfg, params, mode)
+        outs[mode] = eng.generate(prompt, 12, window=window)
+    assert outs["none"] == outs["dense"] == outs["paged"]
+
+
+def test_unfittable_request_rejected_upfront(setup):
+    """A request that can never fit the physical pool must be rejected at
+    submit instead of livelocking the scheduler (retry-at-head forever,
+    evicting every running sequence each round)."""
+    cfg, params, stream = setup
+    page = PageConfig(page_size=4, num_pages=4, max_seqs=4, pages_per_seq=8)
+    econf = EngineConfig(cache_mode="paged", page=page, greedy=True,
+                         max_batch=2)
+    eng = InferenceEngine(params, cfg, econf)
+    with pytest.raises(ValueError, match="pages > pool"):
+        eng.run([Request(rid=0, prompt=stream[:20].tolist(),
+                         max_new_tokens=8)])
+
+
+def test_pool_pressure_nongreedy_no_crash(setup):
+    """The confirmed stale-snapshot crash: under pool pressure with the
+    NON-greedy (single-token) path, an eviction that preempts a
+    not-yet-processed slot must not KeyError or corrupt the manager."""
+    cfg, params, stream = setup
+    page = PageConfig(page_size=4, num_pages=3, max_seqs=4, pages_per_seq=3)
+    econf = EngineConfig(cache_mode="paged", page=page, greedy=False,
+                         max_batch=2)
+    eng = InferenceEngine(params, cfg, econf)
+    reqs = [Request(rid=0, prompt=stream[:1].tolist(), max_new_tokens=6),
+            Request(rid=1, prompt=stream[1:5].tolist(), max_new_tokens=6)]
+    done = eng.run(reqs)
+    assert sorted(r.rid for r in done) == [0, 1]
+    for r in done:
+        assert len(r.generated) == 6
