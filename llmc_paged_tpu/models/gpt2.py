@@ -86,10 +86,13 @@ def to_device(params: Dict[str, np.ndarray], cfg: GPT2Config,
               dtype=jnp.float32) -> Params:
     """Move a loaded numpy pytree to the device, padding wte rows to the
     lane-aligned padded vocab (zeros — never sampled because logits are
-    sliced back to V)."""
+    sliced back to V). Layernorm params stay fp32 in reduced-precision
+    modes (the reference's bf16 checkpoints keep them fp32,
+    train_gpt2.py:267-298; ops.layers.layernorm computes in fp32)."""
+    ln_keys = ("ln1w", "ln1b", "ln2w", "ln2b", "lnfw", "lnfb")
     out: Params = {}
     for k, v in params.items():
-        arr = jnp.asarray(v, dtype=dtype)
+        arr = jnp.asarray(v, dtype=jnp.float32 if k in ln_keys else dtype)
         if k == "wte" and arr.shape[0] == cfg.vocab_size \
                 and cfg.padded_vocab_size != cfg.vocab_size:
             # idempotent: already-padded wte (a device pytree fed back

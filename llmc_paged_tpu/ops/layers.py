@@ -28,11 +28,20 @@ GELU_SCALE = 0.7978845608028654  # sqrt(2/pi), train_gpt2.c:356
 def layernorm(x: jax.Array, w: jax.Array, b: jax.Array,
               eps: float = LN_EPS) -> jax.Array:
     """LayerNorm over the last axis; biased variance like the C loop
-    (layernorm_forward, train_gpt2.c:71-111)."""
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    (layernorm_forward, train_gpt2.c:71-111).
+
+    The reduction always runs in fp32 and the result is cast back to x's
+    dtype: bf16 serving keeps fp32-quality statistics (the reference's
+    bf16 checkpoints deliberately keep layernorm params fp32,
+    train_gpt2.py:267-298), and the fp32 parity path is unchanged (the
+    casts are no-ops)."""
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=-1, keepdims=True)
     rstd = jax.lax.rsqrt(var + eps)
-    return (x - mean) * rstd * w + b
+    out = (xf - mean) * rstd * w.astype(jnp.float32) \
+        + b.astype(jnp.float32)
+    return out.astype(x.dtype)
 
 
 def gelu_tanh(x: jax.Array) -> jax.Array:
