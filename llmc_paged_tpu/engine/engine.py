@@ -49,6 +49,30 @@ def _validate_indices(page_cfg: PageConfig, tables: np.ndarray,
             lengths.max() <= page_cfg.max_context, "length exceeds table"
 
 
+def _check_window(window: Optional[int], cfg: GPT2Config) -> int:
+    """Positions beyond max_seq_len would silently CLAMP in the wpe gather
+    (garbage embeddings, no error), so reject oversized windows up front."""
+    window = window or cfg.max_seq_len
+    if window > cfg.max_seq_len:
+        raise ValueError(f"window {window} > max_seq_len {cfg.max_seq_len} "
+                         "(position-embedding rows)")
+    return window
+
+
+def _sample_rows(sampler: Sampler, logits, n: int) -> List[int]:
+    """Sample the first n rows of a (N, V) device logits array with ONE
+    batched device reduction + transfer; the greedy/top-k/parity dispatch
+    lives here (and in _pick_token for single rows) only."""
+    if sampler.greedy:
+        picks = np.asarray(jnp.argmax(logits, axis=-1))
+        return [int(picks[i]) for i in range(n)]
+    if sampler.transforms_logits:
+        rows = np.asarray(logits)
+        return [sampler.sample_logits(rows[i]) for i in range(n)]
+    probs = np.asarray(jax.nn.softmax(logits, axis=-1))
+    return [sampler.sample(probs[i]) for i in range(n)]
+
+
 def _pick_token(sampler: Sampler, logits_row) -> int:
     """Sample one token from a (V,) logits row. Greedy takes the argmax on
     device and ships 4 bytes; the parity sampler needs the full softmax on
@@ -99,9 +123,13 @@ class InferenceEngine:
             model = int(self.econf.mesh_shape.get("model", 1))
             data = int(self.econf.mesh_shape.get("data", 1))
             mesh = sh.make_mesh(model=model, data=data)
-            # self.params is the fp32 device pytree (wte already padded);
-            # to_device is idempotent on padded wte
-            params_np = jax.tree.map(np.asarray, self.params)
+            # prefer the caller's host pytree (skips a full device->host
+            # download of the just-uploaded params); to_device inside
+            # prepare_tp_params is idempotent on an already-padded wte
+            if isinstance(next(iter(params.values())), jax.Array):
+                params_np = jax.tree.map(np.asarray, self.params)
+            else:
+                params_np = {k: np.asarray(v) for k, v in params.items()}
             self._tp = {
                 "sh": sh,
                 "mesh": mesh,
@@ -121,7 +149,7 @@ class InferenceEngine:
                          sampler: Optional[Sampler] = None) -> List[int]:
         """infer.c semantics: re-run the full forward over the last
         `window` tokens each step (phase-2 slide, infer.c:104-127)."""
-        window = window or self.cfg.max_seq_len
+        window = _check_window(window, self.cfg)
         sampler = sampler or Sampler(self.econf.seed, self.econf.greedy,
                               top_k=self.econf.top_k,
                               temperature=self.econf.temperature)
@@ -151,7 +179,9 @@ class InferenceEngine:
         window-1 (the cache-pointer bump of cached_infer.c:606: every
         post-window token is computed as the last position of its window)."""
         cfg = self.cfg
-        window = window or cfg.max_seq_len
+        window = _check_window(window, cfg)
+        if max_new_tokens <= 0:
+            return list(prompt)
         # a prompt longer than the window attends only to its trailing
         # `window` tokens (mode-"none" parity); cache positions are
         # relative to the dropped base
@@ -205,12 +235,16 @@ class InferenceEngine:
         requests (same objects, with .generated/.ttft/.preemptions filled)."""
         cfg, econf = self.cfg, self.econf
         page = econf.page
-        window = window or cfg.max_seq_len
+        window = _check_window(window, cfg)
         sampler = sampler or Sampler(econf.seed, econf.greedy, top_k=econf.top_k,
                               temperature=econf.temperature)
         mgr, pool = self._paged_state()
         sched = Scheduler(econf.max_batch)
         for r in requests:
+            if r.max_new_tokens <= 0:
+                r.state = State.DONE
+                sched.finished.append(r)
+                continue
             # prompts longer than the window are truncated to their
             # trailing `window` tokens at admission (mode-"none" parity),
             # so capacity is window-relative
@@ -322,20 +356,9 @@ class InferenceEngine:
                     logits, pool = gpt2_paged.prefill_paged(
                         self.params, jnp.asarray(xs), pg, sl, pool, cfg,
                         last_pos=jnp.asarray(last))      # (Bg, V)
-                picks = probs = raws = None
-                if sampler.greedy:
-                    picks = np.asarray(jnp.argmax(logits, axis=-1))
-                elif sampler.transforms_logits:
-                    raws = np.asarray(logits)
-                else:
-                    probs = np.asarray(jax.nn.softmax(logits, axis=-1))
+                first_toks = _sample_rows(sampler, logits, len(group))
                 for i, (slot, req) in enumerate(group):
-                    if picks is not None:
-                        req.generated.append(int(picks[i]))
-                    elif raws is not None:
-                        req.generated.append(sampler.sample_logits(raws[i]))
-                    else:
-                        req.generated.append(sampler.sample(probs[i]))
+                    req.generated.append(first_toks[i])
                     req.mark_first_token()
                     if req.done:
                         mgr.free_prompt(slot)
@@ -352,8 +375,9 @@ class InferenceEngine:
                 # capacity-bound only: rows that hit max_new mid-chunk are
                 # truncated on the host (overshoot-and-discard beats paying
                 # a ~60ms sync per tail token on a tunneled chip)
-                cap = min(page.max_context - len(r.tokens)
-                          for r in sched.running.values())
+                cap = min(page.max_context
+                          - (len(r.tokens) - bases.get(s2, 0))
+                          for s2, r in sched.running.items())
                 dc = max(1, econf.decode_chunk)
                 for cand in (dc, max(dc // 4, 1)):
                     if cap >= cand > 1:
@@ -527,24 +551,13 @@ class InferenceEngine:
                             use_kernel=self.use_kernel,
                             starts=jnp.asarray(starts))
                     decode_tokens += len(stepped)
-                    # greedy: one device argmax + one 4B/row transfer;
-                    # otherwise the shared _pick_token dispatch per row
-                    # (parity softmax done batched on device first)
-                    if sampler.greedy:
-                        picks = np.asarray(jnp.argmax(logits, axis=-1))
-                    elif sampler.transforms_logits:
-                        rows = np.asarray(logits)
-                    else:
-                        rows = np.asarray(jax.nn.softmax(logits, axis=-1))
-                    for slot in stepped:
+                    # rows gathered in `stepped` order so the parity RNG
+                    # stream is consumed per stepped row, in order
+                    row_toks = _sample_rows(
+                        sampler, logits[jnp.asarray(stepped)], len(stepped))
+                    for slot, tok in zip(stepped, row_toks):
                         req = sched.running[slot]
-                        if sampler.greedy:
-                            req.generated.append(int(picks[slot]))
-                        elif sampler.transforms_logits:
-                            req.generated.append(
-                                sampler.sample_logits(rows[slot]))
-                        else:
-                            req.generated.append(sampler.sample(rows[slot]))
+                        req.generated.append(tok)
                         if req.done:
                             mgr.free_prompt(slot)
                             sched.finish(slot)

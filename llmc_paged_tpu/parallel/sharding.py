@@ -212,7 +212,9 @@ def make_tp_decode_step(cfg: GPT2Config, mesh: Mesh,
         out_specs=(P(), pool_spec),
         check_vma=False,
     )
-    return jax.jit(sharded)
+    # donate the pool like the single-device decode_step_paged — without
+    # donation every per-layer scatter copies that layer's page buffers
+    return jax.jit(sharded, donate_argnums=(8,))
 
 
 def make_tp_decode_chunk(cfg: GPT2Config, mesh: Mesh, num_steps: int,
@@ -272,7 +274,7 @@ def make_tp_decode_chunk(cfg: GPT2Config, mesh: Mesh, num_steps: int,
         out_specs=(P(), pool_spec),
         check_vma=False,
     )
-    return jax.jit(sharded)
+    return jax.jit(sharded, donate_argnums=(6,))
 
 
 def make_tp_prefill(cfg: GPT2Config, mesh: Mesh):
@@ -335,7 +337,7 @@ def make_tp_prefill(cfg: GPT2Config, mesh: Mesh):
         out_specs=(P(), pool_spec),
         check_vma=False,
     )
-    return jax.jit(sharded)
+    return jax.jit(sharded, donate_argnums=(4,))
 
 
 def make_dp_train_step(cfg: GPT2Config, mesh: Mesh, optimizer):

@@ -323,3 +323,25 @@ def test_pool_pressure_nongreedy_no_crash(setup):
     assert sorted(r.rid for r in done) == [0, 1]
     for r in done:
         assert len(r.generated) == 6
+
+
+def test_max_new_tokens_zero_consistent(setup):
+    """max_new_tokens=0 must produce zero generated tokens in every mode
+    (dense/paged previously emitted one unconditional post-prefill sample,
+    also consuming a parity-RNG draw)."""
+    cfg, params, stream = setup
+    prompt = stream[:8].tolist()
+    for mode in ("none", "dense", "paged"):
+        eng = make_engine(cfg, params, mode)
+        assert eng.generate(prompt, 0) == prompt, mode
+
+
+def test_window_larger_than_max_seq_len_rejected(setup):
+    """window > max_seq_len would silently clamp the wpe gather on device
+    (garbage embeddings); all modes must reject it up front."""
+    cfg, params, stream = setup
+    prompt = stream[:8].tolist()
+    for mode in ("none", "dense", "paged"):
+        eng = make_engine(cfg, params, mode)
+        with pytest.raises(ValueError, match="max_seq_len"):
+            eng.generate(prompt, 4, window=cfg.max_seq_len + 1)
