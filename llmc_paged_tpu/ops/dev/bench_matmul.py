@@ -31,10 +31,13 @@ def make_args(B, OC, IC):
 VERSIONS = {
     "fp32_highest (parity)": jax.jit(
         lambda x, w, xh, wh: linear(x, w)),
+    # DEFAULT may lower to bf16x3 passes — numerics intentionally differ
+    # from the fp32-exact parity mode (measured ~5e-3 at OC=51200), so
+    # it's timing context, not a validation target
     "fp32_default": (jax.jit(
         lambda x, w, xh, wh: linear(x, w,
                                     precision=jax.lax.Precision.DEFAULT)),
-        {"validate": True}),
+        {"validate": False}),
     # bf16 differs numerically by design — timing context only
     "bf16 (serving)": (jax.jit(
         lambda x, w, xh, wh: linear(xh, wh,

@@ -34,11 +34,14 @@ def _softmax_kernel(x_ref, o_ref):
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def pallas_softmax_rows(x: jax.Array, interpret: bool = False) -> jax.Array:
     B, V = x.shape
+    # Mosaic requires the second-to-last block dim be a multiple of 8 (or
+    # the whole dim): use 8-row blocks — 8 rows x ~200KB still fits VMEM
+    br = 8 if B % 8 == 0 else B
     return pl.pallas_call(
         _softmax_kernel,
-        grid=(B,),
-        in_specs=[pl.BlockSpec((1, V), lambda i: (i, 0))],
-        out_specs=pl.BlockSpec((1, V), lambda i: (i, 0)),
+        grid=(B // br,),
+        in_specs=[pl.BlockSpec((br, V), lambda i: (i, 0))],
+        out_specs=pl.BlockSpec((br, V), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((B, V), x.dtype),
         interpret=interpret,
     )(x)
