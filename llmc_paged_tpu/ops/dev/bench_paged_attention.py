@@ -42,7 +42,10 @@ def _quant(q, k, v, tables, lengths):
 VERSIONS = {
     "v0_xla_gather (naive)": paged_decode_attention_xla,
     "v1_pallas_flash": lambda *a: paged_decode_attention(*a),
-    "v2_pallas_flash_int8kv": _quant,  # includes quantize cost; lab only
+    # differs from the float oracle by int8 quantization error (~5e-3) by
+    # design — exactness vs the QUANT oracle is covered in tests/; timing
+    # context here (includes the quantize-rows cost)
+    "v2_pallas_flash_int8kv": (_quant, {"validate": False}),
 }
 
 
