@@ -126,10 +126,12 @@ def _pick_oc_tile(oc: int) -> Tuple[int, bool]:
     return oc, False
 
 
-def _pick_ic_tile(ic: int, oct_: int, vmem_budget: int = 4 << 20) -> int:
+def _pick_ic_tile(ic: int, oct_: int, vmem_budget: int = 8 << 20) -> int:
     """Last block dim: Mosaic wants a multiple of 128 or the full dim.
-    Prefer the full row when the weight tile fits the VMEM budget
-    (handles GPT-2 1.5B's C=1600, which no 128-multiple divides)."""
+    Prefer the full row when the weight tile fits the VMEM budget —
+    fragmented IC tiles measured badly at 1.5B shapes (OCT=2432/ICT=128 =
+    13 accumulation grid steps cost ~7 ms/step over bf16; the 8MB budget
+    lets 2432x1664 int8 ride as one tile)."""
     if oct_ * ic <= vmem_budget:
         return ic
     for c in _IC_CANDS:
