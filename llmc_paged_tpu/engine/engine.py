@@ -367,10 +367,7 @@ class InferenceEngine:
             # ---- chunked greedy decode (one device round trip per K
             # tokens; page coordinates reserved K ahead) -----------------
             chunk = 1
-            # TP chains are greedy-only (device sampling inside shard_map
-            # is not wired); single-device chains also cover device_sampling
-            chainable = sampler.greedy or (econf.device_sampling
-                                           and self._tp is None)
+            chainable = sampler.greedy or econf.device_sampling
             if chainable and sched.running and not sched.waiting:
                 # capacity-bound only: rows that hit max_new mid-chunk are
                 # truncated on the host (overshoot-and-discard beats paying
@@ -447,16 +444,27 @@ class InferenceEngine:
                                   else first_dev)
                     link_no += 1
                     if self._tp is not None:
-                        fn = self._tp["chunks"].get((chunk, window))
+                        key = (chunk, window, sampler.top_k,
+                               sampler.temperature)
+                        fn = self._tp["chunks"].get(key)
                         if fn is None:
                             fn = self._tp["sh"].make_tp_decode_chunk(
                                 cfg, self._tp["mesh"], chunk, window,
-                                use_kernel=self.use_kernel)
-                            self._tp["chunks"][(chunk, window)] = fn
+                                use_kernel=self.use_kernel,
+                                top_k=sampler.top_k,
+                                temperature=sampler.temperature)
+                            self._tp["chunks"][key] = fn
+                        # all-zeros key = greedy; otherwise the replicated
+                        # per-link sampling key (every shard draws the
+                        # same token from the replicated logits)
+                        rng = (jnp.zeros(2, jnp.uint32)
+                               if sample_key is None else
+                               jax.random.fold_in(sample_key, link_no))
                         toks_out, pool = fn(
                             self._tp["params"], link_first,
                             jnp.asarray(pos0), jnp.asarray(pgs),
-                            jnp.asarray(sls), jnp.asarray(tables), pool)
+                            jnp.asarray(sls), jnp.asarray(tables), pool,
+                            rng)
                     else:
                         toks_out, pool = gpt2_paged.decode_chunk_paged(
                             self.params, link_first, jnp.asarray(pos0),

@@ -219,15 +219,20 @@ def make_tp_decode_step(cfg: GPT2Config, mesh: Mesh,
 
 def make_tp_decode_chunk(cfg: GPT2Config, mesh: Mesh, num_steps: int,
                          window: int, use_kernel: bool = True,
-                         interpret: Optional[bool] = None):
-    """Tensor-parallel K-step greedy decode chunk (the TP twin of
+                         interpret: Optional[bool] = None,
+                         top_k: Optional[int] = None,
+                         temperature: float = 1.0):
+    """Tensor-parallel K-step decode chunk (the TP twin of
     gpt2_paged.decode_chunk_paged): the whole scan runs under one
     shard_map, tokens feed back on device (logits are replicated after the
-    lm_head all-gather, so every shard computes the same argmax), and the
+    lm_head all-gather, so every shard computes the same pick), and the
     engine chains these exactly like the single-device chunks.
 
     Returns chunk(params_tp, first (B,), pos0 (B,), pages (K,B),
-    slots (K,B), tables (B,pps), pool) -> (tokens (K,B), pool)."""
+    slots (K,B), tables (B,pps), pool, rng_key) -> (tokens (K,B), pool).
+    rng_key: (2,) uint32; all-zeros means greedy argmax, otherwise
+    on-device temperature/top-k sampling — the key is REPLICATED so every
+    shard draws the identical token."""
     m = mesh.shape["model"]
     assert cfg.num_heads % m == 0 and cfg.padded_vocab_size % m == 0
     nh_local = cfg.num_heads // m
@@ -235,10 +240,23 @@ def make_tp_decode_chunk(cfg: GPT2Config, mesh: Mesh, num_steps: int,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    def chunk(params, first, pos0, pages, slots, tables, pool: PagePool):
+    def chunk(params, first, pos0, pages, slots, tables, pool: PagePool,
+              rng_key):
         active = pos0 >= 0
         safe_pos0 = jnp.where(active, pos0, 0)
         stack = gpt2._layer_stack(params)
+        sample = jnp.any(rng_key != 0)
+
+        def pick(logits, j):
+            greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            lg = logits / temperature
+            if top_k is not None and 0 < top_k < lg.shape[-1]:
+                kth = jax.lax.top_k(lg, top_k)[0][..., -1:]
+                lg = jnp.where(lg < kth, -jnp.inf, lg)
+            key = jax.random.fold_in(
+                jax.random.wrap_key_data(rng_key, impl="threefry2x32"), j)
+            drawn = jax.random.categorical(key, lg, axis=-1).astype(jnp.int32)
+            return jnp.where(sample, drawn, greedy)
 
         def step(carry, xs):
             toks, pool, j = carry
@@ -256,7 +274,7 @@ def make_tp_decode_chunk(cfg: GPT2Config, mesh: Mesh, num_steps: int,
                     "model")
                 pool = pool.with_layer(i, (k_l, v_l))
             logits = _tp_logits(params, x, "model", cfg)
-            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            nxt = pick(logits, j)
             return (nxt, pool, j + 1), nxt
 
         (_, pool, _), out = jax.lax.scan(
@@ -270,7 +288,7 @@ def make_tp_decode_chunk(cfg: GPT2Config, mesh: Mesh, num_steps: int,
     sharded = shard_map(
         chunk, mesh=mesh,
         in_specs=({k: v for k, v in TP_PARAM_SPECS.items()},
-                  P(), P(), P(), P(), P(), pool_spec),
+                  P(), P(), P(), P(), P(), pool_spec, P()),
         out_specs=(P(), pool_spec),
         check_vma=False,
     )

@@ -170,3 +170,31 @@ def test_engine_tp_serving_matches_single_device(fixtures_dir):
     ref = run(None)
     tp = run({"model": 2})
     assert tp == ref
+
+
+def test_engine_tp_device_sampling_topk1_equals_greedy(fixtures_dir):
+    """TP chunked decode with on-device sampling: top_k=1 must reproduce
+    the greedy stream exactly (replicated logits + replicated key →
+    identical pick on every shard)."""
+    from llmc_paged_tpu import formats
+    from llmc_paged_tpu.config import EngineConfig, PageConfig
+    from llmc_paged_tpu.engine.engine import InferenceEngine
+    from llmc_paged_tpu.engine.scheduler import Request
+
+    cfg, params = formats.read_checkpoint(
+        os.path.join(fixtures_dir, "model_tiny.bin"))
+    stream = formats.read_token_stream(
+        os.path.join(fixtures_dir, "tokens_tiny.bin"))
+    prompt = stream[:7].tolist()
+    page = PageConfig(page_size=8, num_pages=32, max_seqs=4, pages_per_seq=6)
+
+    def run(**kw):
+        econf = EngineConfig(cache_mode="paged", page=page, max_batch=1,
+                             mesh_shape={"model": 2}, decode_chunk=8, **kw)
+        eng = InferenceEngine(params, cfg, econf)
+        return eng.run([Request(rid=0, prompt=prompt,
+                                max_new_tokens=12)])[0].tokens
+
+    greedy = run(greedy=True)
+    sampled = run(greedy=False, top_k=1, device_sampling=True)
+    assert sampled == greedy
