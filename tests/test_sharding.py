@@ -198,3 +198,31 @@ def test_engine_tp_device_sampling_topk1_equals_greedy(fixtures_dir):
     greedy = run(greedy=True)
     sampled = run(greedy=False, top_k=1, device_sampling=True)
     assert sampled == greedy
+
+
+def test_engine_tp_window_matches_single_device(fixtures_dir):
+    """Sliding-window decode under tensor parallelism (window-relative
+    positions + starts flow through the shard_map chunk) must equal the
+    single-device engine, including a prompt longer than the window."""
+    from llmc_paged_tpu import formats
+    from llmc_paged_tpu.config import EngineConfig, PageConfig
+    from llmc_paged_tpu.engine.engine import InferenceEngine
+    from llmc_paged_tpu.engine.scheduler import Request
+
+    cfg, params = formats.read_checkpoint(
+        os.path.join(fixtures_dir, "model_tiny.bin"))
+    stream = formats.read_token_stream(
+        os.path.join(fixtures_dir, "tokens_tiny.bin"))
+    prompt = stream[:14].tolist()   # > window → truncation path too
+    page = PageConfig(page_size=8, num_pages=32, max_seqs=4, pages_per_seq=6)
+
+    def run(mesh_shape):
+        econf = EngineConfig(cache_mode="paged", page=page, max_batch=1,
+                             greedy=True, decode_chunk=8,
+                             mesh_shape=mesh_shape)
+        eng = InferenceEngine(params, cfg, econf)
+        done = eng.run([Request(rid=0, prompt=prompt, max_new_tokens=12)],
+                       window=8)
+        return done[0].tokens
+
+    assert run({"model": 2}) == run(None)
