@@ -153,12 +153,16 @@ def token_coords(block_tables: jax.Array, positions: jax.Array,
     (page, slot) with page == num_pages (out of range → dropped scatter)
     where invalid."""
     pages_per_seq = block_tables.shape[1]
-    page_idx = jnp.clip(positions // page_size, 0, pages_per_seq - 1)
+    page_idx = positions // page_size
+    # positions beyond the table are DROPPED, not clipped — clipping would
+    # silently overwrite the last page's K/V with an out-of-capacity token
+    in_range = (page_idx >= 0) & (page_idx < pages_per_seq)
+    safe_idx = jnp.clip(page_idx, 0, pages_per_seq - 1)
     page = jnp.take_along_axis(
-        block_tables, page_idx.reshape(block_tables.shape[0], -1), axis=1
+        block_tables, safe_idx.reshape(block_tables.shape[0], -1), axis=1
     ).reshape(positions.shape)
     slot = positions % page_size
-    page = jnp.where(valid, page, num_pages)
+    page = jnp.where(valid & in_range, page, num_pages)
     return page.astype(jnp.int32), slot.astype(jnp.int32)
 
 

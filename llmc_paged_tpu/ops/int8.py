@@ -27,11 +27,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 def quantize_per_row(w: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Symmetric per-output-channel (row) int8 quantization.
-    w: (OC, IC) float → (wq int8 (OC, IC), scales f32 (OC,))."""
-    absmax = jnp.max(jnp.abs(w), axis=-1)
-    scale = jnp.where(absmax > 0, absmax / 127.0, 1.0).astype(jnp.float32)
-    wq = jnp.clip(jnp.round(w / scale[:, None]), -127, 127).astype(jnp.int8)
-    return wq, scale
+    w: (OC, IC) float → (wq int8 (OC, IC), scales f32 (OC,)).
+    Delegates to kv.layouts.quantize_rows so weight and KV quantization
+    share ONE formula (changing the scheme in one place changes both)."""
+    from llmc_paged_tpu.kv.layouts import quantize_rows
+
+    assert w.dtype != jnp.int8, \
+        "already quantized — re-quantizing would overwrite the scales"
+    return quantize_rows(w)
 
 
 def dequantize(wq: jax.Array, scale: jax.Array) -> jax.Array:
@@ -103,9 +106,9 @@ def _int8_matmul_kernel(x_ref, wq_ref, s_ref, out_ref, acc_ref, *,
         out_ref[...] = scaled.reshape(out_ref.shape)
 
 
-_OC_CANDS = (4096, 3200, 3072, 2048, 1600, 1536, 1280, 1200, 1024, 960,
-             800, 768, 640, 512, 400, 384, 320, 256, 200, 192, 128, 96,
-             64, 32, 16, 8)
+# escape-hatch OC tiles for UNPADDED weights only (128-multiples are
+# always claimed first by the divisor scan in _pick_oc_tile)
+_OC_CANDS = (1600, 1200, 960, 800, 400, 320, 200, 192, 96, 64, 32, 16, 8)
 _IC_CANDS = (4096, 3072, 2048, 1536, 1280, 1024, 768, 640, 512, 384, 256,
              128)
 
@@ -126,18 +129,27 @@ def _pick_oc_tile(oc: int) -> Tuple[int, bool]:
     return oc, False
 
 
-def _pick_ic_tile(ic: int, oct_: int, vmem_budget: int = 8 << 20) -> int:
+def _pick_ic_tile(ic: int, oct_: int, rt: int,
+                  vmem_budget: int = 16 << 20) -> int:
     """Last block dim: Mosaic wants a multiple of 128 or the full dim.
-    Prefer the full row when the weight tile fits the VMEM budget —
+    Prefer the full row when the WHOLE working set fits the VMEM budget —
     fragmented IC tiles measured badly at 1.5B shapes (OCT=2432/ICT=128 =
-    13 accumulation grid steps cost ~7 ms/step over bf16; the 8MB budget
-    lets 2432x1664 int8 ride as one tile)."""
-    if oct_ * ic <= vmem_budget:
+    13 accumulation grid steps cost ~7 ms/step over bf16). The budget
+    counts double-buffered int8 weights AND the RT-scaled x/out/acc f32
+    buffers (many-row prefill calls would otherwise oversubscribe VMEM on
+    16MB-class cores)."""
+    def fits(ict: int) -> bool:
+        weights = 2 * oct_ * ict              # double-buffered int8
+        xb = 2 * rt * ict * 4                 # double-buffered x
+        ob = 3 * rt * oct_ * 4                # out blocks + accumulator
+        return weights + xb + ob <= vmem_budget
+
+    if fits(ic):
         return ic
     for c in _IC_CANDS:
-        if ic % c == 0:
+        if ic % c == 0 and fits(c):
             return c
-    return ic
+    return 128 if ic % 128 == 0 else ic
 
 
 def _pad_rows(x: jax.Array, multiple: int = 8) -> Tuple[jax.Array, int]:
@@ -185,8 +197,11 @@ def int8_matmul(x: jax.Array, wq: jax.Array, scale: jax.Array,
     B, IC = x.shape
     OC, _ = wq.shape
     OCT, aligned = _pick_oc_tile(OC)
-    ICT = _pick_ic_tile(IC, OCT)
-    RT = next(c for c in (256, 128, 64, 32, 16, 8, B) if B % c == 0)
+    # cap the row tile at 64 so its out/acc buffers leave VMEM room for a
+    # full-row weight tile (weight reads repeat per row tile, but >=64
+    # rows amortize them)
+    RT = next(c for c in (64, 32, 16, 8, B) if B % c == 0)
+    ICT = _pick_ic_tile(IC, OCT, RT)
     s2 = scale.reshape(OC, 1)
     grid = (B // RT, OC // OCT, IC // ICT)
     kwargs = dict(
