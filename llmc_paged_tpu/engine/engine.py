@@ -51,7 +51,11 @@ def _validate_indices(page_cfg: PageConfig, tables: np.ndarray,
 
 def _check_window(window: Optional[int], cfg: GPT2Config) -> int:
     """Positions beyond max_seq_len would silently CLAMP in the wpe gather
-    (garbage embeddings, no error), so reject oversized windows up front."""
+    (garbage embeddings, no error), so reject oversized windows up front;
+    window < 1 would silently coerce (0 → full context) or break the
+    `toks[-window:]` / starts arithmetic (negative), so reject those too."""
+    if window is not None and window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
     window = window or cfg.max_seq_len
     if window > cfg.max_seq_len:
         raise ValueError(f"window {window} > max_seq_len {cfg.max_seq_len} "
@@ -425,7 +429,14 @@ class InferenceEngine:
                         pend_ct = sum(k for _, ks in pending
                                       for s2, k in ks if s2 == slot)
                         segs, evicted = mgr.append_tokens(slot, chunk)
-                        assert not evicted, "free-page guard failed"
+                        if evicted:
+                            # data-integrity guard, not a debug assert: an
+                            # eviction here would scatter K/V through a
+                            # cleared block table into another sequence's
+                            # pages (must hold even under python -O)
+                            raise RuntimeError(
+                                "free-page guard failed: eviction inside a "
+                                f"chunk chain (victims {evicted})")
                         coords = [(s.page, s.offset + i) for s in segs
                                   for i in range(s.count)]
                         assert len(coords) == chunk

@@ -37,9 +37,21 @@ def _chained_fn(fn: Callable) -> Callable:
     multi-TB/s readings."""
     @jax.jit
     def g(scalar, *args):
-        a0 = args[0] + (scalar * jnp.float32(1e-30)).astype(args[0].dtype)
-        out = fn(a0, *args[1:])
-        first = out[0] if isinstance(out, (tuple, list)) else out
+        # thread the chaining scalar into the first INEXACT array leaf of
+        # the args pytree (not blindly args[0], which may be an int token
+        # array or a params dict)
+        leaves, treedef = jax.tree.flatten(args)
+        for i, leaf in enumerate(leaves):
+            if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype,
+                                                         jnp.inexact):
+                leaves[i] = leaf + (scalar * jnp.float32(1e-30)
+                                    ).astype(leaf.dtype)
+                break
+        else:
+            raise TypeError("benchmark() needs at least one float array "
+                            "leaf in args to chain calls through")
+        out = fn(*jax.tree.unflatten(treedef, leaves))
+        first = jax.tree.leaves(out)[0]
         return out, jnp.sum(first).astype(jnp.float32)
 
     return g

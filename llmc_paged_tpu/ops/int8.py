@@ -146,10 +146,16 @@ def _pick_ic_tile(ic: int, oct_: int, rt: int,
 
     if fits(ic):
         return ic
-    for c in _IC_CANDS:
+    # largest 128-multiple divisor that fits the budget (scanning ALL of
+    # them, not just _IC_CANDS, so the fallback never returns an unchecked
+    # full row that could oversubscribe VMEM and fail in Mosaic)
+    for c in range(min(ic, 4096) // 128 * 128, 127, -128):
         if ic % c == 0 and fits(c):
             return c
-    return 128 if ic % 128 == 0 else ic
+    # no 128-multiple divisor fits: the full (unfit) row is the only legal
+    # Mosaic block left — caller-side RT is capped at 64 so this is
+    # unreachable for GPT-2 shapes
+    return 128 if (ic % 128 == 0 and fits(128)) else ic
 
 
 def _pad_rows(x: jax.Array, multiple: int = 8) -> Tuple[jax.Array, int]:
@@ -199,8 +205,11 @@ def int8_matmul(x: jax.Array, wq: jax.Array, scale: jax.Array,
     OCT, aligned = _pick_oc_tile(OC)
     # cap the row tile at 64 so its out/acc buffers leave VMEM room for a
     # full-row weight tile (weight reads repeat per row tile, but >=64
-    # rows amortize them)
-    RT = next(c for c in (64, 32, 16, 8, B) if B % c == 0)
+    # rows amortize them); take the LARGEST sublane-aligned divisor so an
+    # odd batch like 24 tiles as 24, not 8 (8 would re-read every weight
+    # tile 3x) — callers pad rows to a multiple of 8 (_pad_rows)
+    RT = next((c for c in range(min(B, 64) // 8 * 8, 7, -8) if B % c == 0),
+              B)
     ICT = _pick_ic_tile(IC, OCT, RT)
     s2 = scale.reshape(OC, 1)
     grid = (B // RT, OC // OCT, IC // ICT)
