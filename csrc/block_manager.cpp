@@ -51,8 +51,29 @@ struct Manager {
 
     void free_prompt(int32_t prompt) {
         if (prompt < 0 || prompt >= max_seqs) return;
-        for (int32_t pid : tables[prompt]) pages[pid] = PageMeta{};
+        for (int32_t pid : tables[prompt])
+            if (pid >= 0) pages[pid] = PageMeta{};
         tables[prompt].clear();
+    }
+
+    // Sliding-window reclamation: free pages wholly below start_pos,
+    // leaving -1 tombstones so later positions keep their table index
+    // (mirrors BlockManager.release_below).
+    int32_t release_below(int32_t prompt, int32_t start_pos) {
+        if (prompt < 0 || prompt >= max_seqs) return -1;
+        auto& t = tables[prompt];
+        int32_t limit = start_pos / page_size;
+        if (limit > static_cast<int32_t>(t.size()))
+            limit = static_cast<int32_t>(t.size());
+        int32_t freed = 0;
+        for (int32_t j = 0; j < limit; j++) {
+            if (t[j] >= 0) {
+                pages[t[j]] = PageMeta{};
+                t[j] = -1;
+                freed++;
+            }
+        }
+        return freed;
     }
 
     // returns page id or -1; *evicted set to the paged-out prompt or -1
@@ -156,9 +177,14 @@ int32_t bm_block_table(void* m, int32_t prompt, int32_t* out, int32_t cap) {
 int32_t bm_seq_len(void* m, int32_t prompt) {
     Manager* mgr = static_cast<Manager*>(m);
     if (prompt < 0 || prompt >= mgr->max_seqs) return -1;
-    int32_t total = 0;
-    for (int32_t pid : mgr->tables[prompt]) total += mgr->pages[pid].filled;
+    int32_t total = 0;  // tombstoned pages still count (positions stay absolute)
+    for (int32_t pid : mgr->tables[prompt])
+        total += pid < 0 ? mgr->page_size : mgr->pages[pid].filled;
     return total;
+}
+
+int32_t bm_release_below(void* m, int32_t prompt, int32_t start_pos) {
+    return static_cast<Manager*>(m)->release_below(prompt, start_pos);
 }
 
 int32_t bm_num_free(void* m) {

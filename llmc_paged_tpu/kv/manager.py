@@ -49,6 +49,20 @@ class PageMeta:
         return self.prompt_id != -1
 
 
+def _fill_tombstones(table: List[int], fill: int) -> List[int]:
+    """Replace -1 tombstones with the next live page id to their right
+    (see BlockManager.block_table_array)."""
+    if not any(p < 0 for p in table):
+        return table
+    out, nxt = [], fill
+    for p in reversed(table):
+        if p >= 0:
+            nxt = p
+        out.append(nxt)
+    out.reverse()
+    return out
+
+
 @dataclasses.dataclass(frozen=True)
 class Segment:
     """One contiguous device write: `count` new token rows into `page`
@@ -77,11 +91,15 @@ class BlockManager:
     def block_table_array(self, prompt_id: int, pages_per_seq: int,
                           fill: int = 0) -> np.ndarray:
         """Fixed-width int32 row for the kernel; unused entries point at
-        page `fill` (never read thanks to length masking)."""
+        page `fill` (never read thanks to length masking). Tombstoned
+        entries (pages reclaimed by release_below) are forward-filled with
+        the NEXT live page id: the kernel's window guard skips their
+        compute, and mapping consecutive dead entries to one id lets the
+        Mosaic pipeline's same-block revisit detection skip their DMAs."""
         table = self.tables.get(prompt_id, [])
         assert len(table) <= pages_per_seq, "sequence exceeds pages_per_seq"
         row = np.full(pages_per_seq, fill, dtype=np.int32)
-        row[: len(table)] = table
+        row[: len(table)] = _fill_tombstones(table, fill)
         return row
 
     def get_current_block(self, prompt_id: int) -> Optional[int]:
@@ -89,7 +107,10 @@ class BlockManager:
         return table[-1] if table else None
 
     def seq_len(self, prompt_id: int) -> int:
-        return sum(self.pages[p].filled for p in self.tables.get(prompt_id, []))
+        """Logical sequence length INCLUDING reclaimed (tombstoned) pages —
+        positions stay absolute so the position→table-index map holds."""
+        return sum(self.page_size if p < 0 else self.pages[p].filled
+                   for p in self.tables.get(prompt_id, []))
 
     def num_free(self) -> int:
         return sum(1 for p in self.pages if not p.allocated)
@@ -100,6 +121,9 @@ class BlockManager:
         table = self.tables.get(prompt_id, [])
         lines.append(f"Prompt {prompt_id} block count: {len(table)}")
         for pid in table:
+            if pid < 0:
+                lines.append("Block -1: reclaimed (slid out of window)")
+                continue
             pg = self.pages[pid]
             lines.append(f"Block {pid}: filled {pg.filled}, llru {pg.lru_counter}")
         return "\n".join(lines)
@@ -124,8 +148,27 @@ class BlockManager:
 
     def free_prompt(self, prompt_id: int) -> None:
         for pid in self.tables.get(prompt_id, []):
-            self.pages[pid] = PageMeta()
+            if pid >= 0:
+                self.pages[pid] = PageMeta()
         self.tables[prompt_id] = []
+
+    def release_below(self, prompt_id: int, start_pos: int) -> int:
+        """Sliding-window page reclamation — beyond the reference, whose
+        window mode only MASKS slid-out tokens (attention_paged `offset`,
+        paged_infer.c:165,190) while their pages stay allocated forever.
+        Frees every page of `prompt_id` whose token positions all lie
+        below `start_pos`; the table entry becomes a -1 tombstone so later
+        positions keep their absolute table index (the kernel never reads
+        a wholly-below-window page: its (i+1)*ps > start guard masks it).
+        Returns the number of pages freed."""
+        table = self.tables.get(prompt_id, [])
+        freed = 0
+        for j in range(min(start_pos // self.page_size, len(table))):
+            if table[j] >= 0:
+                self.pages[table[j]] = PageMeta()
+                table[j] = -1
+                freed += 1
+        return freed
 
     def request_block(self, prompt_id: int) -> Tuple[Optional[int], List[int]]:
         """Allocate one page to `prompt_id`. Returns (page index or None,

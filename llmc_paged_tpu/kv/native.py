@@ -27,9 +27,13 @@ def _load_lib():
     global _lib
     if _lib is not None:
         return _lib
-    if not os.path.exists(_LIB_PATH):
+    src = os.path.join(_CSRC, "block_manager.cpp")
+    stale = (not os.path.exists(_LIB_PATH)
+             or (os.path.exists(src)
+                 and os.path.getmtime(_LIB_PATH) < os.path.getmtime(src)))
+    if stale:
         try:
-            subprocess.run(["make", "-C", _CSRC], check=True,
+            subprocess.run(["make", "-B", "-C", _CSRC], check=True,
                            capture_output=True)
         except (OSError, subprocess.CalledProcessError) as e:
             raise ImportError(f"cannot build libpagedrt.so: {e}") from e
@@ -51,6 +55,8 @@ def _load_lib():
     lib.bm_block_table.argtypes = [p, i32, ip, i32]
     lib.bm_seq_len.restype = i32
     lib.bm_seq_len.argtypes = [p, i32]
+    lib.bm_release_below.restype = i32
+    lib.bm_release_below.argtypes = [p, i32, i32]
     lib.bm_num_free.restype = i32
     lib.bm_num_free.argtypes = [p]
     lib.bm_lru_epoch.restype = i64
@@ -90,18 +96,27 @@ class NativeBlockManager:
         assert rc == 0
         return pid.value, filled.value, lru.value
 
-    def block_table(self, prompt_id: int) -> List[int]:
-        out = (ctypes.c_int32 * self.num_pages)()
-        n = self._lib.bm_block_table(self._h, prompt_id, out, self.num_pages)
-        assert n >= 0
-        return list(out[:n])
+    def block_table(self, prompt_id: int, cap: int | None = None
+                    ) -> List[int]:
+        # a window-reclaimed table can hold MORE entries than num_pages
+        # (tombstones keep absolute indices), so grow the buffer on
+        # overflow (-1 with a valid prompt id means cap was too small)
+        self._check_prompt(prompt_id)
+        cap = cap or self.num_pages
+        while True:
+            out = (ctypes.c_int32 * cap)()
+            n = self._lib.bm_block_table(self._h, prompt_id, out, cap)
+            if n >= 0:
+                return list(out[:n])
+            cap *= 2
 
     def block_table_array(self, prompt_id: int, pages_per_seq: int,
                           fill: int = 0) -> np.ndarray:
-        table = self.block_table(prompt_id)
+        from llmc_paged_tpu.kv.manager import _fill_tombstones
+        table = self.block_table(prompt_id, cap=pages_per_seq)
         assert len(table) <= pages_per_seq
         row = np.full(pages_per_seq, fill, dtype=np.int32)
-        row[: len(table)] = table
+        row[: len(table)] = _fill_tombstones(table, fill)
         return row
 
     def get_current_block(self, prompt_id: int) -> Optional[int]:
@@ -116,6 +131,11 @@ class NativeBlockManager:
 
     def free_prompt(self, prompt_id: int) -> None:
         self._lib.bm_free_prompt(self._h, prompt_id)
+
+    def release_below(self, prompt_id: int, start_pos: int) -> int:
+        n = self._lib.bm_release_below(self._h, prompt_id, start_pos)
+        assert n >= 0
+        return n
 
     def _check_prompt(self, prompt_id: int) -> None:
         if not (0 <= prompt_id < self.max_seqs):
