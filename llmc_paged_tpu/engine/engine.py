@@ -117,33 +117,32 @@ class InferenceEngine:
         self._tp = None
         if self.econf.mesh_shape:
             from llmc_paged_tpu.parallel import sharding as sh
-            if self.econf.param_dtype != "float32":
-                raise NotImplementedError(
-                    "TP serving currently runs the fp32 path")
-            if self.econf.page.kv_dtype == "int8":
-                raise NotImplementedError(
-                    "TP serving supports float32/bfloat16 KV pages (the "
-                    "shard_map steps are built for PagePool)")
             model = int(self.econf.mesh_shape.get("model", 1))
             data = int(self.econf.mesh_shape.get("data", 1))
             mesh = sh.make_mesh(model=model, data=data)
-            # prefer the caller's host pytree (skips a full device->host
-            # download of the just-uploaded params); to_device inside
-            # prepare_tp_params is idempotent on an already-padded wte
-            if isinstance(next(iter(params.values())), jax.Array):
-                params_np = jax.tree.map(np.asarray, self.params)
-            else:
-                params_np = {k: np.asarray(v) for k, v in params.items()}
+            # TP prepares its own device layout (and, for int8, its own
+            # TP-layout quantization) from the caller's FLOAT pytree —
+            # self.params may already be quantized for the single-device
+            # modes, so go back to the raw argument
+            params_np = {k: np.asarray(v) for k, v in params.items()}
+            quant = self.econf.param_dtype == "int8"
+            kv_quant = self.econf.page.kv_dtype == "int8"
             self._tp = {
                 "sh": sh,
                 "mesh": mesh,
-                "params": sh.prepare_tp_params(params_np, cfg, mesh),
+                "quant_params": quant,
+                "kv_quant": kv_quant,
+                "params": sh.prepare_tp_params(
+                    params_np, cfg, mesh,
+                    param_dtype=self.econf.param_dtype),
                 "decode": sh.make_tp_decode_step(
-                    cfg, mesh, use_kernel=use_kernel),
-                "prefill": sh.make_tp_prefill(cfg, mesh),
+                    cfg, mesh, use_kernel=use_kernel,
+                    quant_params=quant, kv_quant=kv_quant),
+                "prefill": sh.make_tp_prefill(
+                    cfg, mesh, quant_params=quant, kv_quant=kv_quant),
                 "pool_sharding": jax.sharding.NamedSharding(
                     mesh, sh.tp_pool_spec()),
-                "chunks": {},   # (num_steps, window) -> compiled chunk fn
+                "chunks": {},   # (num_steps, window, ...) -> compiled fn
             }
 
     # -- mode "none": full recompute with sliding window (infer.c) ----------
@@ -257,9 +256,13 @@ class InferenceEngine:
                 raise ValueError(
                     f"request {r.rid} needs {need} cached tokens"
                     f" > max_context {page.max_context}")
-            if -(-need // page.page_size) > page.num_pages:
+            # physical pages: slid-out pages are reclaimed as the window
+            # advances (release_below), so a window-W sequence holds at
+            # most ceil(W/ps)+1 live pages however long it runs
+            phys = min(need, window + page.page_size)
+            if -(-phys // page.page_size) > page.num_pages:
                 raise ValueError(
-                    f"request {r.rid} needs {-(-need // page.page_size)}"
+                    f"request {r.rid} needs {-(-phys // page.page_size)}"
                     f" pages > pool size {page.num_pages} — it can never"
                     " be scheduled")
             sched.submit(r)
@@ -268,6 +271,7 @@ class InferenceEngine:
         pps = page.pages_per_seq
         t_start = time.monotonic()
         decode_tokens = 0
+        peak_pages = 0
         iteration = 0
         # per-slot count of prompt tokens DROPPED at admission (prompt
         # longer than the window attends only to its trailing `window`
@@ -368,11 +372,33 @@ class InferenceEngine:
                         mgr.free_prompt(slot)
                         sched.finish(slot)
 
+            # ---- sliding-window page reclamation ------------------------
+            # Pages whose every token slid below the attention window are
+            # dead weight — free them before sizing this iteration's
+            # decode (long-running window-W sequences then hold O(W/ps)
+            # pages; the reference never reclaims, SURVEY §5 long-context).
+            if window < page.max_context:
+                for slot, req in sched.running.items():
+                    start = len(req.tokens) - bases.get(slot, 0) - window
+                    if start >= page.page_size:
+                        mgr.release_below(slot, start)
+            peak_pages = max(peak_pages, page.num_pages - mgr.num_free())
+
             # ---- chunked greedy decode (one device round trip per K
             # tokens; page coordinates reserved K ahead) -----------------
             chunk = 1
             chainable = sampler.greedy or econf.device_sampling
-            if chainable and sched.running and not sched.waiting:
+            # Chunk even while requests wait: once the admission pass above
+            # has run, anything still waiting is blocked on slots or pages
+            # either way, so single-token stepping (one ~60ms sync each on
+            # a tunneled chip) would only throttle the running sequences
+            # without admitting anyone sooner. Under queue pressure the
+            # chain is bounded to ONE link per iteration (finished rows
+            # free their slots at the next materialization) and, when the
+            # block is page- rather than slot-bound, chunks shrink so the
+            # admission retry comes sooner as pages free up.
+            queue_blocked = bool(sched.waiting)
+            if chainable and sched.running:
                 # capacity-bound only: rows that hit max_new mid-chunk are
                 # truncated on the host (overshoot-and-discard beats paying
                 # a ~60ms sync per tail token on a tunneled chip)
@@ -380,6 +406,8 @@ class InferenceEngine:
                           - (len(r.tokens) - bases.get(s2, 0))
                           for s2, r in sched.running.items())
                 dc = max(1, econf.decode_chunk)
+                if queue_blocked and sched.free_slots():
+                    dc = max(dc // 4, 1)   # page-blocked: shorter chunks
                 for cand in (dc, max(dc // 4, 1)):
                     if cap >= cand > 1:
                         chunk = cand
@@ -463,7 +491,9 @@ class InferenceEngine:
                                 cfg, self._tp["mesh"], chunk, window,
                                 use_kernel=self.use_kernel,
                                 top_k=sampler.top_k,
-                                temperature=sampler.temperature)
+                                temperature=sampler.temperature,
+                                quant_params=self._tp["quant_params"],
+                                kv_quant=self._tp["kv_quant"])
                             self._tp["chunks"][key] = fn
                         # all-zeros key = greedy; otherwise the replicated
                         # per-link sampling key (every shard draws the
@@ -492,6 +522,11 @@ class InferenceEngine:
                                          if sample_key is not None else 1.0))
                     first_dev = toks_out[-1]
                     pending.append((toks_out, stepped))
+                    if queue_blocked:
+                        # bounded chain under queue pressure: materialize
+                        # now so finished rows release their slots and the
+                        # waiting queue gets its admission retry
+                        break
                 if pending:
                     progressed = True
                     # one device→host transfer for the whole chain
@@ -591,6 +626,7 @@ class InferenceEngine:
             "wall_s": dt,
             "decode_tokens": decode_tokens,
             "decode_tok_per_s": decode_tokens / dt if dt > 0 else 0.0,
+            "peak_pages_used": peak_pages,
             "preemptions": sum(r.preemptions for r in sched.finished),
             "p50_ttft_s": float(np.median([r.ttft for r in sched.finished
                                            if r.ttft is not None] or [0.0])),

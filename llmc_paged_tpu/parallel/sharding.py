@@ -34,11 +34,19 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from llmc_paged_tpu.config import GPT2Config, PageConfig
-from llmc_paged_tpu.kv.layouts import PagePool, write_layer_kv
+from llmc_paged_tpu.kv.layouts import (
+    PagePool,
+    QuantPagePool,
+    quantize_rows,
+    write_layer_kv,
+    write_layer_kv_quant,
+)
 from llmc_paged_tpu.models import gpt2
 from llmc_paged_tpu.ops import layers as L
 from llmc_paged_tpu.ops.paged_attention import (
     paged_decode_attention,
+    paged_decode_attention_quant,
+    paged_decode_attention_quant_xla,
     paged_decode_attention_xla,
 )
 
@@ -86,13 +94,34 @@ TP_PARAM_SPECS: Dict[str, P] = {
     "fcprojw": P(None, None, "model"),            # (L, C, 4C)
     "fcprojb": P(),
     "lnfw": P(), "lnfb": P(),
+    # INT8 per-output-row scales (added by prepare_tp_params for
+    # param_dtype="int8"): each follows its weight's OUTPUT dims — rows on
+    # a sharded output axis shard with it, rows on a psum'd (input-sharded)
+    # matmul are replicated (the per-row scale multiplies the full sum, so
+    # s*psum(partial) == psum(s*partial)).
+    "wte_scale": P("model"),                      # (Vp,)
+    "qkvw_scale": P(None, None, "model", None),   # (L, 3, NH, HS)
+    "attprojw_scale": P(),                        # (L, C)
+    "fcw_scale": P(None, "model"),                # (L, 4C)
+    "fcprojw_scale": P(),                         # (L, C)
 }
 
 
 def tp_pool_spec() -> P:
     """Per-layer (NH, P, page_size, HS) pool buffer sharded over heads.
-    Applies uniformly to every leaf of a PagePool pytree."""
+    Applies uniformly to every leaf of a PagePool/QuantPagePool pytree
+    (int8 scales are (NH, P, 1, ps) — axis 0 is still heads)."""
     return P("model", None, None, None)
+
+
+def _pool_specs(cfg: GPT2Config, kv_quant: bool):
+    """Pool pytree of PartitionSpecs matching PagePool or QuantPagePool
+    structure, for shard_map in/out specs."""
+    spec = tp_pool_spec()
+    per_layer = tuple(spec for _ in range(cfg.num_layers))
+    if kv_quant:
+        return QuantPagePool(per_layer, per_layer, per_layer, per_layer)
+    return PagePool(per_layer, per_layer)
 
 
 def relayout_tp(params: Dict[str, jax.Array], cfg: GPT2Config
@@ -107,108 +136,183 @@ def relayout_tp(params: Dict[str, jax.Array], cfg: GPT2Config
     return out
 
 
+def quantize_tp(tp: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
+    """Per-output-row INT8 quantization of a TP-layout pytree (the TP twin
+    of ops.int8.quantize_params). Rows are the OUTPUT dims of each matmul
+    in the TP device layout, so shards and scales partition together; the
+    quantized VALUES are identical to the single-device quantizer's (the
+    relayout reshapes never mix a row's elements), so int8 TP logits match
+    int8 single-device logits up to psum summation order."""
+    def q(w, row_ndim):
+        wq, s = quantize_rows(w.reshape(*w.shape[:row_ndim], -1))
+        return wq.reshape(w.shape), s
+
+    out = dict(tp)
+    out["qkvw"], out["qkvw_scale"] = q(tp["qkvw"], 4)       # (L,3,NH,HS,C)
+    out["attprojw"], out["attprojw_scale"] = q(tp["attprojw"], 2)
+    out["fcw"], out["fcw_scale"] = q(tp["fcw"], 2)
+    out["fcprojw"], out["fcprojw_scale"] = q(tp["fcprojw"], 2)
+    out["wte"], out["wte_scale"] = q(tp["wte"], 1)
+    return out
+
+
 def prepare_tp_params(params: Dict[str, np.ndarray], cfg: GPT2Config,
-                      mesh: Mesh, dtype=jnp.float32) -> Dict[str, jax.Array]:
-    """Load + relayout + shard a checkpoint pytree onto the mesh."""
-    dev = gpt2.to_device(params, cfg, dtype)
+                      mesh: Mesh,
+                      param_dtype: str = "float32") -> Dict[str, jax.Array]:
+    """Load + relayout (+ quantize) + shard a checkpoint pytree onto the
+    mesh. ``param_dtype``: "float32" (parity), "bfloat16" (serving), or
+    "int8" (weight-only quant; layernorms/biases/wpe stay float, the same
+    split as ops.int8.quantize_params)."""
+    dev = gpt2.to_device(params, cfg,
+                         jnp.bfloat16 if param_dtype == "bfloat16"
+                         else jnp.float32)
     tp = relayout_tp(dev, cfg)
+    if param_dtype == "int8":
+        if any(v.dtype == jnp.int8 for v in tp.values()):
+            raise ValueError("prepare_tp_params needs FLOAT params for "
+                             "int8 TP serving (it quantizes in the TP "
+                             "layout itself)")
+        tp = quantize_tp(tp)
     return {k: jax.device_put(v, NamedSharding(mesh, TP_PARAM_SPECS[k]))
             for k, v in tp.items()}
 
 
-def _tp_block_decode(x, lp, k_pool_l, v_pool_l, page, slot, block_tables,
-                     lengths, starts, cfg: GPT2Config, nh_local: int,
+def _param_specs(quant_params: bool) -> Dict[str, P]:
+    """shard_map in_specs for the params pytree (scale entries only exist
+    for int8 params)."""
+    return {k: v for k, v in TP_PARAM_SPECS.items()
+            if quant_params or not k.endswith("_scale")}
+
+
+def _tp_qkv(lp, h):
+    """h (..., C) → qkv (3, ..., NHl, HS) through the head-sharded local
+    qkv weight: float einsum, or the fused int8 kernel on a 2D reshape
+    (rows are exactly the quantization rows, see quantize_tp)."""
+    w = lp["qkvw"]                            # (3, NHl, HS, C)
+    t, nhl, hs, C = w.shape
+    if w.dtype == jnp.int8:
+        from llmc_paged_tpu.ops.int8 import int8_linear
+        out = int8_linear(h, w.reshape(t * nhl * hs, C),
+                          lp["qkvw_scale"].reshape(t * nhl * hs))
+        qkv = jnp.moveaxis(out.reshape(*h.shape[:-1], t, nhl, hs), -3, 0)
+    else:
+        qkv = jnp.einsum("...c,thdc->t...hd", h, w,
+                         precision=jax.lax.Precision.HIGHEST)
+    return qkv + lp["qkvb"].reshape((t,) + (1,) * (h.ndim - 1) + (nhl, hs))
+
+
+def _tp_attproj(lp, att):
+    """att (..., NHl, HS) → PARTIAL (..., C) over local heads; the caller
+    psums (per-row int8 scales commute with the psum: the rows are the
+    un-sharded output axis)."""
+    w = lp["attprojw"]                        # (C, NHl, HS)
+    C, nhl, hs = w.shape
+    if w.dtype == jnp.int8:
+        from llmc_paged_tpu.ops.int8 import int8_linear
+        return int8_linear(att.reshape(*att.shape[:-2], nhl * hs),
+                           w.reshape(C, nhl * hs), lp["attprojw_scale"])
+    return jnp.einsum("...hd,chd->...c", att, w,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def _tp_block_decode(x, lp, pool_l, page, slot, block_tables,
+                     lengths, starts, cfg: GPT2Config,
                      use_kernel: bool, interpret: bool, axis: str):
     """One transformer block, decode position, per TP shard.
 
-    x (B, C) replicated; lp holds this layer's local-shard params; the
-    pool slices hold nh_local heads. Two psums: attproj and fcproj
-    (Megatron pattern)."""
-    B = x.shape[0]
+    x (B, C) replicated; lp holds this layer's local-shard params (float,
+    bf16 or int8+scales); pool_l is one layer's local-head pool slices —
+    a (k, v) pair or an int8 (k, v, k_scale, v_scale) quadruple. Two
+    psums: attproj and fcproj (Megatron pattern)."""
     h = L.layernorm(x, lp["ln1w"], lp["ln1b"])
-    # qkv for local heads: (B,C) x (3, NHl, HS, C) -> (3, B, NHl, HS)
-    qkv = jnp.einsum("bc,thdc->tbhd", h, lp["qkvw"],
-                     precision=jax.lax.Precision.HIGHEST) + \
-        lp["qkvb"][:, None]
+    qkv = _tp_qkv(lp, h)                      # (3, B, NHl, HS)
     q, k, v = qkv[0], qkv[1], qkv[2]
-    k_pool_l, v_pool_l = write_layer_kv(k_pool_l, v_pool_l, k, v, page, slot)
-    if use_kernel:
-        att = paged_decode_attention(q, k_pool_l, v_pool_l, block_tables,
-                                     lengths, starts, interpret=interpret)
+    if len(pool_l) == 4:                      # int8 KV pages
+        pool_l = write_layer_kv_quant(pool_l, k, v, page, slot)
+        attend = (paged_decode_attention_quant if use_kernel
+                  else paged_decode_attention_quant_xla)
     else:
-        att = paged_decode_attention_xla(q, k_pool_l, v_pool_l, block_tables,
-                                         lengths, starts)
-    # attproj over local heads -> partial (B, C), reduced across shards
-    partial = jnp.einsum("bhd,chd->bc", att, lp["attprojw"],
-                         precision=jax.lax.Precision.HIGHEST)
-    x = x + jax.lax.psum(partial, axis) + lp["attprojb"]
+        pool_l = write_layer_kv(*pool_l, k, v, page, slot)
+        attend = (paged_decode_attention if use_kernel
+                  else paged_decode_attention_xla)
+    kw = {"interpret": interpret} if use_kernel else {}
+    att = attend(q, *pool_l, block_tables, lengths, starts, **kw)
+    x = x + jax.lax.psum(_tp_attproj(lp, att), axis) + lp["attprojb"]
     h2 = L.layernorm(x, lp["ln2w"], lp["ln2b"])
-    ff = L.linear(h2, lp["fcw"], lp["fcb"])          # (B, 4C/m) local
-    ff = L.gelu_tanh(ff)
-    partial = jnp.einsum("bf,cf->bc", ff, lp["fcprojw"],
-                         precision=jax.lax.Precision.HIGHEST)
-    x = x + jax.lax.psum(partial, axis) + lp["fcprojb"]
-    return x, k_pool_l, v_pool_l
+    ff = L.gelu_tanh(gpt2._lin(lp, "fcw", h2, "fcb"))   # (B, 4C/m) local
+    x = x + jax.lax.psum(gpt2._lin(lp, "fcprojw", ff), axis) \
+        + lp["fcprojb"]
+    return x, pool_l
 
 
 def _tp_embed(params, tokens, wpe_pos, axis: str, vocab_shard: int):
     """Embedding lookup from the vocab-sharded wte: each shard contributes
-    rows it owns, psum combines."""
+    rows it owns, psum combines. int8 wte rows dequantize on the fly."""
     idx = jax.lax.axis_index(axis)
     off = idx * vocab_shard
     local = tokens - off
     in_range = (local >= 0) & (local < vocab_shard)
     safe = jnp.where(in_range, local, 0)
-    emb = jnp.where(in_range[..., None], params["wte"][safe], 0.0)
-    emb = jax.lax.psum(emb, axis)
+    wte = params["wte"]
+    if wte.dtype == jnp.int8:
+        rows = wte[safe].astype(jnp.float32) \
+            * params["wte_scale"][safe][..., None]
+    else:
+        rows = wte[safe]
+    emb = jax.lax.psum(jnp.where(in_range[..., None], rows, 0.0), axis)
     return emb + params["wpe"][wpe_pos]
 
 
 def _tp_logits(params, x, axis: str, cfg: GPT2Config):
     """Final LN + vocab-sharded lm_head; all-gather the vocab shards."""
     x = L.layernorm(x, params["lnfw"], params["lnfb"])
-    logits_local = L.linear(x, params["wte"])        # (B, Vp/m)
+    if params["wte"].dtype == jnp.int8:
+        from llmc_paged_tpu.ops.int8 import int8_linear
+        logits_local = int8_linear(x, params["wte"], params["wte_scale"])
+    else:
+        logits_local = L.linear(x, params["wte"])    # (B, Vp/m)
     logits = jax.lax.all_gather(logits_local, axis, axis=-1, tiled=True)
     return logits[..., : cfg.vocab_size]
 
 
 def make_tp_decode_step(cfg: GPT2Config, mesh: Mesh,
                         use_kernel: bool = True,
-                        interpret: Optional[bool] = None):
+                        interpret: Optional[bool] = None,
+                        quant_params: bool = False,
+                        kv_quant: bool = False):
     """Build the tensor-parallel batched paged decode step.
 
     Returns step(params_tp, tokens, wpe_pos, page, slot, tables, lengths,
     starts, pool) -> (logits (B, V) replicated, pool). params_tp from
-    prepare_tp_params; pool sharded with tp_pool_spec()."""
+    prepare_tp_params; pool sharded with tp_pool_spec(). quant_params /
+    kv_quant select the int8 params / int8 KV-page structures (the specs
+    must match the pytrees, so they are build-time flags)."""
     m = mesh.shape["model"]
     assert cfg.num_heads % m == 0, (cfg.num_heads, m)
     assert cfg.padded_vocab_size % m == 0
-    nh_local = cfg.num_heads // m
     vocab_shard = cfg.padded_vocab_size // m
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
     def step(params, tokens, wpe_pos, page, slot, tables, lengths, starts,
-             pool: PagePool):
+             pool):
         x = _tp_embed(params, tokens, wpe_pos, "model", vocab_shard)
         stack = gpt2._layer_stack(params)
         # unrolled layer loop over per-layer pool buffers (see
         # gpt2_paged._decode_core for the measured rationale)
         for i in range(cfg.num_layers):
             lp = {name: w[i] for name, w in stack.items()}
-            x, k_l, v_l = _tp_block_decode(
-                x, lp, pool.k[i], pool.v[i], page, slot, tables, lengths,
-                starts, cfg, nh_local, use_kernel, interpret, "model")
-            pool = pool.with_layer(i, (k_l, v_l))
+            x, pool_l = _tp_block_decode(
+                x, lp, pool.layer(i), page, slot, tables, lengths,
+                starts, cfg, use_kernel, interpret, "model")
+            pool = pool.with_layer(i, pool_l)
         return _tp_logits(params, x, "model", cfg), pool
 
-    param_specs = {k: TP_PARAM_SPECS[k] for k in TP_PARAM_SPECS}
-    spec = tp_pool_spec()
-    pool_spec = PagePool(tuple(spec for _ in range(cfg.num_layers)),
-                         tuple(spec for _ in range(cfg.num_layers)))
+    pool_spec = _pool_specs(cfg, kv_quant)
     sharded = shard_map(
         step, mesh=mesh,
-        in_specs=(param_specs, P(), P(), P(), P(), P(), P(), P(), pool_spec),
+        in_specs=(_param_specs(quant_params),
+                  P(), P(), P(), P(), P(), P(), P(), pool_spec),
         out_specs=(P(), pool_spec),
         check_vma=False,
     )
@@ -221,7 +325,9 @@ def make_tp_decode_chunk(cfg: GPT2Config, mesh: Mesh, num_steps: int,
                          window: int, use_kernel: bool = True,
                          interpret: Optional[bool] = None,
                          top_k: Optional[int] = None,
-                         temperature: float = 1.0):
+                         temperature: float = 1.0,
+                         quant_params: bool = False,
+                         kv_quant: bool = False):
     """Tensor-parallel K-step decode chunk (the TP twin of
     gpt2_paged.decode_chunk_paged): the whole scan runs under one
     shard_map, tokens feed back on device (logits are replicated after the
@@ -235,13 +341,11 @@ def make_tp_decode_chunk(cfg: GPT2Config, mesh: Mesh, num_steps: int,
     shard draws the identical token."""
     m = mesh.shape["model"]
     assert cfg.num_heads % m == 0 and cfg.padded_vocab_size % m == 0
-    nh_local = cfg.num_heads // m
     vocab_shard = cfg.padded_vocab_size // m
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    def chunk(params, first, pos0, pages, slots, tables, pool: PagePool,
-              rng_key):
+    def chunk(params, first, pos0, pages, slots, tables, pool, rng_key):
         active = pos0 >= 0
         safe_pos0 = jnp.where(active, pos0, 0)
         stack = gpt2._layer_stack(params)
@@ -268,11 +372,10 @@ def make_tp_decode_chunk(cfg: GPT2Config, mesh: Mesh, num_steps: int,
             x = _tp_embed(params, toks, wpe_pos, "model", vocab_shard)
             for i in range(cfg.num_layers):
                 lp = {name: w[i] for name, w in stack.items()}
-                x, k_l, v_l = _tp_block_decode(
-                    x, lp, pool.k[i], pool.v[i], page_j, slot_j, tables,
-                    lengths, starts, cfg, nh_local, use_kernel, interpret,
-                    "model")
-                pool = pool.with_layer(i, (k_l, v_l))
+                x, pool_l = _tp_block_decode(
+                    x, lp, pool.layer(i), page_j, slot_j, tables,
+                    lengths, starts, cfg, use_kernel, interpret, "model")
+                pool = pool.with_layer(i, pool_l)
             logits = _tp_logits(params, x, "model", cfg)
             nxt = pick(logits, j)
             return (nxt, pool, j + 1), nxt
@@ -282,12 +385,10 @@ def make_tp_decode_chunk(cfg: GPT2Config, mesh: Mesh, num_steps: int,
             length=num_steps)
         return out, pool
 
-    spec = tp_pool_spec()
-    pool_spec = PagePool(tuple(spec for _ in range(cfg.num_layers)),
-                         tuple(spec for _ in range(cfg.num_layers)))
+    pool_spec = _pool_specs(cfg, kv_quant)
     sharded = shard_map(
         chunk, mesh=mesh,
-        in_specs=({k: v for k, v in TP_PARAM_SPECS.items()},
+        in_specs=(_param_specs(quant_params),
                   P(), P(), P(), P(), P(), pool_spec, P()),
         out_specs=(P(), pool_spec),
         check_vma=False,
@@ -295,7 +396,9 @@ def make_tp_decode_chunk(cfg: GPT2Config, mesh: Mesh, num_steps: int,
     return jax.jit(sharded, donate_argnums=(6,))
 
 
-def make_tp_prefill(cfg: GPT2Config, mesh: Mesh):
+def make_tp_prefill(cfg: GPT2Config, mesh: Mesh,
+                    quant_params: bool = False,
+                    kv_quant: bool = False):
     """Tensor-parallel prompt prefill writing into the sharded pool.
     prefill(params_tp, tokens (B,T), page (B,T), slot (B,T), pool,
     last_pos (B,)) -> (logits (B, V), pool): the lm_head + all-gather run
@@ -306,51 +409,47 @@ def make_tp_prefill(cfg: GPT2Config, mesh: Mesh):
     nh_local = cfg.num_heads // m
     vocab_shard = cfg.padded_vocab_size // m
 
-    def run(params, tokens, page, slot, pool: PagePool, last_pos):
+    def run(params, tokens, page, slot, pool, last_pos):
         B, T = tokens.shape
         pos = jnp.arange(T, dtype=jnp.int32)
         x = _tp_embed(params, tokens, jnp.broadcast_to(pos, (B, T)),
                       "model", vocab_shard)
         fpage, fslot = page.reshape(B * T), slot.reshape(B * T)
 
-        def body_layer(carry, lp, k_l, v_l, fpage, fslot, B, T):
+        def body_layer(carry, lp, pool_l):
             h = L.layernorm(carry, lp["ln1w"], lp["ln1b"])
-            qkv = jnp.einsum("bsc,thdc->tbshd", h, lp["qkvw"],
-                             precision=jax.lax.Precision.HIGHEST) + \
-                lp["qkvb"][:, None, None]
-            q, k, v = qkv[0], qkv[1], qkv[2]      # (B, T, NHl, HS)
-            k_l, v_l = write_layer_kv(
-                k_l, v_l,
-                k.reshape(B * T, nh_local, cfg.head_dim),
-                v.reshape(B * T, nh_local, cfg.head_dim), fpage, fslot)
+            qkv = _tp_qkv(lp, h)                  # (3, B, T, NHl, HS)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            k_rows = k.reshape(B * T, nh_local, cfg.head_dim)
+            v_rows = v.reshape(B * T, nh_local, cfg.head_dim)
+            if len(pool_l) == 4:
+                pool_l = write_layer_kv_quant(pool_l, k_rows, v_rows,
+                                              fpage, fslot)
+            else:
+                pool_l = write_layer_kv(*pool_l, k_rows, v_rows,
+                                        fpage, fslot)
             qh, kh, vh = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
             att = L.causal_attention(qh, kh, vh)
             att = att.transpose(0, 2, 1, 3)       # (B, T, NHl, HS)
-            partial = jnp.einsum("bshd,chd->bsc", att, lp["attprojw"],
-                                 precision=jax.lax.Precision.HIGHEST)
-            xo = carry + jax.lax.psum(partial, "model") + lp["attprojb"]
+            xo = carry + jax.lax.psum(_tp_attproj(lp, att), "model") \
+                + lp["attprojb"]
             h2 = L.layernorm(xo, lp["ln2w"], lp["ln2b"])
-            ff = L.gelu_tanh(L.linear(h2, lp["fcw"], lp["fcb"]))
-            partial = jnp.einsum("bsf,cf->bsc", ff, lp["fcprojw"],
-                                 precision=jax.lax.Precision.HIGHEST)
-            return xo + jax.lax.psum(partial, "model") + lp["fcprojb"], \
-                (k_l, v_l)
+            ff = L.gelu_tanh(gpt2._lin(lp, "fcw", h2, "fcb"))
+            return xo + jax.lax.psum(gpt2._lin(lp, "fcprojw", ff), "model") \
+                + lp["fcprojb"], pool_l
 
         stack = gpt2._layer_stack(params)
         for i in range(cfg.num_layers):
             lp = {name: w[i] for name, w in stack.items()}
-            x, (k_l, v_l) = body_layer(x, lp, pool.k[i], pool.v[i],
-                                       fpage, fslot, B, T)
-            pool = pool.with_layer(i, (k_l, v_l))
+            x, pool_l = body_layer(x, lp, pool.layer(i))
+            pool = pool.with_layer(i, pool_l)
         x = x[jnp.arange(B), last_pos]            # (B, C)
         return _tp_logits(params, x, "model", cfg), pool
 
-    spec = tp_pool_spec()
-    pool_spec = PagePool(tuple(spec for _ in range(cfg.num_layers)),
-                         tuple(spec for _ in range(cfg.num_layers)))
+    pool_spec = _pool_specs(cfg, kv_quant)
     sharded = shard_map(
         run, mesh=mesh,
-        in_specs=({k: v for k, v in TP_PARAM_SPECS.items()},
+        in_specs=(_param_specs(quant_params),
                   P(), P(), P(), pool_spec, P()),
         out_specs=(P(), pool_spec),
         check_vma=False,
