@@ -70,11 +70,41 @@ def _sample_rows(sampler: Sampler, logits, n: int) -> List[int]:
     if sampler.greedy:
         picks = np.asarray(jnp.argmax(logits, axis=-1))
         return [int(picks[i]) for i in range(n)]
+    if sampler.transforms_logits and sampler.top_k:
+        return _sample_rows_topk(sampler, logits, n)
     if sampler.transforms_logits:
         rows = np.asarray(logits)
         return [sampler.sample_logits(rows[i]) for i in range(n)]
     probs = np.asarray(jax.nn.softmax(logits, axis=-1))
     return [sampler.sample(probs[i]) for i in range(n)]
+
+
+def _sample_rows_topk(sampler: Sampler, logits, n: int) -> List[int]:
+    """Top-k host sampling from a device-computed top-k prefix: ships
+    2·(N, k') instead of (N, V) floats — ~1.6MB → ~3KB per step at GPT-2
+    vocab — while the sampled tokens stay BIT-EXACT vs the full-row path
+    (sampler.reconstruct_topk_row runs the identical fp32 transform).
+    The only case needing the full row is a tie at the shipped boundary
+    (an unshipped entry could equal the k-th value, which the reference
+    transform keeps), detected per row and downloaded then."""
+    from llmc_paged_tpu.sampler import reconstruct_topk_row
+
+    V = logits.shape[-1]
+    kship = min(max(2 * sampler.top_k, sampler.top_k + 16), V)
+    if kship >= V:
+        rows = np.asarray(logits)
+        return [sampler.sample_logits(rows[i]) for i in range(n)]
+    vals_d, idx_d = jax.lax.top_k(logits, kship)
+    vals, idx = np.asarray(vals_d), np.asarray(idx_d)
+    out = []
+    for i in range(n):
+        kth = vals[i, sampler.top_k - 1]
+        if vals[i, -1] >= kth:      # boundary tie may extend past the ship
+            row = np.asarray(logits[i])
+        else:
+            row = reconstruct_topk_row(vals[i], idx[i], V)
+        out.append(sampler.sample_logits(row))
+    return out
 
 
 def _pick_token(sampler: Sampler, logits_row) -> int:
@@ -85,6 +115,8 @@ def _pick_token(sampler: Sampler, logits_row) -> int:
     raw logits host-side (train_gpt2.py:197-222 semantics)."""
     if sampler.greedy:
         return int(jnp.argmax(logits_row))
+    if sampler.transforms_logits and sampler.top_k:
+        return _sample_rows_topk(sampler, logits_row[None], 1)[0]
     if sampler.transforms_logits:
         return sampler.sample_logits(np.asarray(logits_row))
     return sampler.sample(np.asarray(jax.nn.softmax(logits_row)))

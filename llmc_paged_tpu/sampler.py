@@ -72,6 +72,19 @@ def topk_probs(logits: np.ndarray, top_k: int | None = None,
     return p / p.sum(dtype=np.float32)
 
 
+def reconstruct_topk_row(values: np.ndarray, indices: np.ndarray,
+                         vocab_size: int) -> np.ndarray:
+    """Rebuild a full (V,) logits row from a device-shipped top-k prefix,
+    -inf elsewhere. For top-k sampling the host transform (topk_probs +
+    sample_mult) sees bit-identical fp32 inputs at identical positions —
+    masked entries exp to exactly 0.0 either way — so the sampled token
+    (and the xorshift stream) is bit-equal to shipping the whole row,
+    at ~k/V of the transfer."""
+    row = np.full(vocab_size, -np.inf, np.float32)
+    row[np.asarray(indices)] = np.asarray(values, np.float32)
+    return row
+
+
 class Sampler:
     """Per-engine sampler state. One shared RNG stream across the decode
     loop, exactly like the single `rng_state` local in the reference mains.

@@ -140,3 +140,44 @@ def test_sampler_topk_restricts_support():
     assert not s0.transforms_logits
     for _ in range(20):
         assert s0.sample(probs) == s1.sample_logits(logits)
+
+
+def test_topk_shipped_prefix_bit_exact():
+    """Device-side top-k shipping (engine._sample_rows_topk) must sample
+    the SAME tokens as downloading full rows, including the xorshift
+    stream, across many rows — plus the boundary-tie fallback."""
+    import jax.numpy as jnp
+
+    from llmc_paged_tpu.engine.engine import _sample_rows_topk
+
+    rng = np.random.default_rng(0)
+    V, N, k = 512, 24, 8
+    logits = rng.normal(size=(N, V)).astype(np.float32) * 3.0
+    # manufacture boundary ties on some rows: the k-th..(2k+16)-th values
+    # all equal → the shipped prefix cannot prove the mask and must fall
+    # back to the full row
+    for i in (3, 17):
+        order = np.argsort(logits[i])[::-1]
+        logits[i, order[k - 1: 2 * k + 20]] = logits[i, order[k - 1]]
+
+    s_fast = Sampler(seed=1337, top_k=k, temperature=0.8)
+    fast = _sample_rows_topk(s_fast, jnp.asarray(logits), N)
+
+    s_full = Sampler(seed=1337, top_k=k, temperature=0.8)
+    full = [s_full.sample_logits(logits[i]) for i in range(N)]
+    assert fast == full
+    assert s_fast.rng.state == s_full.rng.state   # same coin count too
+
+
+def test_reconstruct_topk_row_roundtrip():
+    import jax
+
+    from llmc_paged_tpu.sampler import reconstruct_topk_row
+
+    rng = np.random.default_rng(1)
+    row = rng.normal(size=64).astype(np.float32)
+    vals, idx = jax.lax.top_k(row, 16)
+    rec = reconstruct_topk_row(np.asarray(vals), np.asarray(idx), 64)
+    keep = np.argsort(row)[::-1][:16]
+    assert np.isneginf(np.delete(rec, keep)).all()
+    np.testing.assert_array_equal(rec[keep], row[keep])
