@@ -120,6 +120,160 @@ def kernel_suite(B: int, cfg, page_size=32, pages_per_seq=10):
           f"{bytes_moved/dt/1e9:.1f} GB/s --")
 
 
+def matmul_suite(B: int, cfg, dtypes=("bfloat16", "int8"), steps=32):
+    """Weight-matmul-only decode emulation: the exact 4 per-layer matmul
+    shapes and dtype dispatch of the real step (unrolled layers inside a
+    lax.scan), with attention/pool/logits removed. Individual matmul
+    calls cannot be timed on this relay (~0.7ms dispatch floor per
+    program swamps the 40-80us of interest — see bench_int8_matmul), so
+    the phenomenon is isolated INSIDE one big program instead."""
+    from llmc_paged_tpu.models import gpt2
+    from llmc_paged_tpu.ops import layers as OL
+
+    Lc, C = cfg.num_layers, cfg.channels
+    params_np = jax.tree.map(
+        np.asarray, gpt2.init_params(cfg, jax.random.PRNGKey(0)))
+
+    for dtype_name in dtypes:
+        if dtype_name.startswith("int8"):
+            from llmc_paged_tpu.ops.int8 import quantize_params
+            params = quantize_params(gpt2.to_device(params_np, cfg),
+                                     keys=("qkvw", "attprojw", "fcw",
+                                           "fcprojw"))
+        else:
+            params = gpt2.to_device(
+                params_np, cfg, {"float32": jnp.float32,
+                                 "bfloat16": jnp.bfloat16}[dtype_name])
+
+        # "int8xla": skip the Pallas kernel; let XLA fuse the int8->bf16
+        # convert into its own gemm operand streaming
+        def lin(lp, wk, x, bk=None, _xla=dtype_name == "int8xla"):
+            if _xla and lp[wk].dtype == jnp.int8:
+                out = jax.lax.dot_general(
+                    x.astype(jnp.bfloat16), lp[wk].astype(jnp.bfloat16),
+                    dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32) * lp[wk + "_scale"]
+                return out + lp[bk] if bk else out
+            return gpt2._lin(lp, wk, x, bk)
+
+        @jax.jit
+        def run(params, x0):
+            stack = gpt2._layer_stack(params)
+            lps = [{k: w[i] for k, w in stack.items()} for i in range(Lc)]
+
+            def step(x, _):
+                for lp in lps:
+                    h = OL.layernorm(x, lp["ln1w"], lp["ln1b"])
+                    qkv = lin(lp, "qkvw", h, "qkvb")
+                    x = x + lin(lp, "attprojw", qkv[..., :C], "attprojb")
+                    h2 = OL.layernorm(x, lp["ln2w"], lp["ln2b"])
+                    x = x + lin(
+                        lp, "fcprojw",
+                        OL.gelu_tanh(lin(lp, "fcw", h2, "fcb")), "fcprojb")
+                return x, ()
+
+            x, _ = jax.lax.scan(step, x0, None, length=steps)
+            return x
+
+        x0 = jnp.asarray(np.random.default_rng(0).normal(size=(B, C)),
+                         jnp.float32)
+        out = run(params, x0)
+        jax.block_until_ready(out)
+        iters = 4
+        t0 = time.monotonic()
+        for _ in range(iters):
+            out = run(params, out)   # chained on the carry
+        jax.block_until_ready(out)
+        dt = (time.monotonic() - t0) / iters / steps
+        wbytes = sum(int(np.prod(params[k].shape))
+                     * params[k].dtype.itemsize
+                     for k in ("qkvw", "attprojw", "fcw", "fcprojw"))
+        print(f"-- matmuls-only {dtype_name}: {dt*1e3:.3f} ms/step "
+              f"({dt/Lc*1e6:.1f} us/layer, weights {wbytes/1e6:.0f} MB -> "
+              f"{wbytes/dt/1e9:.0f} GB/s) --")
+
+
+def attention_suite(B: int, cfg, dtypes=("bfloat16", "int8"), steps=32):
+    """KV-write + paged-attention-only decode emulation (the complement
+    of matmul_suite): per layer, derive q/k/v from the carry by reshape,
+    quantize+scatter into the pool, run the paged-attention kernel —
+    no weight matmuls, no logits. Isolates the pool-dtype cost."""
+    from llmc_paged_tpu.config import PageConfig
+    from llmc_paged_tpu.kv.layouts import (init_pool, write_layer_kv,
+                                           write_layer_kv_quant)
+    from llmc_paged_tpu.kv.manager import BlockManager
+    from llmc_paged_tpu.ops.paged_attention import (
+        paged_decode_attention, paged_decode_attention_quant)
+
+    Lc, C, NH, HS = (cfg.num_layers, cfg.channels, cfg.num_heads,
+                     cfg.head_dim)
+    page_cfg = PageConfig(page_size=32, num_pages=B * 12 + 8, max_seqs=B,
+                          pages_per_seq=12)
+    CHUNK = steps
+    mgr = BlockManager(page_cfg.num_pages, page_cfg.page_size, B)
+    prompt = 128
+    pgs = np.zeros((CHUNK, B), np.int32)
+    sls = np.zeros((CHUNK, B), np.int32)
+    for b in range(B):
+        mgr.append_tokens(b, prompt)
+        segs, _ = mgr.append_tokens(b, CHUNK)
+        coords = [(s.page, s.offset + i) for s in segs
+                  for i in range(s.count)]
+        for j, (pj, sj) in enumerate(coords):
+            pgs[j, b], sls[j, b] = pj, sj
+    tables = jnp.asarray(np.stack(
+        [mgr.block_table_array(b, page_cfg.pages_per_seq)
+         for b in range(B)]))
+    pgs, sls = jnp.asarray(pgs), jnp.asarray(sls)
+
+    for dtype_name in dtypes:
+        pool = init_pool(cfg, page_cfg,
+                         dtype={"float32": jnp.float32,
+                                "bfloat16": jnp.bfloat16,
+                                "int8": "int8"}[dtype_name])
+        quant = dtype_name == "int8"
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def run(x0, pool):
+            def step(carry, xs):
+                x, pool, j = carry
+                page_j, slot_j = xs
+                lengths = jnp.full((B,), prompt + 1, jnp.int32) + j
+                starts = jnp.zeros((B,), jnp.int32)
+                for i in range(Lc):
+                    kv = x.reshape(B, NH, HS)
+                    if quant:
+                        pool_l = write_layer_kv_quant(pool.layer(i), kv, kv,
+                                                      page_j, slot_j)
+                        att = paged_decode_attention_quant(
+                            kv, *pool_l, tables, lengths, starts)
+                    else:
+                        pool_l = write_layer_kv(*pool.layer(i), kv, kv,
+                                                page_j, slot_j)
+                        att = paged_decode_attention(
+                            kv, *pool_l, tables, lengths, starts)
+                    pool = pool.with_layer(i, pool_l)
+                    x = x + 0.01 * att.reshape(B, C)
+                return (x, pool, j + 1), ()
+
+            (x, pool, _), _ = jax.lax.scan(
+                step, (x0, pool, jnp.int32(0)), (pgs, sls), length=steps)
+            return x, pool
+
+        x0 = jnp.asarray(np.random.default_rng(0).normal(size=(B, C)),
+                         jnp.float32)
+        x, pool = run(x0, pool)
+        jax.block_until_ready(x)
+        iters = 4
+        t0 = time.monotonic()
+        for _ in range(iters):
+            x, pool = run(x, pool)
+        jax.block_until_ready(x)
+        dt = (time.monotonic() - t0) / iters / steps
+        print(f"-- attention+scatter-only {dtype_name}: {dt*1e3:.3f} "
+              f"ms/step ({dt/Lc*1e6:.1f} us/layer) --")
+
+
 def chunk_suite(B: int, cfg, dtypes=("float32", "bfloat16", "int8")):
     """Per-step time of the real chunked decode, by param/pool dtype."""
     import __graft_entry__ as _  # noqa: F401  (repo root on path)
@@ -135,15 +289,21 @@ def chunk_suite(B: int, cfg, dtypes=("float32", "bfloat16", "int8")):
     params_np = jax.tree.map(
         np.asarray, gpt2.init_params(cfg, jax.random.PRNGKey(0)))
     for dtype_name in dtypes:
-        if dtype_name == "int8":
+        # "param" or "param:kv" — e.g. "int8:bfloat16" isolates the
+        # weight-matmul cost from the KV quantize+scatter cost
+        pd, _, kd = dtype_name.partition(":")
+        kd = kd or pd
+        if pd == "int8":
             from llmc_paged_tpu.ops.int8 import quantize_params
             params = quantize_params(gpt2.to_device(params_np, cfg))
-            pool = init_pool(cfg, page_cfg, dtype="int8")
         else:
-            dtype = {"float32": jnp.float32,
-                     "bfloat16": jnp.bfloat16}[dtype_name]
-            params = gpt2.to_device(params_np, cfg, dtype)
-            pool = init_pool(cfg, page_cfg, dtype=dtype)
+            params = gpt2.to_device(params_np, cfg,
+                                    {"float32": jnp.float32,
+                                     "bfloat16": jnp.bfloat16}[pd])
+        pool = init_pool(cfg, page_cfg,
+                         dtype={"float32": jnp.float32,
+                                "bfloat16": jnp.bfloat16,
+                                "int8": "int8"}[kd])
         mgr = BlockManager(page_cfg.num_pages, page_cfg.page_size, B)
         prompt = 128
         pgs = np.zeros((CHUNK, B), np.int32)
@@ -287,7 +447,7 @@ def main():
                     choices=["124m", "350m", "774m", "1558m"])
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--skip", default="",
-                    help="comma list: gemv,kernel,chunk,unrolled")
+                    help="comma list: gemv,kernel,matmul,chunk,unrolled")
     ap.add_argument("--dtypes", default="float32,bfloat16,int8",
                     help="comma list for the chunk suite")
     args = ap.parse_args()
@@ -301,6 +461,14 @@ def main():
         gemv_suite(args.batch, cfg)
     if "kernel" not in skip:
         kernel_suite(args.batch, cfg)
+    if "matmul" not in skip:
+        matmul_suite(args.batch, cfg,
+                     dtypes=tuple(d for d in args.dtypes.split(",")
+                                  if ":" not in d))
+    if "attention" not in skip:
+        attention_suite(args.batch, cfg,
+                        dtypes=tuple(d for d in args.dtypes.split(",")
+                                     if ":" not in d and d != "int8xla"))
     if "chunk" not in skip:
         chunk_suite(args.batch, cfg, dtypes=tuple(args.dtypes.split(",")))
     if "unrolled" not in skip:
