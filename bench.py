@@ -8,6 +8,16 @@ kernel, async chunk chaining, greedy), batch=8, 128-token prompts,
 fastest serving dtype; the per-dtype sweep (fp32 parity mode, bf16, int8
 weights+KV) is in detail.
 
+North-star metric (detail.gpt2_1558m): GPT-2 1.5B decode tok/s/chip in
+bf16 and INT8 weights+KV, with the achieved fraction of the HBM roofline
+(decode is weight-bandwidth-bound: roofline step time = bytes touched per
+step / HBM bandwidth). The relay-tunneled chip makes absolute GB/s noisy
+(CLAUDE.md), so roofline_frac is indicative; the tok/s is end-to-end real.
+
+Loaded-queue metric (detail.loaded_queue): 16 mixed-length requests
+through 8 slots — exercises chunked decode UNDER queue pressure
+(admission waves interleaved with bounded chunk chains).
+
 vs_baseline: speedup over the reference's own baseline decode strategy
 (infer.c: full-recompute sliding-window, batch=1, fp32) measured in this
 same framework on this same chip — the reference repo publishes no decode
@@ -23,14 +33,19 @@ sys.path.insert(0, os.path.dirname(__file__))
 
 import numpy as np
 
+HBM_GBPS = 819e9   # v5e HBM bandwidth (How to Scale Your Model, v5e spec)
+
 
 def run_paged(params_np, cfg, B, prompts, NEW, CHUNK, param_dtype, kv_dtype):
     from llmc_paged_tpu.config import EngineConfig, PageConfig
     from llmc_paged_tpu.engine.engine import InferenceEngine
     from llmc_paged_tpu.engine.scheduler import Request
 
-    page = PageConfig(page_size=32, num_pages=B * 10 + 16, max_seqs=B,
-                      pages_per_seq=10, kv_dtype=kv_dtype)
+    # 128-token pages: the serving page size (the manual-DMA flash-decode
+    # kernel needs ps % 128 == 0; reference BLOCK_SIZE=32 remains the
+    # default elsewhere for parity configs)
+    page = PageConfig(page_size=128, num_pages=B * 3 + 4, max_seqs=B,
+                      pages_per_seq=3, kv_dtype=kv_dtype)
     econf = EngineConfig(cache_mode="paged", page=page, max_batch=B,
                          greedy=True, decode_chunk=CHUNK,
                          param_dtype=param_dtype)
@@ -54,6 +69,85 @@ def run_paged(params_np, cfg, B, prompts, NEW, CHUNK, param_dtype, kv_dtype):
             best = dict(engine.stats)
     best["runs"] = runs
     return best
+
+
+def step_bytes(params, cfg, kv_dtype, avg_len):
+    """HBM bytes one decode step must touch: every param byte once (the
+    weights dominate; decode is weight-bound) + the KV window read per
+    sequence. Used for the roofline fraction."""
+    import jax
+    param_bytes = sum(int(np.prod(v.shape)) * v.dtype.itemsize
+                      for v in jax.tree.leaves(params))
+    kv_b = {"float32": 8.0, "bfloat16": 4.0,
+            "int8": 2.0 + 8.0 / cfg.head_dim}[kv_dtype]
+    kv_bytes = cfg.num_layers * cfg.num_heads * cfg.head_dim * kv_b * avg_len
+    return param_bytes, kv_bytes
+
+
+def bench_1558m(B=8, PROMPT=128, NEW=128, CHUNK=32):
+    """North-star model: 1.5B decode in bf16 and int8 (weights+KV)."""
+    import jax
+
+    from llmc_paged_tpu.config import GPT2Config
+    from llmc_paged_tpu.models import gpt2
+
+    cfg = GPT2Config.gpt2_1558m()
+    params = gpt2.init_params(cfg, jax.random.PRNGKey(0))
+    params_np = jax.tree.map(np.asarray, params)
+    del params
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(0, cfg.vocab_size, PROMPT).astype(np.int32)
+               .tolist() for _ in range(B)]
+    out = {}
+    for name in ("bfloat16", "int8"):
+        stats = run_paged(params_np, cfg, B, prompts, NEW, CHUNK, name, name)
+        tok_s = stats["decode_tok_per_s"]
+        # steady-state decode step time: each chunked step yields B tokens
+        step_s = B / tok_s if tok_s else float("inf")
+        from llmc_paged_tpu.models.gpt2 import to_device
+        from llmc_paged_tpu.ops.int8 import quantize_params
+        dev = to_device(params_np, cfg,
+                        {"bfloat16": "bfloat16", "int8": "float32"}[name])
+        if name == "int8":
+            dev = quantize_params(dev)
+        pb, kvb = step_bytes(dev, cfg, name, PROMPT + NEW / 2)
+        del dev
+        roofline_s = (pb + kvb * B) / HBM_GBPS
+        out[name] = {"tok_s": round(tok_s, 2),
+                     "p50_ttft_s": round(stats["p50_ttft_s"], 4),
+                     "runs": stats["runs"],
+                     "param_bytes": int(pb),
+                     "roofline_frac": round(roofline_s / step_s, 4)}
+    return out
+
+
+def bench_loaded_queue(params_np, cfg, B, NEW, CHUNK):
+    """16 mixed-length requests through B slots: chunking under queue
+    pressure (VERDICT r1 weakness 6: the old engine dropped to 1-token
+    steps whenever anyone was waiting)."""
+    from llmc_paged_tpu.config import EngineConfig, PageConfig
+    from llmc_paged_tpu.engine.engine import InferenceEngine
+    from llmc_paged_tpu.engine.scheduler import Request
+
+    rng = np.random.default_rng(3)
+    lens = rng.integers(32, 192, 16).tolist()
+    prompts = [rng.integers(0, cfg.vocab_size, int(n)).astype(np.int32)
+               .tolist() for n in lens]
+    page = PageConfig(page_size=128, num_pages=B * 3 + 6, max_seqs=B,
+                      pages_per_seq=3, kv_dtype="bfloat16")
+    econf = EngineConfig(cache_mode="paged", page=page, max_batch=B,
+                         greedy=True, decode_chunk=CHUNK,
+                         param_dtype="bfloat16")
+    engine = InferenceEngine(params_np, cfg, econf)
+    best = 0.0
+    for _ in range(3):   # first run also compiles the odd bucket shapes
+        reqs = [Request(rid=i, prompt=p, max_new_tokens=NEW)
+                for i, p in enumerate(prompts)]
+        done = engine.run(reqs)
+        assert len(done) == 16
+        best = max(best, engine.stats["decode_tok_per_s"])
+    return {"tok_s": round(best, 2), "n_requests": 16, "slots": B,
+            "prompt_lens": "32-192"}
 
 
 def main():
@@ -94,6 +188,17 @@ def main():
 
     best = max(sweep, key=lambda k: sweep[k]["tok_s"])
 
+    # north-star 1.5B + loaded-queue benches: never let them kill the
+    # headline line (they are reported as errors in detail instead)
+    try:
+        m1558 = bench_1558m(B=B, PROMPT=PROMPT, NEW=NEW, CHUNK=32)
+    except Exception as e:   # pragma: no cover - diagnostics only
+        m1558 = {"error": f"{type(e).__name__}: {e}"}
+    try:
+        loaded = bench_loaded_queue(params_np, cfg, B, NEW, CHUNK=64)
+    except Exception as e:   # pragma: no cover
+        loaded = {"error": f"{type(e).__name__}: {e}"}
+
     # baseline strategy: infer.c full-recompute sliding window, batch=1,
     # fp32. prompt == window so every step reruns a (1, PROMPT) forward.
     nocache = InferenceEngine(gpt2.to_device(params_np, cfg), cfg,
@@ -113,6 +218,8 @@ def main():
             "batch": B, "prompt_len": PROMPT, "new_tokens": NEW,
             "headline_dtype": best,
             "sweep": sweep,
+            "gpt2_1558m": m1558,
+            "loaded_queue": loaded,
             "baseline_infer_c_strategy_tok_s_b1_fp32": round(nocache_tok_s, 2),
             "device": str(jax.devices()[0]),
             "backend": jax.default_backend(),

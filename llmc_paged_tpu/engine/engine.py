@@ -172,8 +172,6 @@ class InferenceEngine:
                     quant_params=quant, kv_quant=kv_quant),
                 "prefill": sh.make_tp_prefill(
                     cfg, mesh, quant_params=quant, kv_quant=kv_quant),
-                "pool_sharding": jax.sharding.NamedSharding(
-                    mesh, sh.tp_pool_spec()),
                 "chunks": {},   # (num_steps, window, ...) -> compiled fn
             }
 
@@ -251,7 +249,7 @@ class InferenceEngine:
                                  native=self.native_manager)
         pool = init_pool(self.cfg, page, dtype=page.kv_dtype)
         if self._tp is not None:
-            pool = jax.device_put(pool, self._tp["pool_sharding"])
+            pool = self._tp["sh"].shard_pool(pool, self._tp["mesh"])
         return mgr, pool
 
     def generate_paged(self, prompt: Sequence[int], max_new_tokens: int,

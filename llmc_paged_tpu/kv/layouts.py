@@ -5,14 +5,20 @@ manager (KVBlock.keys/values, block_manager.c:9-15, lazily allocated at
 :145-146). There is no user pointer arithmetic on TPU, so the pool is
 preallocated dense device arrays — one K and one V buffer PER LAYER:
 
-    L x (NH, num_pages, page_size, HS)
+    L x (num_pages, NH, HS, page_size)
 
-* head-major so tensor parallelism shards pages over heads with
-  P("model", None, None, None) and the paged-attention kernel grids
-  over (head, batch) with contiguous (page_size, HS) tiles;
-* (page_size, HS) as the two minor dims so a page is a contiguous
-  (sublane × lane) tile — page_size ≥ 8 and HS a multiple of 128 (or
-  padded) keeps pages aligned to fp32 (8,128) tiling.
+* PAGE-major (leading P axis) so one page of all local heads is ONE
+  contiguous block the flash-decode kernel's manual DMA fetches with a
+  single leading-dim slice (`pool.at[page]`);
+* TRANSPOSED minor dims (HS, page_size): Mosaic async-copy slices
+  require the minor dims (sublane, lane) to be (8k, 128k)-aligned, and
+  GPT-2's HS=64 cannot be a lane dim — (HS=64, ps=128) satisfies both.
+  The serving page size is therefore 128 tokens (ps % 128 == 0 for the
+  DMA kernel; other sizes fall back to the grid-pipelined kernel). The
+  dots come out cleaner too: scores contract HS with ps outputs on
+  lanes, attention-weighted V contracts ps;
+* tensor parallelism shards heads via P(None, "model", None, None) —
+  each shard still sees its local heads contiguously.
 
 Writes are jit-compatible scatters addressed by (page, slot) coordinates
 computed from the host block tables; invalid rows use out-of-range indices
@@ -32,7 +38,8 @@ from llmc_paged_tpu.config import GPT2Config, PageConfig
 
 class PagePool(NamedTuple):
     """Per-layer K/V page buffers: ``k``/``v`` are length-L tuples of
-    (NH, P, page_size, HS) arrays.
+    (P, NH, HS, page_size) arrays (page-major, token-minor — see module
+    docstring).
 
     One buffer PER LAYER (not one stacked (L, ...) array) is a measured
     performance decision: with separate buffers the unrolled layer loop
@@ -41,7 +48,7 @@ class PagePool(NamedTuple):
     lax.scan xs/ys (copies the whole pool every decode step, ~1.6ms at
     124M fp32) or be carried whole (scatter not done in place, 6x slower)
     — see ops/dev/probe_decode.py chunk_suite_unrolled."""
-    k: Tuple[jax.Array, ...]  # L x (NH, P, page_size, HS)
+    k: Tuple[jax.Array, ...]  # L x (P, NH, HS, page_size)
     v: Tuple[jax.Array, ...]
 
     @property
@@ -50,11 +57,11 @@ class PagePool(NamedTuple):
 
     @property
     def num_pages(self) -> int:
-        return self.k[0].shape[1]
+        return self.k[0].shape[0]
 
     @property
     def page_size(self) -> int:
-        return self.k[0].shape[2]
+        return self.k[0].shape[3]
 
     def layer(self, i: int) -> Tuple[jax.Array, ...]:
         return (self.k[i], self.v[i])
@@ -68,12 +75,12 @@ class QuantPagePool(NamedTuple):
     """INT8 KV pages with per-(token-row, head) symmetric scales, as
     per-layer buffer tuples (see PagePool for why).
 
-    Scales are stored (NH, P, 1, page_size) — the trailing (1, ps) block
-    shape keeps Mosaic's last-two-dims tiling rule satisfied when the
-    kernel fetches one page's scales alongside the page."""
-    k: Tuple[jax.Array, ...]        # L x (NH, P, page_size, HS) int8
+    Pages are (P, NH, HS, page_size) like PagePool; scales are
+    (P, NH, page_size) f32 — small enough that the decode kernel keeps
+    the WHOLE scale array in VMEM and indexes it by page directly."""
+    k: Tuple[jax.Array, ...]        # L x (P, NH, HS, page_size) int8
     v: Tuple[jax.Array, ...]
-    k_scale: Tuple[jax.Array, ...]  # L x (NH, P, 1, page_size) f32
+    k_scale: Tuple[jax.Array, ...]  # L x (P, NH, page_size) f32
     v_scale: Tuple[jax.Array, ...]
 
     @property
@@ -82,11 +89,11 @@ class QuantPagePool(NamedTuple):
 
     @property
     def num_pages(self) -> int:
-        return self.k[0].shape[1]
+        return self.k[0].shape[0]
 
     @property
     def page_size(self) -> int:
-        return self.k[0].shape[2]
+        return self.k[0].shape[3]
 
     def layer(self, i: int) -> Tuple[jax.Array, ...]:
         return (self.k[i], self.v[i], self.k_scale[i], self.v_scale[i])
@@ -102,9 +109,9 @@ class QuantPagePool(NamedTuple):
 
 def init_pool(cfg: GPT2Config, page: PageConfig, dtype=jnp.float32):
     L = cfg.num_layers
-    shape = (cfg.num_heads, page.num_pages, page.page_size, cfg.head_dim)
+    shape = (page.num_pages, cfg.num_heads, cfg.head_dim, page.page_size)
     if dtype == jnp.int8 or dtype == "int8":
-        sshape = shape[:2] + (1, page.page_size)
+        sshape = (page.num_pages, cfg.num_heads, page.page_size)
         return QuantPagePool(
             tuple(jnp.zeros(shape, jnp.int8) for _ in range(L)),
             tuple(jnp.zeros(shape, jnp.int8) for _ in range(L)),
@@ -131,16 +138,25 @@ def write_layer_kv_quant(pool_l: Tuple[jax.Array, ...],
     k_l, v_l, ks_l, vs_l = pool_l
     kq, ks = quantize_rows(k_new)   # (N, NH, HS) int8, (N, NH)
     vq, vs = quantize_rows(v_new)
-    k_l = k_l.at[:, page, slot].set(kq.transpose(1, 0, 2), mode="drop")
-    v_l = v_l.at[:, page, slot].set(vq.transpose(1, 0, 2), mode="drop")
-    ks_l = ks_l.at[:, page, 0, slot].set(ks.T, mode="drop")
-    vs_l = vs_l.at[:, page, 0, slot].set(vs.T, mode="drop")
+    k_l = k_l.at[page, :, :, slot].set(kq, mode="drop")
+    v_l = v_l.at[page, :, :, slot].set(vq, mode="drop")
+    ks_l = ks_l.at[page, :, slot].set(ks, mode="drop")
+    vs_l = vs_l.at[page, :, slot].set(vs, mode="drop")
     return k_l, v_l, ks_l, vs_l
 
 
+def quantize_pages(k_pages: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """Quantize a float (P, NH, HS, ps) page buffer per TOKEN row (the
+    same per-row formula as quantize_rows, reducing over HS which is
+    axis -2 in the transposed page layout). Returns (int8 pages, scales
+    (P, NH, ps))."""
+    kq, ks = quantize_rows(k_pages.swapaxes(-1, -2))
+    return kq.swapaxes(-1, -2), ks
+
+
 def dequant_layer(k_l: jax.Array, ks_l: jax.Array) -> jax.Array:
-    """(NH, P, ps, HS) int8 + (NH, P, 1, ps) scales → f32."""
-    return k_l.astype(jnp.float32) * ks_l[:, :, 0, :, None]
+    """(P, NH, HS, ps) int8 + (P, NH, ps) scales → f32."""
+    return k_l.astype(jnp.float32) * ks_l[:, :, None, :]
 
 
 def token_coords(block_tables: jax.Array, positions: jax.Array,
@@ -172,13 +188,15 @@ def write_layer_kv(k_pool_l: jax.Array, v_pool_l: jax.Array,
                    ) -> Tuple[jax.Array, jax.Array]:
     """Scatter new K/V rows into one layer's pool.
 
-    k_pool_l/v_pool_l: (NH, P, ps, HS); k_new/v_new: (N, NH, HS) with
+    k_pool_l/v_pool_l: (P, NH, HS, ps); k_new/v_new: (N, NH, HS) with
     coordinate vectors page/slot: (N,). Rows whose page is out of range are
-    dropped (the invalid-token convention of token_coords)."""
-    k_rows = k_new.transpose(1, 0, 2).astype(k_pool_l.dtype)  # (NH, N, HS)
-    v_rows = v_new.transpose(1, 0, 2).astype(v_pool_l.dtype)
-    k_pool_l = k_pool_l.at[:, page, slot].set(k_rows, mode="drop")
-    v_pool_l = v_pool_l.at[:, page, slot].set(v_rows, mode="drop")
+    dropped (the invalid-token convention of token_coords). The advanced
+    indices (page, slot) land in front, so the update operand is k_new's
+    natural (N, NH, HS)."""
+    k_pool_l = k_pool_l.at[page, :, :, slot].set(
+        k_new.astype(k_pool_l.dtype), mode="drop")
+    v_pool_l = v_pool_l.at[page, :, :, slot].set(
+        v_new.astype(v_pool_l.dtype), mode="drop")
     return k_pool_l, v_pool_l
 
 
@@ -186,16 +204,14 @@ def write_kv_full(pool: PagePool, layer: jax.Array, k_new: jax.Array,
                   v_new: jax.Array, page: jax.Array,
                   slot: jax.Array) -> PagePool:
     """LAB ARTIFACT (stacked-pool layout): scatter (N, NH, HS) rows into
-    layer ``layer`` of a STACKED (L, NH, P, ps, HS) pool (a PagePool whose
+    layer ``layer`` of a STACKED (L, P, NH, HS, ps) pool (a PagePool whose
     k/v are single stacked arrays, not the production per-layer tuples).
     Measured slower than per-layer buffers when carried through a scan —
     XLA does not perform the carried scatter in place (probe_decode.py);
-    kept with the full-pool kernels as the documented alternative. The
-    mixed scalar/slice/array indexing puts the advanced axes first, so the
-    update operand is k_new's natural (N, NH, HS)."""
-    k = pool.k.at[layer, :, page, slot].set(
+    kept with the full-pool kernels as the documented alternative."""
+    k = pool.k.at[layer, page, :, :, slot].set(
         k_new.astype(pool.k.dtype), mode="drop")
-    v = pool.v.at[layer, :, page, slot].set(
+    v = pool.v.at[layer, page, :, :, slot].set(
         v_new.astype(pool.v.dtype), mode="drop")
     return PagePool(k, v)
 
@@ -206,10 +222,10 @@ def write_kv_quant_full(pool: QuantPagePool, layer: jax.Array,
     """LAB ARTIFACT (stacked-pool layout): write_kv_full for int8 pools."""
     kq, ks = quantize_rows(k_new)   # (N, NH, HS) int8, (N, NH) f32
     vq, vs = quantize_rows(v_new)
-    k = pool.k.at[layer, :, page, slot].set(kq, mode="drop")
-    v = pool.v.at[layer, :, page, slot].set(vq, mode="drop")
-    k_scale = pool.k_scale.at[layer, :, page, 0, slot].set(ks, mode="drop")
-    v_scale = pool.v_scale.at[layer, :, page, 0, slot].set(vs, mode="drop")
+    k = pool.k.at[layer, page, :, :, slot].set(kq, mode="drop")
+    v = pool.v.at[layer, page, :, :, slot].set(vq, mode="drop")
+    k_scale = pool.k_scale.at[layer, page, :, slot].set(ks, mode="drop")
+    v_scale = pool.v_scale.at[layer, page, :, slot].set(vs, mode="drop")
     return QuantPagePool(k, v, k_scale, v_scale)
 
 
@@ -222,9 +238,9 @@ def gather_layer_kv(k_pool_l: jax.Array, v_pool_l: jax.Array,
     used only as the test oracle and XLA fallback path; the Pallas kernel
     reads pages in place."""
     B, pages_per_seq = block_tables.shape
-    NH, P, ps, HS = k_pool_l.shape
-    k = jnp.take(k_pool_l, block_tables, axis=1)   # (NH, B, pages, ps, HS)
-    v = jnp.take(v_pool_l, block_tables, axis=1)
-    k = k.transpose(1, 0, 2, 3, 4).reshape(B, NH, pages_per_seq * ps, HS)
-    v = v.transpose(1, 0, 2, 3, 4).reshape(B, NH, pages_per_seq * ps, HS)
+    P, NH, HS, ps = k_pool_l.shape
+    k = jnp.take(k_pool_l, block_tables, axis=0)   # (B, pages, NH, HS, ps)
+    v = jnp.take(v_pool_l, block_tables, axis=0)
+    k = k.transpose(0, 2, 1, 4, 3).reshape(B, NH, pages_per_seq * ps, HS)
+    v = v.transpose(0, 2, 1, 4, 3).reshape(B, NH, pages_per_seq * ps, HS)
     return k, v

@@ -23,8 +23,8 @@ from llmc_paged_tpu.ops.paged_attention import (
 def make_args(B, NH, HS, P, ps, pps):
     rng = np.random.default_rng(0)
     q = jnp.asarray(rng.standard_normal((B, NH, HS), dtype=np.float32))
-    k = jnp.asarray(rng.standard_normal((NH, P, ps, HS), dtype=np.float32))
-    v = jnp.asarray(rng.standard_normal((NH, P, ps, HS), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((P, NH, HS, ps), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((P, NH, HS, ps), dtype=np.float32))
     tables = jnp.asarray(
         rng.permutation(P)[: B * pps].reshape(B, pps).astype(np.int32))
     lengths = jnp.asarray(

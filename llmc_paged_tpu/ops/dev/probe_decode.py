@@ -100,9 +100,9 @@ def kernel_suite(B: int, cfg, page_size=32, pages_per_seq=10):
     P = B * pages_per_seq + 8
     rng = np.random.default_rng(0)
     q = jnp.asarray(rng.normal(size=(B, NH, HS)), jnp.float32)
-    pools = [(jnp.asarray(rng.normal(size=(NH, P, page_size, HS)),
+    pools = [(jnp.asarray(rng.normal(size=(P, NH, HS, page_size)),
                           jnp.float32),
-              jnp.asarray(rng.normal(size=(NH, P, page_size, HS)),
+              jnp.asarray(rng.normal(size=(P, NH, HS, page_size)),
                           jnp.float32)) for _ in range(3)]
     tables = jnp.asarray(
         rng.permutation(P)[: B * pages_per_seq].reshape(B, pages_per_seq),
@@ -207,8 +207,8 @@ def attention_suite(B: int, cfg, dtypes=("bfloat16", "int8"), steps=32):
 
     Lc, C, NH, HS = (cfg.num_layers, cfg.channels, cfg.num_heads,
                      cfg.head_dim)
-    page_cfg = PageConfig(page_size=32, num_pages=B * 12 + 8, max_seqs=B,
-                          pages_per_seq=12)
+    page_cfg = PageConfig(page_size=128, num_pages=B * 3 + 8, max_seqs=B,
+                          pages_per_seq=3)
     CHUNK = steps
     mgr = BlockManager(page_cfg.num_pages, page_cfg.page_size, B)
     prompt = 128
@@ -284,8 +284,8 @@ def chunk_suite(B: int, cfg, dtypes=("float32", "bfloat16", "int8")):
     from llmc_paged_tpu.models.gpt2_paged import decode_chunk_paged
 
     CHUNK = 32
-    page_cfg = PageConfig(page_size=32, num_pages=B * 12 + 8, max_seqs=B,
-                          pages_per_seq=12)
+    page_cfg = PageConfig(page_size=128, num_pages=B * 3 + 8, max_seqs=B,
+                          pages_per_seq=3)
     params_np = jax.tree.map(
         np.asarray, gpt2.init_params(cfg, jax.random.PRNGKey(0)))
     for dtype_name in dtypes:
@@ -357,8 +357,8 @@ def chunk_suite_unrolled(B: int, cfg, dtypes=("float32", "bfloat16")):
     from llmc_paged_tpu.ops.paged_attention import paged_decode_attention
 
     CHUNK = 32
-    page_cfg = PageConfig(page_size=32, num_pages=B * 12 + 8, max_seqs=B,
-                          pages_per_seq=12)
+    page_cfg = PageConfig(page_size=128, num_pages=B * 3 + 8, max_seqs=B,
+                          pages_per_seq=3)
     Lc = cfg.num_layers
 
     @ft.partial(jax.jit, static_argnames=("num_steps", "window"),
@@ -406,8 +406,8 @@ def chunk_suite_unrolled(B: int, cfg, dtypes=("float32", "bfloat16")):
     for dtype_name in dtypes:
         dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[dtype_name]
         params = gpt2.to_device(params_np, cfg, dtype)
-        shape = (cfg.num_heads, page_cfg.num_pages, page_cfg.page_size,
-                 cfg.head_dim)
+        shape = (page_cfg.num_pages, cfg.num_heads, cfg.head_dim,
+                 page_cfg.page_size)
         pools = tuple(jnp.zeros(shape, dtype) for _ in range(2 * Lc))
         mgr = BlockManager(page_cfg.num_pages, page_cfg.page_size, B)
         prompt = 128

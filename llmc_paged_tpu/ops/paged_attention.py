@@ -18,9 +18,10 @@ softmax — as a single flash-decode pass over non-contiguous KV pages:
   * per-token masking `page_start + slot < length` handles ragged sequence
     lengths and partially-filled tail pages.
 
-Layouts match kv/layouts.py: pools are (NH, P, page_size, HS) per layer
-(head-major → tensor-parallel sharding over heads needs no kernel change;
-shard_map hands each shard its local heads).
+Layouts match kv/layouts.py: pools are (P, NH, page_size, HS) per layer —
+page-major so one page of all local heads is a single contiguous block the
+manual-DMA kernel can fetch with a leading-dim slice; tensor parallelism
+shards heads (axis 1) and shard_map hands each shard its local heads.
 """
 
 from __future__ import annotations
@@ -37,6 +38,195 @@ from llmc_paged_tpu.ops import layers as L
 NEG_INF = -1e30
 
 
+def _flash_decode_dma_kernel(
+    # scalar prefetch
+    lengths_ref, starts_ref, tables_ref,
+    # blocks
+    q_ref,            # (1, NH, HS) VMEM
+    k_hbm,            # (P, NH, HS, ps) — stays in HBM
+    v_hbm,
+    out_ref,          # (1, NH, HS) VMEM
+    # scratch
+    kbuf,             # (2, NH, HS, ps) VMEM — double buffer
+    vbuf,
+    sems,             # DMA semaphores (2 slots, 2 streams)
+):
+    """Flash decode over paged KV with a MANUAL double-buffered DMA loop.
+
+    The original kernel (_paged_decode_kernel below, kept as the
+    interpret-mode/lab variant) grids over (B, pages_per_seq) and lets the
+    Mosaic pipeline fetch one page per grid step. Measured at 1.5B that
+    costs ~135us/layer — 10x off the chip's ~600GB/s streaming rate —
+    because (a) every grid step carries fixed pipeline overhead for only
+    ~200KB of payload and (b) ALL pages_per_seq table entries are fetched
+    even when the sequence occupies a fraction of them. Here the grid is
+    (B,) and the kernel itself walks ONLY the live page range
+    [start//ps, (length-1)//ps] with pltpu.make_async_copy double
+    buffering, so dead pages are never touched and per-page overhead is a
+    semaphore wait (pallas_guide.md 'Patterns: Double Buffering').
+
+    The pool layout (P, NH, HS, ps) exists precisely for this kernel:
+    `pool.at[page]` is a single contiguous leading-dim slice whose minor
+    dims (HS=64 sublanes, ps=128 lanes) meet Mosaic's async-copy
+    alignment rules (GPT-2's HS=64 cannot be a lane dim). Requires
+    ps % 128 == 0 — the wrapper falls back to the grid kernel otherwise.
+    """
+    b = pl.program_id(0)
+    HS, ps = kbuf.shape[2], kbuf.shape[3]
+    length = lengths_ref[b]
+    start = starts_ref[b]
+    first = start // ps
+    last = jnp.where(length > 0, (length - 1) // ps, -1)
+    num = jnp.maximum(last - first + 1, 0)
+
+    def kdma(slot, ordinal):
+        page = tables_ref[b, first + ordinal]
+        return pltpu.make_async_copy(k_hbm.at[page], kbuf.at[slot],
+                                     sems.at[slot, 0])
+
+    def vdma(slot, ordinal):
+        page = tables_ref[b, first + ordinal]
+        return pltpu.make_async_copy(v_hbm.at[page], vbuf.at[slot],
+                                     sems.at[slot, 1])
+
+    @pl.when(num > 0)
+    def _warmup():
+        kdma(0, 0).start()
+        vdma(0, 0).start()
+
+    q = q_ref[0].astype(jnp.float32)              # (NH, HS)
+    scale = jax.lax.rsqrt(jnp.float32(HS))
+
+    def body(i, carry):
+        m, l, acc = carry
+        slot = jax.lax.rem(i, 2)
+
+        @pl.when(i + 1 < num)
+        def _prefetch():
+            kdma(1 - slot, i + 1).start()
+            vdma(1 - slot, i + 1).start()
+
+        kdma(slot, i).wait()
+        vdma(slot, i).wait()
+        k = kbuf[slot].astype(jnp.float32)        # (NH, HS, ps)
+        v = vbuf[slot].astype(jnp.float32)
+        scores = jax.lax.dot_general(
+            q[:, None, :], k,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )[:, 0, :] * scale                        # (NH, ps)
+        pos = (first + i) * ps + jax.lax.broadcasted_iota(
+            jnp.int32, scores.shape, 1)
+        scores = jnp.where((pos < length) & (pos >= start), scores, NEG_INF)
+        m_cur = jnp.max(scores, axis=1, keepdims=True)
+        m_new = jnp.maximum(m, m_cur)
+        p = jnp.exp(scores - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p[:, None, :], v,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )[:, 0, :]
+        return m_new, l_new, acc * alpha + pv
+
+    NH = q.shape[0]
+    m0 = jnp.full((NH, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((NH, 1), jnp.float32)
+    a0 = jnp.zeros((NH, HS), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, num, body, (m0, l0, a0))
+    l = jnp.where(l == 0.0, 1.0, l)
+    out_ref[0] = (acc / l).astype(out_ref.dtype)
+
+
+def _flash_decode_dma_quant_kernel(
+    lengths_ref, starts_ref, tables_ref,
+    q_ref,
+    k_hbm, v_hbm,     # (P, NH, HS, ps) int8, HBM
+    ksc_ref, vsc_ref,  # (P, NH, ps) f32 — WHOLE array in VMEM
+    out_ref,
+    kbuf, vbuf,       # (2, NH, HS, ps) int8 VMEM
+    sems,             # (2, 2)
+):
+    """INT8-KV variant of _flash_decode_dma_kernel: pages stream via
+    manual DMA (dequant fused into the load); the per-row scale arrays
+    are small enough (P*NH*ps f32 per shard) to live whole in VMEM, so
+    they need no per-page DMA at all."""
+    b = pl.program_id(0)
+    HS, ps = kbuf.shape[2], kbuf.shape[3]
+    length = lengths_ref[b]
+    start = starts_ref[b]
+    first = start // ps
+    last = jnp.where(length > 0, (length - 1) // ps, -1)
+    num = jnp.maximum(last - first + 1, 0)
+
+    def kdma(slot, ordinal):
+        page = tables_ref[b, first + ordinal]
+        return pltpu.make_async_copy(k_hbm.at[page], kbuf.at[slot],
+                                     sems.at[slot, 0])
+
+    def vdma(slot, ordinal):
+        page = tables_ref[b, first + ordinal]
+        return pltpu.make_async_copy(v_hbm.at[page], vbuf.at[slot],
+                                     sems.at[slot, 1])
+
+    @pl.when(num > 0)
+    def _warmup():
+        kdma(0, 0).start()
+        vdma(0, 0).start()
+
+    q = q_ref[0].astype(jnp.float32)
+    scale = jax.lax.rsqrt(jnp.float32(HS))
+
+    def body(i, carry):
+        m, l, acc = carry
+        slot = jax.lax.rem(i, 2)
+        page = tables_ref[b, first + i]
+
+        @pl.when(i + 1 < num)
+        def _prefetch():
+            kdma(1 - slot, i + 1).start()
+            vdma(1 - slot, i + 1).start()
+
+        kdma(slot, i).wait()
+        vdma(slot, i).wait()
+        ks = ksc_ref[page]                        # (NH, ps)
+        vs = vsc_ref[page]
+        k = kbuf[slot].astype(jnp.float32) * ks[:, None, :]
+        v = vbuf[slot].astype(jnp.float32) * vs[:, None, :]
+        scores = jax.lax.dot_general(
+            q[:, None, :], k,
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )[:, 0, :] * scale
+        pos = (first + i) * ps + jax.lax.broadcasted_iota(
+            jnp.int32, scores.shape, 1)
+        scores = jnp.where((pos < length) & (pos >= start), scores, NEG_INF)
+        m_cur = jnp.max(scores, axis=1, keepdims=True)
+        m_new = jnp.maximum(m, m_cur)
+        p = jnp.exp(scores - m_new)
+        alpha = jnp.exp(m - m_new)
+        l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p[:, None, :], v,
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
+        )[:, 0, :]
+        return m_new, l_new, acc * alpha + pv
+
+    NH = q.shape[0]
+    m0 = jnp.full((NH, 1), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((NH, 1), jnp.float32)
+    a0 = jnp.zeros((NH, HS), jnp.float32)
+    m, l, acc = jax.lax.fori_loop(0, num, body, (m0, l0, a0))
+    l = jnp.where(l == 0.0, 1.0, l)
+    out_ref[0] = (acc / l).astype(out_ref.dtype)
+
+
 def _paged_decode_kernel(
     # scalar prefetch
     lengths_ref,      # (B,) int32 in SMEM
@@ -45,8 +235,8 @@ def _paged_decode_kernel(
                       # consumed by the index maps)
     # blocks
     q_ref,            # (1, NH, HS)
-    k_ref,            # (NH, 1, ps, HS)  — one page, all local heads
-    v_ref,            # (NH, 1, ps, HS)
+    k_ref,            # (1, NH, HS, ps)  — one page, all local heads
+    v_ref,            # (1, NH, HS, ps)
     out_ref,          # (1, NH, HS)
     # scratch
     m_ref,            # (NH, 1) f32
@@ -56,7 +246,7 @@ def _paged_decode_kernel(
     b = pl.program_id(0)
     i = pl.program_id(1)
     num_pages_per_seq = pl.num_programs(1)
-    ps = k_ref.shape[2]
+    ps = k_ref.shape[3]
     length = lengths_ref[b]
     start = starts_ref[b]
 
@@ -69,13 +259,13 @@ def _paged_decode_kernel(
     @pl.when((i * ps < length) & ((i + 1) * ps > start))
     def _update():
         q = q_ref[0].astype(jnp.float32)            # (NH, HS)
-        k = k_ref[:, 0].astype(jnp.float32)         # (NH, ps, HS)
-        v = v_ref[:, 0].astype(jnp.float32)
+        k = k_ref[0].astype(jnp.float32)            # (NH, HS, ps)
+        v = v_ref[0].astype(jnp.float32)
         scale = jax.lax.rsqrt(jnp.float32(q.shape[-1]))
         # batched GEMV: scores[h, p] = q[h] · k[h, p]
         scores = jax.lax.dot_general(
             q[:, None, :], k,
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )[:, 0, :] * scale                          # (NH, ps)
@@ -90,7 +280,7 @@ def _paged_decode_kernel(
         l_ref[...] = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
         pv = jax.lax.dot_general(
             p[:, None, :], v,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )[:, 0, :]                                            # (NH, HS)
@@ -109,30 +299,85 @@ def paged_decode_attention(q: jax.Array, k_pages: jax.Array,
                            v_pages: jax.Array, block_tables: jax.Array,
                            lengths: jax.Array, starts: jax.Array | None = None,
                            interpret: bool = False) -> jax.Array:
-    """Flash-decode over paged KV.
+    """Flash-decode over paged KV (manual-DMA kernel — see
+    _flash_decode_dma_kernel for why this replaced the grid-pipelined
+    variant, which remains as paged_decode_attention_grid).
 
     q:            (B, NH, HS) — one query token per sequence
-    k_pages/v_pages: (NH, P, page_size, HS) pool (one layer)
+    k_pages/v_pages: (P, NH, HS, page_size) pool (one layer, page-major,
+                  token-minor)
     block_tables: (B, pages_per_seq) int32 — page ids per sequence, in order
     lengths:      (B,) int32 — valid tokens per sequence (including the
                   current token, whose K/V must already be in the pool)
     starts:       (B,) int32 optional sliding-window lower bound (the
                   `offset` of attention_paged, paged_infer.c:165,190);
-                  positions < start are masked and fully-below-start pages
-                  are skipped
+                  positions < start are masked and pages outside the live
+                  range [start//ps, (length-1)//ps] are never fetched
     returns       (B, NH, HS)
     """
     B, NH, HS = q.shape
     if starts is None:
         starts = jnp.zeros_like(lengths)
-    _, P, ps, _ = k_pages.shape
+    P, _, _, ps = k_pages.shape
+    pages_per_seq = block_tables.shape[1]
+    if ps % 128 != 0:
+        # Mosaic DMA alignment needs 128-multiple lanes (= tokens/page);
+        # smaller pages run through the grid-pipelined kernel
+        return paged_decode_attention_grid(q, k_pages, v_pages,
+                                           block_tables, lengths, starts,
+                                           interpret=interpret)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, NH, HS), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.HBM),  # pool stays in HBM
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ],
+        out_specs=pl.BlockSpec((1, NH, HS), lambda b, *_: (b, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, NH, HS, ps), k_pages.dtype),
+            pltpu.VMEM((2, NH, HS, ps), v_pages.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    return pl.pallas_call(
+        _flash_decode_dma_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, NH, HS), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * NH * pages_per_seq * ps * HS,
+            bytes_accessed=(2 * B * NH * pages_per_seq * ps * HS + B * NH * HS)
+            * jnp.dtype(k_pages.dtype).itemsize,
+            transcendentals=B * NH * pages_per_seq * ps,
+        ),
+    )(lengths, starts, block_tables, q, k_pages, v_pages)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def paged_decode_attention_grid(q: jax.Array, k_pages: jax.Array,
+                                v_pages: jax.Array, block_tables: jax.Array,
+                                lengths: jax.Array,
+                                starts: jax.Array | None = None,
+                                interpret: bool = False) -> jax.Array:
+    """LAB VARIANT (the original kernel): grid (B, pages_per_seq) with the
+    Mosaic pipeline fetching one page per grid step from the
+    scalar-prefetched table. Measured ~10x off streaming rate at 1.5B —
+    per-grid-step overhead on ~200KB payloads plus dead-page fetches —
+    which is why serving now uses the manual-DMA kernel above."""
+    B, NH, HS = q.shape
+    if starts is None:
+        starts = jnp.zeros_like(lengths)
+    P, _, _, ps = k_pages.shape
     pages_per_seq = block_tables.shape[1]
 
     def q_map(b, i, lengths_ref, starts_ref, tables_ref):
         return (b, 0, 0)
 
     def kv_map(b, i, lengths_ref, starts_ref, tables_ref):
-        return (0, tables_ref[b, i], 0, 0)
+        return (tables_ref[b, i], 0, 0, 0)
 
     def out_map(b, i, lengths_ref, starts_ref, tables_ref):
         return (b, 0, 0)
@@ -142,8 +387,8 @@ def paged_decode_attention(q: jax.Array, k_pages: jax.Array,
         grid=(B, pages_per_seq),
         in_specs=[
             pl.BlockSpec((1, NH, HS), q_map),
-            pl.BlockSpec((NH, 1, ps, HS), kv_map),
-            pl.BlockSpec((NH, 1, ps, HS), kv_map),
+            pl.BlockSpec((1, NH, HS, ps), kv_map),
+            pl.BlockSpec((1, NH, HS, ps), kv_map),
         ],
         out_specs=pl.BlockSpec((1, NH, HS), out_map),
         scratch_shapes=[
@@ -169,9 +414,9 @@ def paged_decode_attention(q: jax.Array, k_pages: jax.Array,
 def _paged_decode_quant_kernel(
     lengths_ref, starts_ref, tables_ref,
     q_ref,            # (1, NH, HS)
-    k_ref,            # (NH, 1, ps, HS) int8
+    k_ref,            # (1, NH, HS, ps) int8
     v_ref,
-    ks_ref,           # (NH, 1, 1, ps) f32 — per-row scales
+    ks_ref,           # (1, NH, ps) f32 — per-row scales
     vs_ref,
     out_ref,
     m_ref, l_ref, acc_ref,
@@ -182,7 +427,7 @@ def _paged_decode_quant_kernel(
     b = pl.program_id(0)
     i = pl.program_id(1)
     num_pages_per_seq = pl.num_programs(1)
-    ps = k_ref.shape[2]
+    ps = k_ref.shape[3]
     length = lengths_ref[b]
     start = starts_ref[b]
 
@@ -195,14 +440,14 @@ def _paged_decode_quant_kernel(
     @pl.when((i * ps < length) & ((i + 1) * ps > start))
     def _update():
         q = q_ref[0].astype(jnp.float32)
-        ks = ks_ref[:, 0, 0, :]                       # (NH, ps)
-        vs = vs_ref[:, 0, 0, :]
-        k = k_ref[:, 0].astype(jnp.float32) * ks[..., None]
-        v = v_ref[:, 0].astype(jnp.float32) * vs[..., None]
+        ks = ks_ref[0]                                # (NH, ps)
+        vs = vs_ref[0]
+        k = k_ref[0].astype(jnp.float32) * ks[:, None, :]
+        v = v_ref[0].astype(jnp.float32) * vs[:, None, :]
         scale = jax.lax.rsqrt(jnp.float32(q.shape[-1]))
         scores = jax.lax.dot_general(
             q[:, None, :], k,
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )[:, 0, :] * scale
@@ -215,7 +460,7 @@ def _paged_decode_quant_kernel(
         l_ref[...] = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
         pv = jax.lax.dot_general(
             p[:, None, :], v,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )[:, 0, :]
@@ -236,10 +481,63 @@ def paged_decode_attention_quant(q: jax.Array, k_pages: jax.Array,
                                  lengths: jax.Array,
                                  starts: jax.Array | None = None,
                                  interpret: bool = False) -> jax.Array:
-    """Flash-decode over INT8 KV pages. k_pages/v_pages: int8
-    (NH, P, ps, HS); k_scale/v_scale: (NH, P, 1, ps) f32."""
+    """Flash-decode over INT8 KV pages (manual-DMA kernel; the original
+    grid-pipelined variant remains as paged_decode_attention_quant_grid).
+    k_pages/v_pages: int8 (P, NH, HS, ps); k_scale/v_scale:
+    (P, NH, ps) f32 (whole array rides in VMEM)."""
     B, NH, HS = q.shape
-    _, P, ps, _ = k_pages.shape
+    P, _, _, ps = k_pages.shape
+    pages_per_seq = block_tables.shape[1]
+    if starts is None:
+        starts = jnp.zeros_like(lengths)
+    if ps % 128 != 0:
+        return paged_decode_attention_quant_grid(
+            q, k_pages, v_pages, k_scale, v_scale, block_tables, lengths,
+            starts, interpret=interpret)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, NH, HS), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((P, NH, ps), lambda b, *_: (0, 0, 0)),
+            pl.BlockSpec((P, NH, ps), lambda b, *_: (0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, NH, HS), lambda b, *_: (b, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, NH, HS, ps), jnp.int8),
+            pltpu.VMEM((2, NH, HS, ps), jnp.int8),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    return pl.pallas_call(
+        _flash_decode_dma_quant_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, NH, HS), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * NH * pages_per_seq * ps * HS,
+            bytes_accessed=2 * B * NH * pages_per_seq * ps * (HS + 4)
+            + B * NH * HS * 4,
+            transcendentals=B * NH * pages_per_seq * ps,
+        ),
+    )(lengths, starts, block_tables, q, k_pages, v_pages, k_scale, v_scale)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def paged_decode_attention_quant_grid(
+        q: jax.Array, k_pages: jax.Array,
+        v_pages: jax.Array, k_scale: jax.Array,
+        v_scale: jax.Array, block_tables: jax.Array,
+        lengths: jax.Array,
+        starts: jax.Array | None = None,
+        interpret: bool = False) -> jax.Array:
+    """LAB VARIANT: grid-pipelined INT8-KV flash-decode (see
+    paged_decode_attention_grid for why serving moved off it)."""
+    B, NH, HS = q.shape
+    P, _, _, ps = k_pages.shape
     pages_per_seq = block_tables.shape[1]
     if starts is None:
         starts = jnp.zeros_like(lengths)
@@ -248,7 +546,10 @@ def paged_decode_attention_quant(q: jax.Array, k_pages: jax.Array,
         return (b, 0, 0)
 
     def kv_map(b, i, lengths_ref, starts_ref, tables_ref):
-        return (0, tables_ref[b, i], 0, 0)
+        return (tables_ref[b, i], 0, 0, 0)
+
+    def sc_map(b, i, lengths_ref, starts_ref, tables_ref):
+        return (tables_ref[b, i], 0, 0)
 
     def out_map(b, i, lengths_ref, starts_ref, tables_ref):
         return (b, 0, 0)
@@ -258,10 +559,10 @@ def paged_decode_attention_quant(q: jax.Array, k_pages: jax.Array,
         grid=(B, pages_per_seq),
         in_specs=[
             pl.BlockSpec((1, NH, HS), q_map),
-            pl.BlockSpec((NH, 1, ps, HS), kv_map),
-            pl.BlockSpec((NH, 1, ps, HS), kv_map),
-            pl.BlockSpec((NH, 1, 1, ps), kv_map),
-            pl.BlockSpec((NH, 1, 1, ps), kv_map),
+            pl.BlockSpec((1, NH, HS, ps), kv_map),
+            pl.BlockSpec((1, NH, HS, ps), kv_map),
+            pl.BlockSpec((1, NH, ps), sc_map),
+            pl.BlockSpec((1, NH, ps), sc_map),
         ],
         out_specs=pl.BlockSpec((1, NH, HS), out_map),
         scratch_shapes=[
@@ -290,13 +591,13 @@ def _paged_decode_full_kernel(
     lengths_ref, starts_ref, tables_ref,
     # blocks
     q_ref,            # (1, NH, HS)
-    k_ref,            # (1, NH, 1, ps, HS) — one page of one layer
+    k_ref,            # (1, 1, NH, HS, ps) — one page of one layer
     v_ref,
     out_ref,
     m_ref, l_ref, acc_ref,
 ):
     """Full-pool variant of _paged_decode_kernel: identical flash-decode
-    loop, but the K/V operands are the WHOLE (L, NH, P, ps, HS) pool and the
+    loop, but the K/V operands are the WHOLE (L, P, NH, HS, ps) pool and the
     layer is selected by the BlockSpec index map from a prefetched scalar.
     This lets the layer scan keep the pool as a carry (in-place dynamic
     updates) instead of streaming per-layer slices through scan xs/ys —
@@ -304,7 +605,7 @@ def _paged_decode_full_kernel(
     b = pl.program_id(0)
     i = pl.program_id(1)
     num_pages_per_seq = pl.num_programs(1)
-    ps = k_ref.shape[3]
+    ps = k_ref.shape[4]
     length = lengths_ref[b]
     start = starts_ref[b]
 
@@ -317,12 +618,12 @@ def _paged_decode_full_kernel(
     @pl.when((i * ps < length) & ((i + 1) * ps > start))
     def _update():
         q = q_ref[0].astype(jnp.float32)            # (NH, HS)
-        k = k_ref[0, :, 0].astype(jnp.float32)      # (NH, ps, HS)
-        v = v_ref[0, :, 0].astype(jnp.float32)
+        k = k_ref[0, 0].astype(jnp.float32)         # (NH, HS, ps)
+        v = v_ref[0, 0].astype(jnp.float32)
         scale = jax.lax.rsqrt(jnp.float32(q.shape[-1]))
         scores = jax.lax.dot_general(
             q[:, None, :], k,
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )[:, 0, :] * scale                          # (NH, ps)
@@ -335,7 +636,7 @@ def _paged_decode_full_kernel(
         l_ref[...] = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
         pv = jax.lax.dot_general(
             p[:, None, :], v,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )[:, 0, :]
@@ -355,11 +656,11 @@ def paged_decode_attention_full(q: jax.Array, k_pool: jax.Array,
                                 block_tables: jax.Array, lengths: jax.Array,
                                 starts: jax.Array | None = None,
                                 interpret: bool = False) -> jax.Array:
-    """Flash-decode over ONE layer of the full (L, NH, P, ps, HS) pool,
+    """Flash-decode over ONE layer of the full (L, P, NH, HS, ps) pool,
     selected by the traced scalar ``layer`` — no per-layer pool slice is
     materialised (the slice would be a multi-MB copy per layer per step)."""
     B, NH, HS = q.shape
-    L, _, P, ps, _ = k_pool.shape
+    L, P, _, _, ps = k_pool.shape
     pages_per_seq = block_tables.shape[1]
     if starts is None:
         starts = jnp.zeros_like(lengths)
@@ -368,7 +669,7 @@ def paged_decode_attention_full(q: jax.Array, k_pool: jax.Array,
         return (b, 0, 0)
 
     def kv_map(b, i, layer_ref, lengths_ref, starts_ref, tables_ref):
-        return (layer_ref[0], 0, tables_ref[b, i], 0, 0)
+        return (layer_ref[0], tables_ref[b, i], 0, 0, 0)
 
     def out_map(b, i, layer_ref, lengths_ref, starts_ref, tables_ref):
         return (b, 0, 0)
@@ -378,8 +679,8 @@ def paged_decode_attention_full(q: jax.Array, k_pool: jax.Array,
         grid=(B, pages_per_seq),
         in_specs=[
             pl.BlockSpec((1, NH, HS), q_map),
-            pl.BlockSpec((1, NH, 1, ps, HS), kv_map),
-            pl.BlockSpec((1, NH, 1, ps, HS), kv_map),
+            pl.BlockSpec((1, 1, NH, HS, ps), kv_map),
+            pl.BlockSpec((1, 1, NH, HS, ps), kv_map),
         ],
         out_specs=pl.BlockSpec((1, NH, HS), out_map),
         scratch_shapes=[
@@ -406,9 +707,9 @@ def paged_decode_attention_full(q: jax.Array, k_pool: jax.Array,
 def _paged_decode_quant_full_kernel(
     layer_ref, lengths_ref, starts_ref, tables_ref,
     q_ref,            # (1, NH, HS)
-    k_ref,            # (1, NH, 1, ps, HS) int8
+    k_ref,            # (1, 1, NH, HS, ps) int8
     v_ref,
-    ks_ref,           # (1, NH, 1, 1, ps) f32
+    ks_ref,           # (1, 1, NH, ps) f32
     vs_ref,
     out_ref,
     m_ref, l_ref, acc_ref,
@@ -417,7 +718,7 @@ def _paged_decode_quant_full_kernel(
     b = pl.program_id(0)
     i = pl.program_id(1)
     num_pages_per_seq = pl.num_programs(1)
-    ps = k_ref.shape[3]
+    ps = k_ref.shape[4]
     length = lengths_ref[b]
     start = starts_ref[b]
 
@@ -430,14 +731,14 @@ def _paged_decode_quant_full_kernel(
     @pl.when((i * ps < length) & ((i + 1) * ps > start))
     def _update():
         q = q_ref[0].astype(jnp.float32)
-        ks = ks_ref[0, :, 0, 0, :]                    # (NH, ps)
-        vs = vs_ref[0, :, 0, 0, :]
-        k = k_ref[0, :, 0].astype(jnp.float32) * ks[..., None]
-        v = v_ref[0, :, 0].astype(jnp.float32) * vs[..., None]
+        ks = ks_ref[0, 0]                             # (NH, ps)
+        vs = vs_ref[0, 0]
+        k = k_ref[0, 0].astype(jnp.float32) * ks[:, None, :]
+        v = v_ref[0, 0].astype(jnp.float32) * vs[:, None, :]
         scale = jax.lax.rsqrt(jnp.float32(q.shape[-1]))
         scores = jax.lax.dot_general(
             q[:, None, :], k,
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )[:, 0, :] * scale
@@ -450,7 +751,7 @@ def _paged_decode_quant_full_kernel(
         l_ref[...] = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
         pv = jax.lax.dot_general(
             p[:, None, :], v,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )[:, 0, :]
@@ -472,10 +773,10 @@ def paged_decode_attention_quant_full(q: jax.Array, k_pool: jax.Array,
                                       lengths: jax.Array,
                                       starts: jax.Array | None = None,
                                       interpret: bool = False) -> jax.Array:
-    """Full-pool flash-decode over INT8 KV: pools (L, NH, P, ps, HS) int8,
-    scales (L, NH, P, 1, ps) f32, layer selected by scalar prefetch."""
+    """Full-pool flash-decode over INT8 KV: pools (L, P, NH, HS, ps) int8,
+    scales (L, P, NH, ps) f32, layer selected by scalar prefetch."""
     B, NH, HS = q.shape
-    L, _, P, ps, _ = k_pool.shape
+    L, P, _, _, ps = k_pool.shape
     pages_per_seq = block_tables.shape[1]
     if starts is None:
         starts = jnp.zeros_like(lengths)
@@ -484,10 +785,10 @@ def paged_decode_attention_quant_full(q: jax.Array, k_pool: jax.Array,
         return (b, 0, 0)
 
     def kv_map(b, i, layer_ref, lengths_ref, starts_ref, tables_ref):
-        return (layer_ref[0], 0, tables_ref[b, i], 0, 0)
+        return (layer_ref[0], tables_ref[b, i], 0, 0, 0)
 
     def sc_map(b, i, layer_ref, lengths_ref, starts_ref, tables_ref):
-        return (layer_ref[0], 0, tables_ref[b, i], 0, 0)
+        return (layer_ref[0], tables_ref[b, i], 0, 0)
 
     def out_map(b, i, layer_ref, lengths_ref, starts_ref, tables_ref):
         return (b, 0, 0)
@@ -497,10 +798,10 @@ def paged_decode_attention_quant_full(q: jax.Array, k_pool: jax.Array,
         grid=(B, pages_per_seq),
         in_specs=[
             pl.BlockSpec((1, NH, HS), q_map),
-            pl.BlockSpec((1, NH, 1, ps, HS), kv_map),
-            pl.BlockSpec((1, NH, 1, ps, HS), kv_map),
-            pl.BlockSpec((1, NH, 1, 1, ps), sc_map),
-            pl.BlockSpec((1, NH, 1, 1, ps), sc_map),
+            pl.BlockSpec((1, 1, NH, HS, ps), kv_map),
+            pl.BlockSpec((1, 1, NH, HS, ps), kv_map),
+            pl.BlockSpec((1, 1, NH, ps), sc_map),
+            pl.BlockSpec((1, 1, NH, ps), sc_map),
         ],
         out_specs=pl.BlockSpec((1, NH, HS), out_map),
         scratch_shapes=[

@@ -107,21 +107,31 @@ TP_PARAM_SPECS: Dict[str, P] = {
 }
 
 
-def tp_pool_spec() -> P:
-    """Per-layer (NH, P, page_size, HS) pool buffer sharded over heads.
-    Applies uniformly to every leaf of a PagePool/QuantPagePool pytree
-    (int8 scales are (NH, P, 1, ps) — axis 0 is still heads)."""
-    return P("model", None, None, None)
+def tp_pool_spec(ndim: int = 4) -> P:
+    """PartitionSpec for one pool leaf: pages are page-major
+    (P, NH, ps, HS) and int8 scales (P, NH, ps) — heads (the TP axis)
+    are axis 1 in both."""
+    return (P(None, "model", None, None) if ndim == 4
+            else P(None, "model", None))
+
+
+def shard_pool(pool, mesh: Mesh):
+    """device_put a PagePool/QuantPagePool onto the mesh with heads
+    sharded (the leaf ranks differ, so a single broadcast sharding
+    doesn't fit)."""
+    return jax.tree.map(
+        lambda x: jax.device_put(
+            x, NamedSharding(mesh, tp_pool_spec(x.ndim))), pool)
 
 
 def _pool_specs(cfg: GPT2Config, kv_quant: bool):
     """Pool pytree of PartitionSpecs matching PagePool or QuantPagePool
     structure, for shard_map in/out specs."""
-    spec = tp_pool_spec()
-    per_layer = tuple(spec for _ in range(cfg.num_layers))
+    pages = tuple(tp_pool_spec(4) for _ in range(cfg.num_layers))
     if kv_quant:
-        return QuantPagePool(per_layer, per_layer, per_layer, per_layer)
-    return PagePool(per_layer, per_layer)
+        scales = tuple(tp_pool_spec(3) for _ in range(cfg.num_layers))
+        return QuantPagePool(pages, pages, scales, scales)
+    return PagePool(pages, pages)
 
 
 def relayout_tp(params: Dict[str, jax.Array], cfg: GPT2Config

@@ -115,17 +115,16 @@ def test_int8_paged_engine_generates(golden):
 # ---- INT8 KV pages ----------------------------------------------------------
 
 def test_quant_kv_kernel_matches_oracle():
-    from llmc_paged_tpu.kv.layouts import quantize_rows
+    from llmc_paged_tpu.kv.layouts import quantize_pages
     from llmc_paged_tpu.ops.paged_attention import (
         paged_decode_attention_quant, paged_decode_attention_quant_xla)
     B, NH, HS, P, ps, pps = 3, 4, 64, 16, 8, 4
     rng = np.random.default_rng(5)
     q = jnp.asarray(rng.standard_normal((B, NH, HS), dtype=np.float32))
-    k = jnp.asarray(rng.standard_normal((NH, P, ps, HS), dtype=np.float32))
-    v = jnp.asarray(rng.standard_normal((NH, P, ps, HS), dtype=np.float32))
-    kq, ks = quantize_rows(k)
-    vq, vs = quantize_rows(v)
-    ks, vs = ks[:, :, None, :], vs[:, :, None, :]
+    k = jnp.asarray(rng.standard_normal((P, NH, HS, ps), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((P, NH, HS, ps), dtype=np.float32))
+    kq, ks = quantize_pages(k)
+    vq, vs = quantize_pages(v)
     tables = jnp.asarray(
         rng.permutation(P)[: B * pps].reshape(B, pps).astype(np.int32))
     lengths = jnp.asarray(np.array([5, 17, 32], dtype=np.int32))
@@ -141,20 +140,20 @@ def test_quant_kv_kernel_matches_oracle():
 def test_int8_kv_close_to_fp32_kv():
     """INT8 KV attention output stays within per-row quantization error of
     the fp32 path (north-star: INT8 KV pages with fused dequant)."""
-    from llmc_paged_tpu.kv.layouts import quantize_rows
+    from llmc_paged_tpu.kv.layouts import quantize_pages
     from llmc_paged_tpu.ops.paged_attention import (
         paged_decode_attention, paged_decode_attention_quant)
     B, NH, HS, P, ps, pps = 2, 4, 64, 8, 8, 2
     rng = np.random.default_rng(6)
     q = jnp.asarray(rng.standard_normal((B, NH, HS), dtype=np.float32))
-    k = jnp.asarray(rng.standard_normal((NH, P, ps, HS), dtype=np.float32))
-    v = jnp.asarray(rng.standard_normal((NH, P, ps, HS), dtype=np.float32))
-    kq, ks = quantize_rows(k)
-    vq, vs = quantize_rows(v)
+    k = jnp.asarray(rng.standard_normal((P, NH, HS, ps), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((P, NH, HS, ps), dtype=np.float32))
+    kq, ks = quantize_pages(k)
+    vq, vs = quantize_pages(v)
     tables = jnp.asarray(np.arange(B * pps).reshape(B, pps).astype(np.int32))
     lengths = jnp.asarray(np.array([9, 16], dtype=np.int32))
     out_q = paged_decode_attention_quant(
-        q, kq, vq, ks[:, :, None, :], vs[:, :, None, :], tables, lengths,
+        q, kq, vq, ks, vs, tables, lengths,
         interpret=INTERP)
     out_f = paged_decode_attention(q, k, v, tables, lengths, interpret=INTERP)
     np.testing.assert_allclose(np.asarray(out_q), np.asarray(out_f),

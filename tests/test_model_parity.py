@@ -126,6 +126,31 @@ def test_greedy_decode_matches_torch(golden):
     assert toks == expect
 
 
+def test_full_124m_golden_parity(fixtures_dir):
+    """REAL-shape golden parity (the reference's tests run at full 124M,
+    test_gpt2.c:39-66 — tiny-shape CI can hide shape-dependent bugs like
+    vocab-padding or head-tiling mistakes). Generate the fixtures once
+    with `python tools/make_golden.py --tag full124m --full-124m`; the
+    test auto-skips when they are absent (they are ~750MB, gitignored).
+    Recorded on-chip runs live in docs/TPU_RUNS.md."""
+    path = os.path.join(fixtures_dir, "model_full124m.bin")
+    if not os.path.exists(path):
+        pytest.skip("run tools/make_golden.py --tag full124m --full-124m")
+    cfg, params_np = formats.read_checkpoint(path)
+    assert (cfg.num_layers, cfg.channels) == (12, 768)
+    state = formats.read_debug_state(
+        os.path.join(fixtures_dir, "state_full124m.bin"), cfg)
+    params = gpt2.to_device(params_np, cfg)
+    logits = gpt2.forward(params, jnp.asarray(state["x"]), cfg)
+    # reference tolerance at this scale is 1e-2 (test_gpt2.c:90-134);
+    # fp32 HIGHEST matmuls let us hold 2e-3 even at C=768 depth-12
+    np.testing.assert_allclose(np.asarray(logits), state["logits"],
+                               rtol=2e-3, atol=2e-3)
+    loss = gpt2.loss_fn(params, jnp.asarray(state["x"]),
+                        jnp.asarray(state["y"]), cfg)
+    assert abs(float(loss) - state["loss"]) < 1e-3
+
+
 def test_init_params_shapes():
     cfg = GPT2Config.tiny()
     params = gpt2.init_params(cfg, jax.random.PRNGKey(0))

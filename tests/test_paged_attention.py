@@ -27,28 +27,65 @@ INTERP = jax.default_backend() != "tpu"
 def rand_case(B=3, NH=4, HS=64, P=16, ps=8, pps=4, seed=0):
     rng = np.random.default_rng(seed)
     q = jnp.asarray(rng.standard_normal((B, NH, HS), dtype=np.float32))
-    k = jnp.asarray(rng.standard_normal((NH, P, ps, HS), dtype=np.float32))
-    v = jnp.asarray(rng.standard_normal((NH, P, ps, HS), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((P, NH, HS, ps), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((P, NH, HS, ps), dtype=np.float32))
     tables = jnp.asarray(
         rng.permutation(P)[: B * pps].reshape(B, pps).astype(np.int32))
     return q, k, v, tables, rng
 
 
-def test_kernel_matches_oracle_ragged():
-    q, k, v, tables, rng = rand_case()
-    lengths = jnp.asarray(np.array([1, 17, 32], dtype=np.int32))  # partial pages
+# ps=8 exercises the grid-pipelined kernel, ps=128 the manual-DMA kernel
+# (the serving path: ps % 128 == 0 dispatch in paged_decode_attention)
+@pytest.mark.parametrize("ps,P", [(8, 16), (128, 14)])
+def test_kernel_matches_oracle_ragged(ps, P):
+    q, k, v, tables, rng = rand_case(P=P, ps=ps)
+    lengths = jnp.asarray(np.array([1, 2 * ps + 1, 4 * ps], dtype=np.int32))
     out_k = paged_decode_attention(q, k, v, tables, lengths, interpret=INTERP)
     out_x = paged_decode_attention_xla(q, k, v, tables, lengths)
     np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x),
                                rtol=1e-5, atol=1e-5)
 
 
-def test_kernel_zero_length_row():
-    q, k, v, tables, _ = rand_case(seed=1)
-    lengths = jnp.asarray(np.array([0, 5, 9], dtype=np.int32))
+@pytest.mark.parametrize("ps,P", [(8, 16), (128, 14)])
+def test_kernel_zero_length_row(ps, P):
+    q, k, v, tables, _ = rand_case(P=P, ps=ps, seed=1)
+    lengths = jnp.asarray(np.array([0, 5, ps + 1], dtype=np.int32))
     out = paged_decode_attention(q, k, v, tables, lengths, interpret=INTERP)
     assert np.all(np.asarray(out[0]) == 0.0)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+@pytest.mark.parametrize("ps,P", [(8, 16), (128, 14)])
+def test_kernel_window_starts(ps, P):
+    """Sliding-window lower bounds: dead pages below start//ps are never
+    fetched by the DMA kernel and masked by the grid kernel — outputs
+    must match the oracle either way."""
+    q, k, v, tables, _ = rand_case(P=P, ps=ps, seed=7)
+    lengths = jnp.asarray(np.array([4 * ps, 3 * ps + 2, ps], dtype=np.int32))
+    starts = jnp.asarray(np.array([2 * ps + 3, ps, 0], dtype=np.int32))
+    out_k = paged_decode_attention(q, k, v, tables, lengths, starts,
+                                   interpret=INTERP)
+    out_x = paged_decode_attention_xla(q, k, v, tables, lengths, starts)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_x),
+                               rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("ps,P", [(8, 16), (128, 14)])
+def test_quant_kernel_both_paths(ps, P):
+    from llmc_paged_tpu.kv.layouts import quantize_pages
+    from llmc_paged_tpu.ops.paged_attention import (
+        paged_decode_attention_quant, paged_decode_attention_quant_xla)
+    q, k, v, tables, _ = rand_case(P=P, ps=ps, seed=3)
+    kq, ks = quantize_pages(k)
+    vq, vs = quantize_pages(v)
+    lengths = jnp.asarray(np.array([2 * ps + 1, ps, 4 * ps], dtype=np.int32))
+    starts = jnp.asarray(np.array([ps + 1, 0, 2 * ps], dtype=np.int32))
+    out = paged_decode_attention_quant(q, kq, vq, ks, vs, tables, lengths,
+                                       starts, interpret=INTERP)
+    ref = paged_decode_attention_quant_xla(q, kq, vq, ks, vs, tables,
+                                           lengths, starts)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
 
 
 def test_kernel_matches_dense_attention():
@@ -65,13 +102,13 @@ def test_kernel_matches_dense_attention():
     # scatter each row's first `length` tokens into distinct random pages
     perm = rng.permutation(P)
     tables_np = perm[: B * pps].reshape(B, pps).astype(np.int32)
-    k_pages = np.zeros((NH, P, ps, HS), dtype=np.float32)
-    v_pages = np.zeros((NH, P, ps, HS), dtype=np.float32)
+    k_pages = np.zeros((P, NH, HS, ps), dtype=np.float32)
+    v_pages = np.zeros((P, NH, HS, ps), dtype=np.float32)
     for b in range(B):
         for t in range(lengths_np[b]):
             pg, sl = tables_np[b, t // ps], t % ps
-            k_pages[:, pg, sl] = k_dense[b, :, t]
-            v_pages[:, pg, sl] = v_dense[b, :, t]
+            k_pages[pg, :, :, sl] = k_dense[b, :, t]
+            v_pages[pg, :, :, sl] = v_dense[b, :, t]
 
     out_paged = paged_decode_attention(
         q, jnp.asarray(k_pages), jnp.asarray(v_pages),
@@ -95,8 +132,8 @@ def test_token_coords_and_scatter_roundtrip():
     page2, slot2 = token_coords(tables, positions, ps,
                                 jnp.zeros_like(valid), P)
     np.testing.assert_array_equal(np.asarray(page2), [[P], [P]])
-    k_pool = jnp.zeros((NH, P, ps, HS))
-    v_pool = jnp.zeros((NH, P, ps, HS))
+    k_pool = jnp.zeros((P, NH, HS, ps))
+    v_pool = jnp.zeros((P, NH, HS, ps))
     rows = jnp.ones((2, NH, HS))
     k2, v2 = write_layer_kv(k_pool, v_pool, rows, rows,
                             page2.ravel(), slot2.ravel())
@@ -173,8 +210,8 @@ def test_full_pool_kernel_matches_single_layer():
     rng = np.random.default_rng(3)
     Lk, B, NH, HS, P, ps, pps = 3, 2, 4, 64, 12, 8, 4
     q = jnp.asarray(rng.standard_normal((B, NH, HS), dtype=np.float32))
-    k = jnp.asarray(rng.standard_normal((Lk, NH, P, ps, HS), dtype=np.float32))
-    v = jnp.asarray(rng.standard_normal((Lk, NH, P, ps, HS), dtype=np.float32))
+    k = jnp.asarray(rng.standard_normal((Lk, P, NH, HS, ps), dtype=np.float32))
+    v = jnp.asarray(rng.standard_normal((Lk, P, NH, HS, ps), dtype=np.float32))
     tables = jnp.asarray(
         rng.permutation(P)[: B * pps].reshape(B, pps).astype(np.int32))
     lengths = jnp.asarray([29, 7], jnp.int32)
@@ -193,7 +230,7 @@ def test_full_pool_kernel_matches_single_layer():
 
 
 def test_full_pool_quant_kernel_matches_oracle():
-    from llmc_paged_tpu.kv.layouts import quantize_rows
+    from llmc_paged_tpu.kv.layouts import quantize_pages
     from llmc_paged_tpu.ops.paged_attention import (
         paged_decode_attention_quant_full,
         paged_decode_attention_quant_full_xla)
@@ -201,12 +238,10 @@ def test_full_pool_quant_kernel_matches_oracle():
     rng = np.random.default_rng(5)
     Lk, B, NH, HS, P, ps, pps = 2, 2, 4, 64, 10, 8, 4
     q = jnp.asarray(rng.standard_normal((B, NH, HS), dtype=np.float32))
-    kf = rng.standard_normal((Lk, NH, P, ps, HS)).astype(np.float32)
-    vf = rng.standard_normal((Lk, NH, P, ps, HS)).astype(np.float32)
-    kq, ks = quantize_rows(jnp.asarray(kf))   # (L,NH,P,ps,HS), (L,NH,P,ps)
-    vq, vs = quantize_rows(jnp.asarray(vf))
-    ks = ks[:, :, :, None, :]                 # (L,NH,P,1,ps)
-    vs = vs[:, :, :, None, :]
+    kf = rng.standard_normal((Lk, P, NH, HS, ps)).astype(np.float32)
+    vf = rng.standard_normal((Lk, P, NH, HS, ps)).astype(np.float32)
+    kq, ks = quantize_pages(jnp.asarray(kf))  # (L,P,NH,HS,ps), (L,P,NH,ps)
+    vq, vs = quantize_pages(jnp.asarray(vf))
     tables = jnp.asarray(
         rng.permutation(P)[: B * pps].reshape(B, pps).astype(np.int32))
     lengths = jnp.asarray([25, 12], jnp.int32)
@@ -226,8 +261,8 @@ def test_write_kv_full_matches_per_layer():
 
     rng = np.random.default_rng(9)
     Lk, NH, P, ps, HS, N = 3, 2, 6, 4, 8, 5
-    pool = PagePool(jnp.zeros((Lk, NH, P, ps, HS)),
-                    jnp.zeros((Lk, NH, P, ps, HS)))
+    pool = PagePool(jnp.zeros((Lk, P, NH, HS, ps)),
+                    jnp.zeros((Lk, P, NH, HS, ps)))
     k_new = jnp.asarray(rng.standard_normal((N, NH, HS), dtype=np.float32))
     v_new = jnp.asarray(rng.standard_normal((N, NH, HS), dtype=np.float32))
     page = jnp.asarray([0, 0, 3, 5, 6], jnp.int32)   # last row: dropped

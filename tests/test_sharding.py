@@ -72,8 +72,7 @@ def test_tp_decode_matches_single_device(golden, tp):
 
     # TP: same flow through the sharded prefill + decode step
     params_tp = sh.prepare_tp_params(params_np, cfg, mesh)
-    pool_tp = jax.device_put(init_pool(cfg, page_cfg),
-                             NamedSharding(mesh, sh.tp_pool_spec()))
+    pool_tp = sh.shard_pool(init_pool(cfg, page_cfg), mesh)
     tp_prefill = sh.make_tp_prefill(cfg, mesh)
     tp_step = sh.make_tp_decode_step(cfg, mesh)
     _, pool_tp = tp_prefill(params_tp, jnp.asarray(x[:, :T - 1]), pg, sl,
@@ -309,8 +308,8 @@ def test_tp_bf16_decode_step_logits_close(golden):
 
     params_tp = sh.prepare_tp_params(params_np, cfg, mesh,
                                      param_dtype="bfloat16")
-    pool_tp = jax.device_put(init_pool(cfg, page_cfg, dtype=jnp.bfloat16),
-                             NamedSharding(mesh, sh.tp_pool_spec()))
+    pool_tp = sh.shard_pool(init_pool(cfg, page_cfg, dtype=jnp.bfloat16),
+                            mesh)
     tp_prefill = sh.make_tp_prefill(cfg, mesh)
     tp_step = sh.make_tp_decode_step(cfg, mesh)
     _, pool_tp = tp_prefill(params_tp, jnp.asarray(x[:, :T - 1]), pg, sl,
@@ -369,8 +368,7 @@ def test_tp_int8_decode_step_logits_close(golden):
     # TP int8 params + int8 KV
     params_tp = sh.prepare_tp_params(params_np, cfg, mesh,
                                      param_dtype="int8")
-    pool_tp = jax.device_put(init_pool(cfg, page_cfg, dtype="int8"),
-                             NamedSharding(mesh, sh.tp_pool_spec()))
+    pool_tp = sh.shard_pool(init_pool(cfg, page_cfg, dtype="int8"), mesh)
     tp_prefill = sh.make_tp_prefill(cfg, mesh, quant_params=True,
                                     kv_quant=True)
     tp_step = sh.make_tp_decode_step(cfg, mesh, quant_params=True,
