@@ -40,7 +40,10 @@ from llmc_paged_tpu.models import gpt2
 from llmc_paged_tpu.ops import layers as L
 from llmc_paged_tpu.ops.paged_attention import (
     paged_decode_attention,
+    paged_decode_attention_parts,
+    paged_decode_attention_parts_xla,
     paged_decode_attention_quant,
+    paged_decode_attention_quant_parts,
     paged_decode_attention_quant_xla,
     paged_decode_attention_xla,
 )
@@ -121,6 +124,60 @@ def decode_step_paged(params: gpt2.Params, tokens: jax.Array,
                         lengths, starts, pool, cfg, use_kernel)
 
 
+def _chunk_attention(q, pool_l, tail_k, tail_v, block_tables, lengths_pool,
+                     starts, pos0, j, use_kernel: bool, interp: bool,
+                     quant: bool):
+    """Decode-chunk attention = read-only POOL prefix merged with the
+    in-flight TAIL, combined exactly via online-softmax parts.
+
+    Why two sources: scattering each sub-step's K/V into the pool and
+    reading it back through the kernel made the scan carry the whole pool
+    — XLA then copies the pool buffers around the custom call every layer
+    (measured ~90us/layer at 1.5B, scaling with POOL SIZE; an aliased
+    pass-through kernel was 2.6x worse — the runtime inserted defensive
+    copies). With the split, the pool is a scan INVARIANT (tokens
+    < pos0, committed by prefill/previous chunks), the chunk's own K/V
+    lives in a small (K, B, NH, HS) tail updated with an in-place
+    dynamic_update_slice, and the pool is scattered ONCE per chunk.
+
+    q (B, NH, HS); tail_k/tail_v (K, B, NH, HS) with rows [0, j] valid;
+    lengths_pool = pos0 (completed tokens); starts = per-row window lower
+    bounds for the CURRENT position. Returns (B, NH, HS) in q.dtype."""
+    B, NH, HS = q.shape
+    K = tail_k.shape[0]
+    kw = {"interpret": True} if (use_kernel and interp) else {}
+    if use_kernel:
+        parts = (paged_decode_attention_quant_parts if quant
+                 else paged_decode_attention_parts)
+    else:
+        parts = (paged_decode_attention_quant_parts_xla if quant
+                 else paged_decode_attention_parts_xla)
+    acc_p, m_p, l_p = parts(q, *pool_l, block_tables, lengths_pool, starts,
+                            **kw)
+
+    qf = q.astype(jnp.float32)
+    scale = jax.lax.rsqrt(jnp.float32(HS))
+    scores = jnp.einsum("bhd,kbhd->bhk", qf, tail_k.astype(jnp.float32),
+                        precision=jax.lax.Precision.HIGHEST) * scale
+    t_idx = jnp.arange(K, dtype=jnp.int32)
+    pos_t = pos0[:, None] + t_idx[None, :]          # (B, K) absolute pos
+    mask = (t_idx[None, :] <= j) & (pos_t >= starts[:, None])
+    scores = jnp.where(mask[:, None, :], scores, -1e30)
+    m_t = jnp.max(scores, axis=-1)                  # (B, NH)
+    p = jnp.where(mask[:, None, :], jnp.exp(scores - m_t[..., None]), 0.0)
+    l_t = jnp.sum(p, axis=-1)
+    acc_t = jnp.einsum("bhk,kbhd->bhd", p, tail_v.astype(jnp.float32),
+                       precision=jax.lax.Precision.HIGHEST)
+
+    m = jnp.maximum(m_p, m_t)
+    a_p = jnp.exp(m_p - m)
+    a_t = jnp.exp(m_t - m)
+    l = l_p * a_p + l_t * a_t
+    l = jnp.where(l == 0.0, 1.0, l)
+    att = (acc_p * a_p[..., None] + acc_t * a_t[..., None]) / l[..., None]
+    return att.astype(q.dtype)
+
+
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "use_kernel", "num_steps",
                                     "window", "top_k"),
@@ -142,9 +199,16 @@ def decode_chunk_paged(params: gpt2.Params, first_tokens: jax.Array,
     pages/slots:(K, B) pre-reserved pool coordinates for each sub-step
     (host block manager reserves K tokens ahead — allocation is
     deterministic, so coordinates are known before the tokens exist);
-    block_tables: the FINAL tables including reserved pages (earlier
-    sub-steps simply mask beyond their length). Returns (tokens (K, B) —
-    each sub-step's pick, fed back on device — and the pool).
+    block_tables: the FINAL tables including reserved pages. Returns
+    (tokens (K, B) — each sub-step's pick, fed back on device — and the
+    pool).
+
+    Structure: the pool is READ-ONLY during the chunk (tokens < pos0);
+    each sub-step's K/V goes into per-layer in-flight tail buffers and
+    attention merges pool + tail (see _chunk_attention). The tails are
+    committed to the pool with one scatter per layer after the scan —
+    for INT8 pools the tail stays float through the chunk and quantizes
+    once at commit.
 
     Token choice: greedy argmax when ``rng_key`` is None; otherwise
     on-device sampling with temperature/top-k (train_gpt2.py:197-222
@@ -164,22 +228,69 @@ def decode_chunk_paged(params: gpt2.Params, first_tokens: jax.Array,
         return jax.random.categorical(
             jax.random.fold_in(rng_key, j), lg, axis=-1).astype(jnp.int32)
 
-    def step(carry, xs):
-        toks, pool, j = carry
-        page_j, slot_j = xs
+    B = first_tokens.shape[0]
+    K = num_steps
+    NH, HS = cfg.num_heads, cfg.head_dim
+    quant = isinstance(pool, QuantPagePool)
+    interp = _use_interpret()
+    stack = gpt2._layer_stack(params)
+    cdtype = params["wpe"].dtype           # the serving compute dtype
+    tk0 = tuple(jnp.zeros((K, B, NH, HS), cdtype)
+                for _ in range(cfg.num_layers))
+    tv0 = tuple(jnp.zeros((K, B, NH, HS), cdtype)
+                for _ in range(cfg.num_layers))
+    # pool reads cover the COMPLETED prefix only — fixed across the chunk
+    lengths_pool = jnp.where(active, safe_pos0, 0)
+
+    def step(carry, _):
+        toks, tks, tvs, j = carry
         pos = safe_pos0 + j
         wpe_pos = jnp.minimum(pos, window - 1)
-        lengths = jnp.where(active, pos + 1, 0)
         starts = jnp.maximum(0, pos + 1 - window)
-        logits, pool = _decode_core(
-            params, toks, wpe_pos, page_j, slot_j, block_tables, lengths,
-            starts, pool, cfg, use_kernel)
+        x = gpt2._embed(params, toks, wpe_pos)
+        for i in range(cfg.num_layers):
+            lp = {name: w[i] for name, w in stack.items()}
+            h = L.layernorm(x, lp["ln1w"], lp["ln1b"])
+            qkv = gpt2._lin(lp, "qkvw", h, "qkvb")
+            q, k, v = gpt2._split_qkv(qkv, cfg)        # (B, NH, HS)
+            # in-place dynamic_update_slice at the (scalar) sub-step index
+            tk = jax.lax.dynamic_update_slice(
+                tks[i], k[None].astype(cdtype), (j, 0, 0, 0))
+            tv = jax.lax.dynamic_update_slice(
+                tvs[i], v[None].astype(cdtype), (j, 0, 0, 0))
+            tks = tks[:i] + (tk,) + tks[i + 1:]
+            tvs = tvs[:i] + (tv,) + tvs[i + 1:]
+            att = _chunk_attention(q, pool.layer(i), tk, tv, block_tables,
+                                   lengths_pool, starts, safe_pos0, j,
+                                   use_kernel, interp, quant)
+            x = x + gpt2._lin(lp, "attprojw",
+                              att.reshape(B, cfg.channels), "attprojb")
+            h2 = L.layernorm(x, lp["ln2w"], lp["ln2b"])
+            x = x + gpt2._lin(
+                lp, "fcprojw",
+                L.gelu_tanh(gpt2._lin(lp, "fcw", h2, "fcb")), "fcprojb")
+        logits = gpt2._logits(x, params, cfg)
         nxt = pick(logits, j)
-        return (nxt, pool, j + 1), nxt
+        return (nxt, tks, tvs, j + 1), nxt
 
-    (_, pool, _), out = jax.lax.scan(
-        step, (first_tokens, pool, jnp.int32(0)), (pages, slots),
+    (_, tks, tvs, _), out = jax.lax.scan(
+        step, (first_tokens, tk0, tv0, jnp.int32(0)), None,
         length=num_steps)
+
+    # commit the chunk's K/V: ONE scatter per layer (int8 pools quantize
+    # here, once, instead of per sub-step)
+    fpages = pages.reshape(K * B)
+    fslots = slots.reshape(K * B)
+    for i in range(cfg.num_layers):
+        rows_k = tks[i].reshape(K * B, NH, HS)
+        rows_v = tvs[i].reshape(K * B, NH, HS)
+        if quant:
+            pool_l = write_layer_kv_quant(pool.layer(i), rows_k, rows_v,
+                                          fpages, fslots)
+        else:
+            pool_l = write_layer_kv(*pool.layer(i), rows_k, rows_v,
+                                    fpages, fslots)
+        pool = pool.with_layer(i, pool_l)
     return out, pool
 
 

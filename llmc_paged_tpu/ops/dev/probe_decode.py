@@ -227,11 +227,28 @@ def attention_suite(B: int, cfg, dtypes=("bfloat16", "int8"), steps=32):
     pgs, sls = jnp.asarray(pgs), jnp.asarray(sls)
 
     for dtype_name in dtypes:
-        pool = init_pool(cfg, page_cfg,
-                         dtype={"float32": jnp.float32,
-                                "bfloat16": jnp.bfloat16,
-                                "int8": "int8"}[dtype_name])
-        quant = dtype_name == "int8"
+        # "-scatteronly" / "-attendonly" suffixes decompose the suite
+        base, _, part = dtype_name.partition("-")
+        # "-P2"/"-P4": same work over a 2x/4x larger pool — if the
+        # combined step time scales with pool size, something is COPYING
+        # whole pool buffers per layer
+        pcfg = page_cfg
+        if part in ("P2", "P4"):
+            mult = {"P2": 2, "P4": 4}[part]
+            pcfg = PageConfig(page_size=page_cfg.page_size,
+                              num_pages=page_cfg.num_pages * mult,
+                              max_seqs=page_cfg.max_seqs,
+                              pages_per_seq=page_cfg.pages_per_seq)
+        pool = init_pool(cfg, pcfg,
+                        dtype={"float32": jnp.float32,
+                               "bfloat16": jnp.bfloat16,
+                               "int8": "int8"}[base])
+        quant = base == "int8"
+        do_write = part != "attendonly"
+        do_attend = part != "scatteronly"
+        # "-stale": write AND attend, but attend reads the PRE-write pool
+        # slices — isolates the write->read dependency / buffer-copy cost
+        stale = part == "stale"
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def run(x0, pool):
@@ -242,18 +259,27 @@ def attention_suite(B: int, cfg, dtypes=("bfloat16", "int8"), steps=32):
                 starts = jnp.zeros((B,), jnp.int32)
                 for i in range(Lc):
                     kv = x.reshape(B, NH, HS)
-                    if quant:
-                        pool_l = write_layer_kv_quant(pool.layer(i), kv, kv,
-                                                      page_j, slot_j)
-                        att = paged_decode_attention_quant(
-                            kv, *pool_l, tables, lengths, starts)
+                    pool_l = pool.layer(i)
+                    old_pool_l = pool_l
+                    if do_write:
+                        pool_l = (write_layer_kv_quant(pool_l, kv, kv,
+                                                       page_j, slot_j)
+                                  if quant else
+                                  write_layer_kv(*pool_l, kv, kv,
+                                                 page_j, slot_j))
+                        pool = pool.with_layer(i, pool_l)
+                    if stale:
+                        pool_l = old_pool_l
+                    if do_attend:
+                        att = (paged_decode_attention_quant(
+                                   kv, *pool_l, tables, lengths, starts)
+                               if quant else
+                               paged_decode_attention(
+                                   kv, *pool_l, tables, lengths, starts))
+                        x = x + 0.01 * att.reshape(B, C)
                     else:
-                        pool_l = write_layer_kv(*pool.layer(i), kv, kv,
-                                                page_j, slot_j)
-                        att = paged_decode_attention(
-                            kv, *pool_l, tables, lengths, starts)
-                    pool = pool.with_layer(i, pool_l)
-                    x = x + 0.01 * att.reshape(B, C)
+                        x = x + 0.01 * pool_l[0][0, :, :, 0].reshape(
+                            1, NH * HS)[:, :C]
                 return (x, pool, j + 1), ()
 
             (x, pool, _), _ = jax.lax.scan(

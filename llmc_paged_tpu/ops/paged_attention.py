@@ -1,27 +1,32 @@
-"""The Pallas paged-attention decode kernel (the north-star kernel).
+"""The Pallas paged-attention decode kernels (the north-star kernels).
 
 One kernel performs what the reference does in three steps — gather the
 block table (collect_kv_blocks, block_manager.c:165-201), walk pages with
 pointer arithmetic (attention_paged, paged_infer.c:163-240), and a 4-pass
-softmax — as a single flash-decode pass over non-contiguous KV pages:
+softmax — as a single flash-decode pass over non-contiguous KV pages.
 
-  * grid (batch, pages_per_seq); the kernel's BlockSpec index_map reads the
-    scalar-prefetched block table, so the Mosaic pipeline DMAs exactly the
-    pages each sequence owns, double-buffered, straight from the HBM pool —
-    there is NO materialised contiguous copy (the copy the reference itself
-    flags as the thing to eliminate, cached_infer.c:663-665);
-  * per grid step, ALL local heads process one page: a (NH,1,HS)×(NH,ps,HS)
-    batched GEMV on the MXU + online-softmax state (running max m, sum l,
-    accumulator acc) in VMEM scratch — the algorithm of the reference's
-    online softmax_forward_kernel5 (train_gpt2.cu:208-263) applied over
-    gathered pages;
-  * per-token masking `page_start + slot < length` handles ragged sequence
-    lengths and partially-filled tail pages.
+SERVING kernels (_flash_decode_dma_*): grid (B,); each program walks only
+its sequence's LIVE page range [start//ps, (length-1)//ps] with manual
+double-buffered pltpu.make_async_copy from the HBM pool (no materialised
+contiguous copy — the copy the reference itself flags as the thing to
+eliminate, cached_infer.c:663-665 — and no dead-page fetches). Per page,
+all local heads run (NH,1,HS)x(NH,HS,ps) MXU GEMVs with online-softmax
+state (running max m, sum l, accumulator acc — the algorithm of the
+reference's softmax_forward_kernel5, train_gpt2.cu:208-263) carried in
+registers. They emit UNNORMALIZED (acc, m, l) so the decode chunk can
+merge the pool prefix with its in-flight tail exactly; normalized
+wrappers divide by l. Requires page_size % 128 == 0 (Mosaic DMA lane
+alignment — GPT-2's HS=64 cannot be a lane dim, hence the transposed
+(P, NH, HS, ps) pool layout in kv/layouts.py).
 
-Layouts match kv/layouts.py: pools are (P, NH, page_size, HS) per layer —
-page-major so one page of all local heads is a single contiguous block the
-manual-DMA kernel can fetch with a leading-dim slice; tensor parallelism
-shards heads (axis 1) and shard_map hands each shard its local heads.
+LAB variants (_grid suffix): the original grid-(B, pages_per_seq)
+pipelined kernels — one page per grid step via scalar-prefetched
+index maps. Measured ~10x off streaming rate at 1.5B (fixed per-grid-step
+overhead on ~200KB payloads + all-table-entry fetches); kept as the
+fallback for page sizes below 128 and as the measured design record.
+
+Tensor parallelism shards heads (pool axis 1); shard_map hands each shard
+its local heads and every kernel runs unchanged.
 """
 
 from __future__ import annotations
@@ -45,7 +50,9 @@ def _flash_decode_dma_kernel(
     q_ref,            # (1, NH, HS) VMEM
     k_hbm,            # (P, NH, HS, ps) — stays in HBM
     v_hbm,
-    out_ref,          # (1, NH, HS) VMEM
+    out_ref,          # (1, NH, HS) VMEM — UNNORMALIZED accumulator
+    m_out,            # (1, NH, 1) running max
+    l_out,            # (1, NH, 1) running sum
     # scratch
     kbuf,             # (2, NH, HS, ps) VMEM — double buffer
     vbuf,
@@ -137,8 +144,11 @@ def _flash_decode_dma_kernel(
     l0 = jnp.zeros((NH, 1), jnp.float32)
     a0 = jnp.zeros((NH, HS), jnp.float32)
     m, l, acc = jax.lax.fori_loop(0, num, body, (m0, l0, a0))
-    l = jnp.where(l == 0.0, 1.0, l)
-    out_ref[0] = (acc / l).astype(out_ref.dtype)
+    # UNNORMALIZED outputs: callers either normalize (acc / l) or merge
+    # with another attention source via online-softmax combination
+    out_ref[0] = acc.astype(out_ref.dtype)
+    m_out[0] = m
+    l_out[0] = l
 
 
 def _flash_decode_dma_quant_kernel(
@@ -146,7 +156,8 @@ def _flash_decode_dma_quant_kernel(
     q_ref,
     k_hbm, v_hbm,     # (P, NH, HS, ps) int8, HBM
     ksc_ref, vsc_ref,  # (P, NH, ps) f32 — WHOLE array in VMEM
-    out_ref,
+    out_ref,           # (1, NH, HS) UNNORMALIZED accumulator
+    m_out, l_out,      # (1, NH, 1)
     kbuf, vbuf,       # (2, NH, HS, ps) int8 VMEM
     sems,             # (2, 2)
 ):
@@ -223,8 +234,9 @@ def _flash_decode_dma_quant_kernel(
     l0 = jnp.zeros((NH, 1), jnp.float32)
     a0 = jnp.zeros((NH, HS), jnp.float32)
     m, l, acc = jax.lax.fori_loop(0, num, body, (m0, l0, a0))
-    l = jnp.where(l == 0.0, 1.0, l)
-    out_ref[0] = (acc / l).astype(out_ref.dtype)
+    out_ref[0] = acc.astype(out_ref.dtype)
+    m_out[0] = m
+    l_out[0] = l
 
 
 def _paged_decode_kernel(
@@ -295,25 +307,27 @@ def _paged_decode_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def paged_decode_attention(q: jax.Array, k_pages: jax.Array,
-                           v_pages: jax.Array, block_tables: jax.Array,
-                           lengths: jax.Array, starts: jax.Array | None = None,
-                           interpret: bool = False) -> jax.Array:
-    """Flash-decode over paged KV (manual-DMA kernel — see
-    _flash_decode_dma_kernel for why this replaced the grid-pipelined
-    variant, which remains as paged_decode_attention_grid).
+def paged_decode_attention_parts(q: jax.Array, k_pages: jax.Array,
+                                 v_pages: jax.Array, block_tables: jax.Array,
+                                 lengths: jax.Array,
+                                 starts: jax.Array | None = None,
+                                 interpret: bool = False):
+    """Flash-decode over paged KV returning UNNORMALIZED online-softmax
+    parts (acc (B,NH,HS) f32, m (B,NH) f32, l (B,NH) f32) so callers can
+    merge with another attention source (the decode chunk merges the
+    read-only pool prefix with its in-flight tail this way). The manual-DMA
+    kernel needs ps % 128 == 0; other page sizes use the XLA-gather parts
+    oracle.
 
     q:            (B, NH, HS) — one query token per sequence
     k_pages/v_pages: (P, NH, HS, page_size) pool (one layer, page-major,
                   token-minor)
     block_tables: (B, pages_per_seq) int32 — page ids per sequence, in order
-    lengths:      (B,) int32 — valid tokens per sequence (including the
-                  current token, whose K/V must already be in the pool)
+    lengths:      (B,) int32 — valid tokens per sequence
     starts:       (B,) int32 optional sliding-window lower bound (the
                   `offset` of attention_paged, paged_infer.c:165,190);
                   positions < start are masked and pages outside the live
                   range [start//ps, (length-1)//ps] are never fetched
-    returns       (B, NH, HS)
     """
     B, NH, HS = q.shape
     if starts is None:
@@ -321,11 +335,9 @@ def paged_decode_attention(q: jax.Array, k_pages: jax.Array,
     P, _, _, ps = k_pages.shape
     pages_per_seq = block_tables.shape[1]
     if ps % 128 != 0:
-        # Mosaic DMA alignment needs 128-multiple lanes (= tokens/page);
-        # smaller pages run through the grid-pipelined kernel
-        return paged_decode_attention_grid(q, k_pages, v_pages,
-                                           block_tables, lengths, starts,
-                                           interpret=interpret)
+        return paged_decode_attention_parts_xla(q, k_pages, v_pages,
+                                                block_tables, lengths,
+                                                starts)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -335,17 +347,23 @@ def paged_decode_attention(q: jax.Array, k_pages: jax.Array,
             pl.BlockSpec(memory_space=pltpu.HBM),  # pool stays in HBM
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
-        out_specs=pl.BlockSpec((1, NH, HS), lambda b, *_: (b, 0, 0)),
+        out_specs=[
+            pl.BlockSpec((1, NH, HS), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec((1, NH, 1), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec((1, NH, 1), lambda b, *_: (b, 0, 0)),
+        ],
         scratch_shapes=[
             pltpu.VMEM((2, NH, HS, ps), k_pages.dtype),
             pltpu.VMEM((2, NH, HS, ps), v_pages.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
-    return pl.pallas_call(
+    acc, m, l = pl.pallas_call(
         _flash_decode_dma_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, NH, HS), q.dtype),
+        out_shape=[jax.ShapeDtypeStruct((B, NH, HS), jnp.float32),
+                   jax.ShapeDtypeStruct((B, NH, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((B, NH, 1), jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=4 * B * NH * pages_per_seq * ps * HS,
@@ -354,6 +372,32 @@ def paged_decode_attention(q: jax.Array, k_pages: jax.Array,
             transcendentals=B * NH * pages_per_seq * ps,
         ),
     )(lengths, starts, block_tables, q, k_pages, v_pages)
+    return acc, m[..., 0], l[..., 0]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def paged_decode_attention(q: jax.Array, k_pages: jax.Array,
+                           v_pages: jax.Array, block_tables: jax.Array,
+                           lengths: jax.Array, starts: jax.Array | None = None,
+                           interpret: bool = False) -> jax.Array:
+    """Normalized flash-decode over paged KV (see
+    paged_decode_attention_parts for shapes; the grid-pipelined original
+    remains as paged_decode_attention_grid). Returns (B, NH, HS)."""
+    P, _, _, ps = k_pages.shape
+    if ps % 128 != 0:
+        # Mosaic DMA alignment needs 128-multiple lanes (= tokens/page);
+        # smaller pages run through the grid-pipelined kernel
+        if starts is None:
+            starts = jnp.zeros_like(lengths)
+        return paged_decode_attention_grid(q, k_pages, v_pages,
+                                           block_tables, lengths, starts,
+                                           interpret=interpret)
+    acc, m, l = paged_decode_attention_parts(q, k_pages, v_pages,
+                                             block_tables, lengths, starts,
+                                             interpret=interpret)
+    l = jnp.where(l == 0.0, 1.0, l)
+    return (acc / l[..., None]).astype(q.dtype)
+
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -475,25 +519,27 @@ def _paged_decode_quant_kernel(
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def paged_decode_attention_quant(q: jax.Array, k_pages: jax.Array,
-                                 v_pages: jax.Array, k_scale: jax.Array,
-                                 v_scale: jax.Array, block_tables: jax.Array,
-                                 lengths: jax.Array,
-                                 starts: jax.Array | None = None,
-                                 interpret: bool = False) -> jax.Array:
-    """Flash-decode over INT8 KV pages (manual-DMA kernel; the original
-    grid-pipelined variant remains as paged_decode_attention_quant_grid).
-    k_pages/v_pages: int8 (P, NH, HS, ps); k_scale/v_scale:
-    (P, NH, ps) f32 (whole array rides in VMEM)."""
+def paged_decode_attention_quant_parts(q: jax.Array, k_pages: jax.Array,
+                                       v_pages: jax.Array,
+                                       k_scale: jax.Array,
+                                       v_scale: jax.Array,
+                                       block_tables: jax.Array,
+                                       lengths: jax.Array,
+                                       starts: jax.Array | None = None,
+                                       interpret: bool = False):
+    """INT8-KV flash-decode returning UNNORMALIZED parts (acc, m, l) —
+    see paged_decode_attention_parts. k_pages/v_pages: int8
+    (P, NH, HS, ps); k_scale/v_scale: (P, NH, ps) f32 (whole array rides
+    in VMEM)."""
     B, NH, HS = q.shape
     P, _, _, ps = k_pages.shape
     pages_per_seq = block_tables.shape[1]
     if starts is None:
         starts = jnp.zeros_like(lengths)
     if ps % 128 != 0:
-        return paged_decode_attention_quant_grid(
+        return paged_decode_attention_quant_parts_xla(
             q, k_pages, v_pages, k_scale, v_scale, block_tables, lengths,
-            starts, interpret=interpret)
+            starts)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -505,17 +551,23 @@ def paged_decode_attention_quant(q: jax.Array, k_pages: jax.Array,
             pl.BlockSpec((P, NH, ps), lambda b, *_: (0, 0, 0)),
             pl.BlockSpec((P, NH, ps), lambda b, *_: (0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, NH, HS), lambda b, *_: (b, 0, 0)),
+        out_specs=[
+            pl.BlockSpec((1, NH, HS), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec((1, NH, 1), lambda b, *_: (b, 0, 0)),
+            pl.BlockSpec((1, NH, 1), lambda b, *_: (b, 0, 0)),
+        ],
         scratch_shapes=[
             pltpu.VMEM((2, NH, HS, ps), jnp.int8),
             pltpu.VMEM((2, NH, HS, ps), jnp.int8),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
-    return pl.pallas_call(
+    acc, m, l = pl.pallas_call(
         _flash_decode_dma_quant_kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, NH, HS), q.dtype),
+        out_shape=[jax.ShapeDtypeStruct((B, NH, HS), jnp.float32),
+                   jax.ShapeDtypeStruct((B, NH, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((B, NH, 1), jnp.float32)],
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=4 * B * NH * pages_per_seq * ps * HS,
@@ -524,6 +576,30 @@ def paged_decode_attention_quant(q: jax.Array, k_pages: jax.Array,
             transcendentals=B * NH * pages_per_seq * ps,
         ),
     )(lengths, starts, block_tables, q, k_pages, v_pages, k_scale, v_scale)
+    return acc, m[..., 0], l[..., 0]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def paged_decode_attention_quant(q: jax.Array, k_pages: jax.Array,
+                                 v_pages: jax.Array, k_scale: jax.Array,
+                                 v_scale: jax.Array, block_tables: jax.Array,
+                                 lengths: jax.Array,
+                                 starts: jax.Array | None = None,
+                                 interpret: bool = False) -> jax.Array:
+    """Normalized INT8-KV flash-decode (manual-DMA kernel; the original
+    grid-pipelined variant remains as paged_decode_attention_quant_grid)."""
+    P, _, _, ps = k_pages.shape
+    if ps % 128 != 0:
+        if starts is None:
+            starts = jnp.zeros_like(lengths)
+        return paged_decode_attention_quant_grid(
+            q, k_pages, v_pages, k_scale, v_scale, block_tables, lengths,
+            starts, interpret=interpret)
+    acc, m, l = paged_decode_attention_quant_parts(
+        q, k_pages, v_pages, k_scale, v_scale, block_tables, lengths,
+        starts, interpret=interpret)
+    l = jnp.where(l == 0.0, 1.0, l)
+    return (acc / l[..., None]).astype(q.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -867,3 +943,44 @@ def paged_decode_attention_xla(q: jax.Array, k_pages: jax.Array,
 
     k, v = gather_layer_kv(k_pages, v_pages, block_tables)
     return L.decode_attention(q, k, v, lengths, start=starts)
+
+
+def _parts_from_dense(q, k, v, lengths, starts):
+    """Unnormalized online-softmax parts over gathered dense KV
+    (B, NH, S, HS): the XLA twin of the parts kernels' output contract."""
+    B, NH, S, HS = k.shape
+    qf = q.astype(jnp.float32)
+    scale = jax.lax.rsqrt(jnp.float32(HS))
+    scores = jnp.einsum("bhd,bhkd->bhk", qf, k.astype(jnp.float32),
+                        precision=jax.lax.Precision.HIGHEST) * scale
+    pos = jax.lax.broadcasted_iota(jnp.int32, (B, NH, S), 2)
+    valid = pos < lengths[:, None, None]
+    if starts is not None:
+        valid = valid & (pos >= starts[:, None, None])
+    scores = jnp.where(valid, scores, NEG_INF)
+    m = jnp.max(scores, axis=-1)                   # (B, NH); NEG_INF if none
+    p = jnp.where(valid, jnp.exp(scores - m[..., None]), 0.0)
+    l = jnp.sum(p, axis=-1)
+    acc = jnp.einsum("bhk,bhkd->bhd", p, v.astype(jnp.float32),
+                     precision=jax.lax.Precision.HIGHEST)
+    return acc, m, l
+
+
+def paged_decode_attention_parts_xla(q, k_pages, v_pages, block_tables,
+                                     lengths, starts=None):
+    """XLA oracle/fallback for paged_decode_attention_parts."""
+    from llmc_paged_tpu.kv.layouts import gather_layer_kv
+
+    k, v = gather_layer_kv(k_pages, v_pages, block_tables)
+    return _parts_from_dense(q, k, v, lengths, starts)
+
+
+def paged_decode_attention_quant_parts_xla(q, k_pages, v_pages, k_scale,
+                                           v_scale, block_tables, lengths,
+                                           starts=None):
+    """XLA oracle/fallback for paged_decode_attention_quant_parts."""
+    from llmc_paged_tpu.kv.layouts import dequant_layer, gather_layer_kv
+
+    k, v = gather_layer_kv(dequant_layer(k_pages, k_scale),
+                           dequant_layer(v_pages, v_scale), block_tables)
+    return _parts_from_dense(q, k, v, lengths, starts)

@@ -45,7 +45,10 @@ from llmc_paged_tpu.models import gpt2
 from llmc_paged_tpu.ops import layers as L
 from llmc_paged_tpu.ops.paged_attention import (
     paged_decode_attention,
+    paged_decode_attention_parts,
+    paged_decode_attention_parts_xla,
     paged_decode_attention_quant,
+    paged_decode_attention_quant_parts,
     paged_decode_attention_quant_xla,
     paged_decode_attention_xla,
 )
@@ -356,10 +359,23 @@ def make_tp_decode_chunk(cfg: GPT2Config, mesh: Mesh, num_steps: int,
         interpret = jax.default_backend() != "tpu"
 
     def chunk(params, first, pos0, pages, slots, tables, pool, rng_key):
+        from llmc_paged_tpu.models.gpt2_paged import _chunk_attention
+
         active = pos0 >= 0
         safe_pos0 = jnp.where(active, pos0, 0)
         stack = gpt2._layer_stack(params)
         sample = jnp.any(rng_key != 0)
+        B = first.shape[0]
+        K = num_steps
+        nhl = cfg.num_heads // m
+        HS = cfg.head_dim
+        quant_kv = isinstance(pool, QuantPagePool)
+        cdtype = params["wpe"].dtype
+        tk0 = tuple(jnp.zeros((K, B, nhl, HS), cdtype)
+                    for _ in range(cfg.num_layers))
+        tv0 = tuple(jnp.zeros((K, B, nhl, HS), cdtype)
+                    for _ in range(cfg.num_layers))
+        lengths_pool = jnp.where(active, safe_pos0, 0)
 
         def pick(logits, j):
             greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
@@ -372,27 +388,54 @@ def make_tp_decode_chunk(cfg: GPT2Config, mesh: Mesh, num_steps: int,
             drawn = jax.random.categorical(key, lg, axis=-1).astype(jnp.int32)
             return jnp.where(sample, drawn, greedy)
 
-        def step(carry, xs):
-            toks, pool, j = carry
-            page_j, slot_j = xs
+        # same pool-prefix + in-flight-tail structure as the single-device
+        # decode_chunk_paged (see _chunk_attention for the rationale);
+        # the tails hold the LOCAL heads of this shard
+        def step(carry, _):
+            toks, tks, tvs, j = carry
             pos = safe_pos0 + j
             wpe_pos = jnp.minimum(pos, window - 1)
-            lengths = jnp.where(active, pos + 1, 0)
             starts = jnp.maximum(0, pos + 1 - window)
             x = _tp_embed(params, toks, wpe_pos, "model", vocab_shard)
             for i in range(cfg.num_layers):
                 lp = {name: w[i] for name, w in stack.items()}
-                x, pool_l = _tp_block_decode(
-                    x, lp, pool.layer(i), page_j, slot_j, tables,
-                    lengths, starts, cfg, use_kernel, interpret, "model")
-                pool = pool.with_layer(i, pool_l)
+                h = L.layernorm(x, lp["ln1w"], lp["ln1b"])
+                qkv = _tp_qkv(lp, h)
+                q, k, v = qkv[0], qkv[1], qkv[2]     # (B, NHl, HS)
+                tk = jax.lax.dynamic_update_slice(
+                    tks[i], k[None].astype(cdtype), (j, 0, 0, 0))
+                tv = jax.lax.dynamic_update_slice(
+                    tvs[i], v[None].astype(cdtype), (j, 0, 0, 0))
+                tks = tks[:i] + (tk,) + tks[i + 1:]
+                tvs = tvs[:i] + (tv,) + tvs[i + 1:]
+                att = _chunk_attention(q, pool.layer(i), tk, tv, tables,
+                                       lengths_pool, starts, safe_pos0, j,
+                                       use_kernel, interpret, quant_kv)
+                x = x + jax.lax.psum(_tp_attproj(lp, att), "model") \
+                    + lp["attprojb"]
+                h2 = L.layernorm(x, lp["ln2w"], lp["ln2b"])
+                ff = L.gelu_tanh(gpt2._lin(lp, "fcw", h2, "fcb"))
+                x = x + jax.lax.psum(gpt2._lin(lp, "fcprojw", ff), "model") \
+                    + lp["fcprojb"]
             logits = _tp_logits(params, x, "model", cfg)
             nxt = pick(logits, j)
-            return (nxt, pool, j + 1), nxt
+            return (nxt, tks, tvs, j + 1), nxt
 
-        (_, pool, _), out = jax.lax.scan(
-            step, (first, pool, jnp.int32(0)), (pages, slots),
-            length=num_steps)
+        (_, tks, tvs, _), out = jax.lax.scan(
+            step, (first, tk0, tv0, jnp.int32(0)), None, length=num_steps)
+
+        fpages = pages.reshape(K * B)
+        fslots = slots.reshape(K * B)
+        for i in range(cfg.num_layers):
+            rows_k = tks[i].reshape(K * B, nhl, HS)
+            rows_v = tvs[i].reshape(K * B, nhl, HS)
+            if quant_kv:
+                pool_l = write_layer_kv_quant(pool.layer(i), rows_k, rows_v,
+                                              fpages, fslots)
+            else:
+                pool_l = write_layer_kv(*pool.layer(i), rows_k, rows_v,
+                                        fpages, fslots)
+            pool = pool.with_layer(i, pool_l)
         return out, pool
 
     pool_spec = _pool_specs(cfg, kv_quant)
