@@ -135,25 +135,35 @@ def matmul_suite(B: int, cfg, dtypes=("bfloat16", "int8"), steps=32):
         np.asarray, gpt2.init_params(cfg, jax.random.PRNGKey(0)))
 
     for dtype_name in dtypes:
-        if dtype_name.startswith("int8"):
+        # "+head" suffix: include the lm_head projection per step (the
+        # chunk's real per-step cost includes it; base suite omits it)
+        base, head = ((dtype_name[:-5], True)
+                      if dtype_name.endswith("+head")
+                      else (dtype_name, False))
+        if base.startswith("int8"):
             from llmc_paged_tpu.ops.int8 import quantize_params
+            keys = ("qkvw", "attprojw", "fcw", "fcprojw")
             params = quantize_params(gpt2.to_device(params_np, cfg),
-                                     keys=("qkvw", "attprojw", "fcw",
-                                           "fcprojw"))
+                                     keys=keys + (("wte",) if head
+                                                  else ()))
         else:
             params = gpt2.to_device(
                 params_np, cfg, {"float32": jnp.float32,
-                                 "bfloat16": jnp.bfloat16}[dtype_name])
+                                 "bfloat16": jnp.bfloat16}[base])
+        dtype_name = base
 
         # "int8xla": skip the Pallas kernel; let XLA fuse the int8->bf16
         # convert into its own gemm operand streaming
         def lin(lp, wk, x, bk=None, _xla=dtype_name == "int8xla"):
             if _xla and lp[wk].dtype == jnp.int8:
+                wq = lp[wk]
+                if x.shape[-1] < wq.shape[1]:   # IC padded to 128-mult
+                    x = jnp.pad(x, ((0, 0), (0, wq.shape[1] - x.shape[-1])))
                 out = jax.lax.dot_general(
-                    x.astype(jnp.bfloat16), lp[wk].astype(jnp.bfloat16),
+                    x.astype(jnp.bfloat16), wq.astype(jnp.bfloat16),
                     dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
                     preferred_element_type=jnp.float32) * lp[wk + "_scale"]
-                return out + lp[bk] if bk else out
+                return out[..., : lp[bk].shape[-1]] + lp[bk] if bk else out
             return gpt2._lin(lp, wk, x, bk)
 
         @jax.jit
@@ -170,6 +180,13 @@ def matmul_suite(B: int, cfg, dtypes=("bfloat16", "int8"), steps=32):
                     x = x + lin(
                         lp, "fcprojw",
                         OL.gelu_tanh(lin(lp, "fcw", h2, "fcb")), "fcprojb")
+                if head:
+                    # consume EVERY logit column (a slice would let XLA
+                    # narrow the bf16 dot to the consumed columns while
+                    # the int8 kernel is opaque — an unfair comparison)
+                    logits = gpt2._logits(x, params, cfg)
+                    x = x + (1e-9 * jnp.sum(logits, axis=-1,
+                                            keepdims=True)).astype(x.dtype)
                 return x, ()
 
             x, _ = jax.lax.scan(step, x0, None, length=steps)
@@ -185,10 +202,12 @@ def matmul_suite(B: int, cfg, dtypes=("bfloat16", "int8"), steps=32):
             out = run(params, out)   # chained on the carry
         jax.block_until_ready(out)
         dt = (time.monotonic() - t0) / iters / steps
+        wkeys = ("qkvw", "attprojw", "fcw", "fcprojw") + (
+            ("wte",) if head else ())
         wbytes = sum(int(np.prod(params[k].shape))
-                     * params[k].dtype.itemsize
-                     for k in ("qkvw", "attprojw", "fcw", "fcprojw"))
-        print(f"-- matmuls-only {dtype_name}: {dt*1e3:.3f} ms/step "
+                     * params[k].dtype.itemsize for k in wkeys)
+        tag = dtype_name + ("+head" if head else "")
+        print(f"-- matmuls-only {tag}: {dt*1e3:.3f} ms/step "
               f"({dt/Lc*1e6:.1f} us/layer, weights {wbytes/1e6:.0f} MB -> "
               f"{wbytes/dt/1e9:.0f} GB/s) --")
 
@@ -322,6 +341,14 @@ def chunk_suite(B: int, cfg, dtypes=("float32", "bfloat16", "int8")):
         if pd == "int8":
             from llmc_paged_tpu.ops.int8 import quantize_params
             params = quantize_params(gpt2.to_device(params_np, cfg))
+        elif pd == "int8b":
+            # int8 weights with BF16 activations (biases/LN/wpe bf16):
+            # the int8 kernel multiplies in bf16 anyway, so this is the
+            # numerically-consistent serving pairing
+            from llmc_paged_tpu.ops.int8 import quantize_params
+            params = quantize_params(
+                gpt2.to_device(params_np, cfg, jnp.bfloat16))
+            kd = kd if ":" in dtype_name else "int8"
         else:
             params = gpt2.to_device(params_np, cfg,
                                     {"float32": jnp.float32,

@@ -170,22 +170,42 @@ def int8_linear(x: jax.Array, wq: jax.Array, scale: jax.Array,
                 b: jax.Array | None = None,
                 interpret: bool | None = None,
                 bf16_compute: bool = True) -> jax.Array:
-    """Dtype-dispatching linear for arbitrary leading dims: uses the fused
-    Pallas kernel when compiled for TPU, the XLA fallback otherwise.
-    Handles weights padded by pad_weight_for_tpu: activations are
-    zero-padded to the weight's IC and, when a bias is given, the output
-    is sliced back to the bias length (bias-less callers slice
-    themselves)."""
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    lead = x.shape[:-1]
-    x2 = x.reshape(-1, x.shape[-1])
-    if x2.shape[-1] < wq.shape[1]:
-        x2 = jnp.pad(x2, ((0, 0), (0, wq.shape[1] - x2.shape[-1])))
-    x2, rows = _pad_rows(x2)
-    out = int8_matmul(x2, wq, scale, interpret=interpret,
-                      bf16_compute=bf16_compute)
-    out = out[:rows].reshape(*lead, wq.shape[0])
+    """The serving int8 linear: XLA dot with the int8→bf16 dequant FUSED
+    into the operand stream.
+
+    Measured at 1.5B decode shapes inside one big program
+    (probe_decode matmul_suite): XLA streams the int8 weight bytes and
+    converts in the gemm pipeline at 625 GB/s effective — slightly ahead
+    of the fused Pallas kernel (599 GB/s) — and, decisively, costs ZERO
+    custom calls: with the Pallas kernel the full decode chunk ran
+    ~1.8 ms/step SLOWER than these isolated numbers predict (4 extra
+    custom calls per layer serialize against the attention kernel),
+    while the XLA form schedules freely. The Pallas kernel remains as
+    `int8_matmul` for the kernel lab and the fp32-exact oracle mode.
+
+    bf16_compute=True: bf16 multiply / f32 accumulate (int8 weights are
+    exact in bf16; only the activation rounds — the same class as bf16
+    serving, covered by the loss-delta gate). False: fp32-exact multiply
+    for oracle comparisons. Handles weights padded by pad_weight_for_tpu:
+    activations zero-pad to the weight's IC and, when a bias is given,
+    the output is sliced back to the bias length."""
+    del interpret  # the XLA path runs identically on all backends
+    if x.shape[-1] < wq.shape[1]:
+        pad = [(0, 0)] * (x.ndim - 1) + [(0, wq.shape[1] - x.shape[-1])]
+        x = jnp.pad(x, pad)
+    if bf16_compute:
+        out = jax.lax.dot_general(
+            x.astype(jnp.bfloat16), wq.astype(jnp.bfloat16),
+            dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out = out * scale
+    else:
+        out = jax.lax.dot_general(
+            x.astype(jnp.float32), wq.astype(jnp.float32),
+            dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        out = out * scale
     if b is not None:
         out = out[..., : b.shape[-1]] + b
     return out
