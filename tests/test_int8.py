@@ -42,9 +42,12 @@ def test_kernel_matches_dequant_oracle(shape):
     x = jnp.asarray(rng.standard_normal((8, IC), dtype=np.float32))
     w = jnp.asarray(rng.standard_normal((OC, IC), dtype=np.float32) * 0.02)
     wq, s = quantize_per_row(w)
-    # fp32-exact compute path matches the oracle to float precision
+    # fp32-exact compute path matches the oracle to float precision.
+    # The oracle multiplies on the HOST: a jnp `@` on the chip runs at
+    # DEFAULT precision (single-pass bf16) and would make the ORACLE the
+    # rounded side.
     out = int8_matmul(x, wq, s, interpret=INTERP, bf16_compute=False)
-    ref = x @ dequantize(wq, s).T
+    ref = np.asarray(x) @ np.asarray(dequantize(wq, s)).T
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
     # serving path (bf16 multiply, f32 accumulate): weight side exact,
