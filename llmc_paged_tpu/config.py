@@ -93,7 +93,10 @@ class EngineConfig:
     cache_mode: str = "paged"          # "none" | "dense" | "paged"
     page: PageConfig = dataclasses.field(default_factory=PageConfig)
     param_dtype: str = "float32"       # "float32" | "bfloat16" | "int8"
-    activation_dtype: str = "float32"  # compute dtype inside the forward
+    # Compute dtype of the non-quantized leaves for param_dtype="int8"
+    # (float32 keeps int8 TP tokens bit-equal to single-device; bfloat16
+    # is slightly faster). Ignored for float params (they set it).
+    activation_dtype: str = "float32"
     max_batch: int = 8
     max_new_tokens: int = 64
     temperature: float = 1.0

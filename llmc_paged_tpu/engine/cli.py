@@ -56,6 +56,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--kv-dtype", choices=["float32", "bfloat16", "int8"],
                    default=None,
                    help="KV page dtype (default: same as --dtype)")
+    p.add_argument("--activation-dtype", choices=["float32", "bfloat16"],
+                   default="float32",
+                   help="non-quantized-leaf dtype for --dtype int8 "
+                        "(bfloat16 is slightly faster; float32 keeps "
+                        "int8 TP bit-equal to single-device)")
     p.add_argument("--device-sampling", action="store_true",
                    help="sample on device inside decode chunks (fast "
                         "non-greedy serving; not bit-parity with the C "
@@ -97,6 +102,7 @@ def main(argv=None) -> int:
                       kv_dtype=args.kv_dtype or args.dtype)
     econf = EngineConfig(cache_mode=args.mode, page=page,
                          param_dtype=args.dtype,
+                         activation_dtype=args.activation_dtype,
                          max_batch=args.batch, seed=args.seed,
                          greedy=args.greedy, top_k=args.top_k,
                          temperature=args.temperature,

@@ -131,8 +131,16 @@ class InferenceEngine:
         if isinstance(next(iter(params.values())), jax.Array):
             self.params = params
         else:
+            # int8 keeps the non-quantized leaves (biases/LN/wpe) and the
+            # activations at activation_dtype: float32 by default (keeps
+            # int8 TP tokens bit-equal to single-device); bfloat16 shaves
+            # residual/activation traffic (the int8 multiply is bf16
+            # either way)
             dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
-                     "int8": jnp.float32}[self.econf.param_dtype]
+                     "int8": {"float32": jnp.float32,
+                              "bfloat16": jnp.bfloat16}[
+                                  self.econf.activation_dtype],
+                     }[self.econf.param_dtype]
             self.params = gpt2.to_device(params, cfg, dtype)
         if self.econf.param_dtype == "int8" and \
                 self.params["wte"].dtype != jnp.int8:
@@ -335,6 +343,7 @@ class InferenceEngine:
                       flush=True)
             # ---- admission + batched prefill ---------------------------
             progressed = False
+            deferred = None   # (device picks, group) — greedy first tokens
             admitted: List[Tuple[int, Request]] = []
             for slot in sched.free_slots():
                 req = sched.pop_next_waiting()
@@ -394,13 +403,38 @@ class InferenceEngine:
                     logits, pool = gpt2_paged.prefill_paged(
                         self.params, jnp.asarray(xs), pg, sl, pool, cfg,
                         last_pos=jnp.asarray(last))      # (Bg, V)
-                first_toks = _sample_rows(sampler, logits, len(group))
-                for i, (slot, req) in enumerate(group):
-                    req.generated.append(first_toks[i])
+                if sampler.greedy:
+                    # DEFER the host materialization: pick on device and
+                    # let the first chunk chain launch before the ~60ms
+                    # result download — the download then overlaps chain
+                    # execution instead of idling the device
+                    deferred = (jnp.argmax(logits[: len(group)], axis=-1)
+                                .astype(jnp.int32), list(group))
+                else:
+                    first_toks = _sample_rows(sampler, logits, len(group))
+                    for i, (slot, req) in enumerate(group):
+                        req.generated.append(first_toks[i])
+                        req.mark_first_token()
+                        if req.done:
+                            mgr.free_prompt(slot)
+                            sched.finish(slot)
+
+            def flush_deferred():
+                """Materialize deferred prefill picks (bookkeeping +
+                done/finish). Must run before any path that reads
+                req.tokens[-1] from the host or steps running slots."""
+                nonlocal deferred, progressed
+                if deferred is None:
+                    return
+                picks = np.asarray(deferred[0])
+                for i, (slot, req) in enumerate(deferred[1]):
+                    req.generated.append(int(picks[i]))
                     req.mark_first_token()
                     if req.done:
                         mgr.free_prompt(slot)
                         sched.finish(slot)
+                progressed = True
+                deferred = None
 
             # ---- sliding-window page reclamation ------------------------
             # Pages whose every token slid below the attention window are
@@ -428,12 +462,15 @@ class InferenceEngine:
             # block is page- rather than slot-bound, chunks shrink so the
             # admission retry comes sooner as pages free up.
             queue_blocked = bool(sched.waiting)
+            # deferred prefill picks count as one not-yet-appended token
+            dct = ({s: 1 for s, _ in deferred[1]} if deferred else {})
             if chainable and sched.running:
                 # capacity-bound only: rows that hit max_new mid-chunk are
                 # truncated on the host (overshoot-and-discard beats paying
                 # a ~60ms sync per tail token on a tunneled chip)
                 cap = min(page.max_context
-                          - (len(r.tokens) - bases.get(s2, 0))
+                          - (len(r.tokens) - bases.get(s2, 0)
+                             + dct.get(s2, 0))
                           for s2, r in sched.running.items())
                 dc = max(1, econf.decode_chunk)
                 if queue_blocked and sched.free_slots():
@@ -462,6 +499,7 @@ class InferenceEngine:
                     plan: List[int] = []
                     for slot, req in sched.running.items():
                         rem = req.max_new_tokens - len(req.generated) \
+                            - dct.get(slot, 0) \
                             - sum(k for _, ks in pending
                                   for s2, k in ks if s2 == slot)
                         if rem <= 0:
@@ -499,18 +537,29 @@ class InferenceEngine:
                                   for i in range(s.count)]
                         assert len(coords) == chunk
                         first[slot] = req.tokens[-1]  # used by link 0 only
+                        # (deferred slots get their device pick spliced
+                        # into link_first below)
                         pos0[slot] = (len(req.tokens) - 1 + pend_ct
+                                      + dct.get(slot, 0)
                                       - bases.get(slot, 0))
                         for j, (pj, sj) in enumerate(coords):
                             pgs[j, slot], sls[j, slot] = pj, sj
                         tables[slot] = mgr.block_table_array(slot, pps)
                         keep = min(chunk, req.max_new_tokens
-                                   - len(req.generated) - pend_ct)
+                                   - len(req.generated) - pend_ct
+                                   - dct.get(slot, 0))
                         stepped.append((slot, keep))
                     if econf.debug_checks:
                         _validate_indices(page, tables, pgs, sls)
-                    link_first = (jnp.asarray(first) if first_dev is None
-                                  else first_dev)
+                    if first_dev is not None:
+                        link_first = first_dev
+                    else:
+                        link_first = jnp.asarray(first)
+                        if deferred is not None:
+                            dslots = jnp.asarray(
+                                [s for s, _ in deferred[1]], jnp.int32)
+                            link_first = link_first.at[dslots].set(
+                                deferred[0])
                     link_no += 1
                     if self._tp is not None:
                         key = (chunk, window, sampler.top_k,
@@ -559,6 +608,8 @@ class InferenceEngine:
                         break
                 if pending:
                     progressed = True
+                    # deferred first tokens precede the chain's picks
+                    flush_deferred()
                     # one device→host transfer for the whole chain
                     all_picks = np.asarray(
                         jnp.stack([t for t, _ in pending]))
@@ -578,6 +629,7 @@ class InferenceEngine:
                 chunk = 1
 
             # ---- single-token decode step (parity sampling path) -------
+            flush_deferred()   # this path reads req.tokens[-1] on the host
             if sched.running:
                 toks = np.zeros(B, np.int32)
                 wpe_pos = np.zeros(B, np.int32)

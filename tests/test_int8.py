@@ -208,3 +208,27 @@ def test_int8_kv_engine_loss_gate(golden):
             n += B
         losses[kv_dtype] = -logp_sum / n
     assert abs(losses["int8"] - losses["float32"]) < 0.05, losses
+
+
+def test_int8_bf16_activations_close(golden):
+    """param_dtype=int8 with activation_dtype=bfloat16 (the fast serving
+    pairing: the int8 multiply runs in bf16 either way) must track the
+    f32-activation int8 stream closely."""
+    from llmc_paged_tpu.config import EngineConfig, PageConfig
+    from llmc_paged_tpu.engine.engine import InferenceEngine
+
+    cfg, params_np, state = golden
+    prompt = [int(t) for t in state["x"][0, :8]]
+    page = PageConfig(page_size=8, num_pages=32, max_seqs=4, pages_per_seq=4)
+
+    def run(act):
+        econf = EngineConfig(cache_mode="paged", page=page, greedy=True,
+                             max_batch=1, param_dtype="int8",
+                             activation_dtype=act)
+        eng = InferenceEngine(params_np, cfg, econf)
+        return eng.generate(prompt, 12)
+
+    a, b = run("float32"), run("bfloat16")
+    assert len(a) == len(b) == len(prompt) + 12
+    # bf16 rounding may flip late tokens; the early stream must agree
+    assert a[: len(prompt) + 4] == b[: len(prompt) + 4]
