@@ -462,8 +462,14 @@ class InferenceEngine:
             # block is page- rather than slot-bound, chunks shrink so the
             # admission retry comes sooner as pages free up.
             queue_blocked = bool(sched.waiting)
-            # deferred prefill picks count as one not-yet-appended token
-            dct = ({s: 1 for s, _ in deferred[1]} if deferred else {})
+
+            def defer_counts():
+                """One not-yet-appended token per slot with a deferred
+                prefill pick (recomputed per chain link — flush_deferred
+                moves the token into req.generated mid-chain)."""
+                return ({s: 1 for s, _ in deferred[1]} if deferred else {})
+
+            dct = defer_counts()
             if chainable and sched.running:
                 # capacity-bound only: rows that hit max_new mid-chunk are
                 # truncated on the host (overshoot-and-discard beats paying
@@ -495,6 +501,7 @@ class InferenceEngine:
                 first_dev = None         # device (B,) — prev chain link output
                 while True:
                     # rows still needing tokens, without eviction risk
+                    dct = defer_counts()
                     need_pages = 0
                     plan: List[int] = []
                     for slot, req in sched.running.items():
@@ -601,6 +608,11 @@ class InferenceEngine:
                                          if sample_key is not None else 1.0))
                     first_dev = toks_out[-1]
                     pending.append((toks_out, stepped))
+                    # materialize the deferred prefill picks now that the
+                    # first link is queued: the fetch waits behind at most
+                    # one chunk, keeping TTFT bounded while the download
+                    # still overlaps chain execution (no-op after once)
+                    flush_deferred()
                     if queue_blocked:
                         # bounded chain under queue pressure: materialize
                         # now so finished rows release their slots and the
