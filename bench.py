@@ -48,7 +48,13 @@ def run_paged(params_np, cfg, B, prompts, NEW, CHUNK, param_dtype, kv_dtype):
                       pages_per_seq=3, kv_dtype=kv_dtype)
     econf = EngineConfig(cache_mode="paged", page=page, max_batch=B,
                          greedy=True, decode_chunk=CHUNK,
-                         param_dtype=param_dtype)
+                         param_dtype=param_dtype,
+                         # serving-optimal int8 pairing: the int8 multiply
+                         # is bf16 either way; bf16 non-quantized leaves
+                         # measured 5.09 -> 4.70 ms/step at 1.5B
+                         activation_dtype=("bfloat16"
+                                           if param_dtype == "int8"
+                                           else "float32"))
     engine = InferenceEngine(params_np, cfg, econf)
     # warmup twice: first compiles prefill + the decode-chunk graph, the
     # second smooths relay-side first-use effects
