@@ -11,7 +11,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from llmc_paged_tpu.kv.layouts import quantize_rows
+from llmc_paged_tpu.kv.layouts import quantize_pages
 from llmc_paged_tpu.ops.dev.harness import sweep
 from llmc_paged_tpu.ops.paged_attention import (
     paged_decode_attention,
@@ -33,15 +33,17 @@ def make_args(B, NH, HS, P, ps, pps):
 
 
 def _quant(q, k, v, tables, lengths):
-    kq, ks = quantize_rows(k)
-    vq, vs = quantize_rows(v)
+    kq, ks = quantize_pages(k)
+    vq, vs = quantize_pages(v)
     return paged_decode_attention_quant(
-        q, kq, vq, ks[:, :, None, :], vs[:, :, None, :], tables, lengths)
+        q, kq, vq, ks, vs, tables, lengths,
+        interpret=jax.default_backend() != "tpu")
 
 
 VERSIONS = {
     "v0_xla_gather (naive)": paged_decode_attention_xla,
-    "v1_pallas_flash": lambda *a: paged_decode_attention(*a),
+    "v1_pallas_flash": lambda *a: paged_decode_attention(
+        *a, interpret=jax.default_backend() != "tpu"),
     # differs from the float oracle by int8 quantization error (~5e-3) by
     # design — exactness vs the QUANT oracle is covered in tests/; timing
     # context here (includes the quantize-rows cost)
@@ -55,10 +57,13 @@ def kv_bytes(B, NH, HS, P, ps, pps):
 
 def main():
     configs = [
-        (8, 12, 64, 128, 32, 16),    # GPT-2 124M decode, 512-ctx
-        (8, 12, 64, 256, 32, 32),    # 1024-ctx
-        (16, 12, 64, 512, 32, 32),   # bigger batch
-        (8, 25, 64, 128, 32, 16),    # 1.5B head count
+        # ps=128 rows exercise the serving manual-DMA kernel; the ps=32
+        # row exercises the grid-pipelined fallback for context
+        (8, 12, 64, 32, 128, 4),     # GPT-2 124M decode, 512-ctx
+        (8, 12, 64, 64, 128, 8),     # 1024-ctx
+        (16, 12, 64, 144, 128, 8),   # bigger batch
+        (8, 25, 64, 32, 128, 4),     # 1.5B head count
+        (8, 12, 64, 128, 32, 16),    # grid-kernel fallback (ps=32)
     ]
     sweep(VERSIONS, make_args, configs, ref_name="v0_xla_gather (naive)",
           bytes_fn=kv_bytes)
