@@ -337,6 +337,12 @@ def chunk_suite(B: int, cfg, dtypes=("float32", "bfloat16", "int8")):
         # "param" or "param:kv" — e.g. "int8:bfloat16" isolates the
         # weight-matmul cost from the KV quantize+scatter cost
         pd, _, kd = dtype_name.partition(":")
+        # "-xlaattn" suffix on the param dtype: run the chunk with
+        # use_kernel=False (XLA gather-attention parts instead of the
+        # Pallas manual-DMA kernel)
+        use_kernel = True
+        if pd.endswith("-xlaattn"):
+            pd, use_kernel = pd[: -len("-xlaattn")], False
         kd = kd or pd
         if pd == "int8":
             from llmc_paged_tpu.ops.int8 import quantize_params
@@ -377,7 +383,8 @@ def chunk_suite(B: int, cfg, dtypes=("float32", "bfloat16", "int8")):
             out, pool = decode_chunk_paged(
                 params, jnp.asarray(first), jnp.asarray(pos0),
                 jnp.asarray(pgs), jnp.asarray(sls), jnp.asarray(tables),
-                pool, cfg, num_steps=CHUNK, window=cfg.max_seq_len)
+                pool, cfg, num_steps=CHUNK, window=cfg.max_seq_len,
+                use_kernel=use_kernel)
             return out, pool
 
         # pool is donated: rebuild per timing pass
