@@ -145,6 +145,68 @@ def write_layer_kv_quant(pool_l: Tuple[jax.Array, ...],
     return k_l, v_l, ks_l, vs_l
 
 
+def _page_blocks(k: jax.Array, ps: int) -> jax.Array:
+    """(B, Tp, NH, HS) token-major rows → (B*(Tp/ps), NH, HS, ps) page
+    blocks in the pool's transposed layout."""
+    B, Tp, NH, HS = k.shape
+    n = Tp // ps
+    return (k.reshape(B, n, ps, NH, HS).transpose(0, 1, 3, 4, 2)
+            .reshape(B * n, NH, HS, ps))
+
+
+def prompt_page_ids(page: jax.Array, T: int, ps: int,
+                    num_pages: int) -> jax.Array:
+    """Per-PAGE pool ids from prefill's per-token page coordinates:
+    page (B, T) (with num_pages as the invalid-token sentinel) →
+    (B, ceil(T/ps)) ids, sentinel where the page-chunk starts beyond T
+    or on an invalid token."""
+    n = -(-T // ps)
+    cols = [page[:, j * ps] if j * ps < T
+            else jnp.full_like(page[:, 0], num_pages)
+            for j in range(n)]
+    return jnp.stack(cols, axis=1)
+
+
+def write_prompt_pages(k_pool_l: jax.Array, v_pool_l: jax.Array,
+                       k: jax.Array, v: jax.Array, page_ids: jax.Array
+                       ) -> Tuple[jax.Array, jax.Array]:
+    """Page-granular prefill writes: k/v (B, Tp, NH, HS) with Tp a
+    multiple of ps; page_ids (B, Tp/ps) pool ids (drop sentinel =
+    num_pages for padding rows / chunks). ONE leading-dim scatter of
+    whole (NH, HS, ps) page blocks replaces Tp per-token lane-column
+    scatters (prompt pages are freshly allocated, so whole-page
+    overwrite is safe; slots beyond the prompt hold garbage that length
+    masking hides until decode overwrites them)."""
+    ps = k_pool_l.shape[3]
+    ids = page_ids.reshape(-1)
+    k_pool_l = k_pool_l.at[ids].set(
+        _page_blocks(k, ps).astype(k_pool_l.dtype), mode="drop")
+    v_pool_l = v_pool_l.at[ids].set(
+        _page_blocks(v, ps).astype(v_pool_l.dtype), mode="drop")
+    return k_pool_l, v_pool_l
+
+
+def write_prompt_pages_quant(pool_l: Tuple[jax.Array, ...],
+                             k: jax.Array, v: jax.Array,
+                             page_ids: jax.Array) -> Tuple[jax.Array, ...]:
+    """INT8 twin of write_prompt_pages (per-token quantization, one
+    page-granular scatter for values and one for scales)."""
+    k_l, v_l, ks_l, vs_l = pool_l
+    B, Tp, NH, HS = k.shape
+    ps = k_l.shape[3]
+    n = Tp // ps
+    ids = page_ids.reshape(-1)
+    kq, ks = quantize_rows(k)       # (B, Tp, NH) scales
+    vq, vs = quantize_rows(v)
+    k_l = k_l.at[ids].set(_page_blocks(kq, ps), mode="drop")
+    v_l = v_l.at[ids].set(_page_blocks(vq, ps), mode="drop")
+    sblk = lambda s: (s.reshape(B, n, ps, NH).transpose(0, 1, 3, 2)
+                      .reshape(B * n, NH, ps))
+    ks_l = ks_l.at[ids].set(sblk(ks), mode="drop")
+    vs_l = vs_l.at[ids].set(sblk(vs), mode="drop")
+    return k_l, v_l, ks_l, vs_l
+
+
 def quantize_pages(k_pages: jax.Array) -> Tuple[jax.Array, jax.Array]:
     """Quantize a float (P, NH, HS, ps) page buffer per TOKEN row (the
     same per-row formula as quantize_rows, reducing over HS which is

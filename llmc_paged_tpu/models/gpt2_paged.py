@@ -33,8 +33,11 @@ from llmc_paged_tpu.config import GPT2Config
 from llmc_paged_tpu.kv.layouts import (
     PagePool,
     QuantPagePool,
+    prompt_page_ids,
     write_layer_kv,
     write_layer_kv_quant,
+    write_prompt_pages,
+    write_prompt_pages_quant,
 )
 from llmc_paged_tpu.models import gpt2
 from llmc_paged_tpu.ops import layers as L
@@ -316,24 +319,30 @@ def prefill_paged(params: gpt2.Params, tokens: jax.Array,
     B, T = tokens.shape
     pos = jnp.arange(T, dtype=jnp.int32)
     x = gpt2._embed(params, tokens, pos[None])
-    flat_page = page.reshape(B * T)
-    flat_slot = slot.reshape(B * T)
     quant = isinstance(pool, QuantPagePool)
     stack = gpt2._layer_stack(params)
+    # page-granular writes: ONE leading-dim scatter of whole page blocks
+    # per layer instead of B*T per-token lane-column scatters (safe —
+    # prompt pages are freshly allocated; see write_prompt_pages)
+    ps = pool.page_size
+    Tp = -(-T // ps) * ps
+    page_ids = prompt_page_ids(page, T, ps, pool.num_pages)
+
+    def pad_t(a):
+        return (a if Tp == T else
+                jnp.pad(a, ((0, 0), (0, Tp - T), (0, 0), (0, 0))))
 
     for i in range(cfg.num_layers):
         lp = {name: w[i] for name, w in stack.items()}
         h = L.layernorm(x, lp["ln1w"], lp["ln1b"])
         qkv = gpt2._lin(lp, "qkvw", h, "qkvb")
         q, k, v = gpt2._split_qkv(qkv, cfg)             # (B, T, NH, HS)
-        k_rows = k.reshape(B * T, cfg.num_heads, cfg.head_dim)
-        v_rows = v.reshape(B * T, cfg.num_heads, cfg.head_dim)
         if quant:
-            pool_l = write_layer_kv_quant(pool.layer(i), k_rows, v_rows,
-                                          flat_page, flat_slot)
+            pool_l = write_prompt_pages_quant(pool.layer(i), pad_t(k),
+                                              pad_t(v), page_ids)
         else:
-            pool_l = write_layer_kv(*pool.layer(i), k_rows, v_rows,
-                                    flat_page, flat_slot)
+            pool_l = write_prompt_pages(*pool.layer(i), pad_t(k), pad_t(v),
+                                        page_ids)
         pool = pool.with_layer(i, pool_l)
         qh, kh, vh = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
         att = L.prefill_attention(qh, kh, vh)

@@ -463,24 +463,33 @@ def make_tp_prefill(cfg: GPT2Config, mesh: Mesh,
     vocab_shard = cfg.padded_vocab_size // m
 
     def run(params, tokens, page, slot, pool, last_pos):
+        from llmc_paged_tpu.kv.layouts import (prompt_page_ids,
+                                               write_prompt_pages,
+                                               write_prompt_pages_quant)
+
         B, T = tokens.shape
         pos = jnp.arange(T, dtype=jnp.int32)
         x = _tp_embed(params, tokens, jnp.broadcast_to(pos, (B, T)),
                       "model", vocab_shard)
-        fpage, fslot = page.reshape(B * T), slot.reshape(B * T)
+        # page-granular prompt writes (see gpt2_paged.prefill_paged)
+        ps = pool.page_size
+        Tp = -(-T // ps) * ps
+        page_ids = prompt_page_ids(page, T, ps, pool.num_pages)
+
+        def pad_t(a):
+            return (a if Tp == T else
+                    jnp.pad(a, ((0, 0), (0, Tp - T), (0, 0), (0, 0))))
 
         def body_layer(carry, lp, pool_l):
             h = L.layernorm(carry, lp["ln1w"], lp["ln1b"])
             qkv = _tp_qkv(lp, h)                  # (3, B, T, NHl, HS)
             q, k, v = qkv[0], qkv[1], qkv[2]
-            k_rows = k.reshape(B * T, nh_local, cfg.head_dim)
-            v_rows = v.reshape(B * T, nh_local, cfg.head_dim)
             if len(pool_l) == 4:
-                pool_l = write_layer_kv_quant(pool_l, k_rows, v_rows,
-                                              fpage, fslot)
+                pool_l = write_prompt_pages_quant(pool_l, pad_t(k),
+                                                  pad_t(v), page_ids)
             else:
-                pool_l = write_layer_kv(*pool_l, k_rows, v_rows,
-                                        fpage, fslot)
+                pool_l = write_prompt_pages(*pool_l, pad_t(k), pad_t(v),
+                                            page_ids)
             qh, kh, vh = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
             att = L.causal_attention(qh, kh, vh)
             att = att.transpose(0, 2, 1, 3)       # (B, T, NHl, HS)
