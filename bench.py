@@ -8,230 +8,501 @@ kernel, async chunk chaining, greedy), batch=8, 128-token prompts,
 fastest serving dtype; the per-dtype sweep (fp32 parity mode, bf16, int8
 weights+KV) is in detail.
 
-North-star metric (detail.gpt2_1558m): GPT-2 1.5B decode tok/s/chip in
-bf16 and INT8 weights+KV, with the achieved fraction of the HBM roofline
-(decode is weight-bandwidth-bound: roofline step time = bytes touched per
-step / HBM bandwidth). The relay-tunneled chip makes absolute GB/s noisy
-(CLAUDE.md), so roofline_frac is indicative; the tok/s is end-to-end real.
+Robustness contract (VERDICT r2 #1: BENCH_r02 timed out with nothing
+printed): this process is a thin ORCHESTRATOR that never imports jax.
+Each measurement group runs in a SUBPROCESS with its own wall-clock
+share of the total budget (LLMC_BENCH_BUDGET_S, default 480s); children
+print a cumulative JSON line after every substage, so even a SIGKILL
+mid-compile only loses the in-flight substage. The orchestrator emits
+the single headline JSON line on completion, on budget exhaustion, and
+on SIGTERM/SIGINT — whichever comes first. Stages that could not run are
+reported in detail as "skipped"/"timeout", never by silence.
 
-Loaded-queue metric (detail.loaded_queue): 16 mixed-length requests
-through 8 slots — exercises chunked decode UNDER queue pressure
-(admission waves interleaved with bounded chunk chains).
+Measured rows (beyond the headline sweep):
+  gpt2_1558m       — north-star model, int8 + bf16, B=8, with roofline frac
+  gpt2_1558m_b32   — 1.5B int8 through the real engine at B=32
+  loaded_queue     — 16 mixed-length requests through 8 slots, at int8
+                     (the headline dtype), chunked decode under pressure
+  parity_sampling  — config-3 with the bit-exact xorshift sampler (one
+                     host sync per token by design; this row records what
+                     that parity mode costs)
+  pool_fill        — max concurrent seqs per GB MEASURED by admitting
+                     256-token sequences until the page pool binds
+                     (previously computed analytically only)
 
 vs_baseline: speedup over the reference's own baseline decode strategy
 (infer.c: full-recompute sliding-window, batch=1, fp32) measured in this
 same framework on this same chip — the reference repo publishes no decode
 throughput numbers (BASELINE.md), so its *strategy* is the baseline.
+
+All params are generated ON DEVICE (jax.random under jit) — the r2 bench
+pulled ~6GB of 1.5B fp32 through the relay tunnel and pushed it back,
+which is the likely cause of the driver timeout.
 """
 
+import argparse
 import json
 import os
+import signal
+import subprocess
 import sys
 import time
 
-sys.path.insert(0, os.path.dirname(__file__))
-
-import numpy as np
-
+REPO = os.path.dirname(os.path.abspath(__file__))
 HBM_GBPS = 819e9   # v5e HBM bandwidth (How to Scale Your Model, v5e spec)
 
-
-def run_paged(params_np, cfg, B, prompts, NEW, CHUNK, param_dtype, kv_dtype):
-    from llmc_paged_tpu.config import EngineConfig, PageConfig
-    from llmc_paged_tpu.engine.engine import InferenceEngine
-    from llmc_paged_tpu.engine.scheduler import Request
-
-    # 128-token pages: the serving page size (the manual-DMA flash-decode
-    # kernel needs ps % 128 == 0; reference BLOCK_SIZE=32 remains the
-    # default elsewhere for parity configs)
-    page = PageConfig(page_size=128, num_pages=B * 3 + 4, max_seqs=B,
-                      pages_per_seq=3, kv_dtype=kv_dtype)
-    econf = EngineConfig(cache_mode="paged", page=page, max_batch=B,
-                         greedy=True, decode_chunk=CHUNK,
-                         param_dtype=param_dtype,
-                         # serving-optimal int8 pairing: the int8 multiply
-                         # is bf16 either way; bf16 non-quantized leaves
-                         # measured 5.09 -> 4.70 ms/step at 1.5B
-                         activation_dtype=("bfloat16"
-                                           if param_dtype == "int8"
-                                           else "float32"))
-    engine = InferenceEngine(params_np, cfg, econf)
-    # warmup twice: first compiles prefill + the decode-chunk graph, the
-    # second smooths relay-side first-use effects
-    for _ in range(2):
-        warm = [Request(rid=i, prompt=prompts[i], max_new_tokens=CHUNK + 3)
-                for i in range(B)]
-        engine.run(warm)
-    # the relay's run-to-run variance is large: measure twice, keep best
-    best = None
-    runs = []
-    for _ in range(2):
-        reqs = [Request(rid=i, prompt=prompts[i], max_new_tokens=NEW)
-                for i in range(B)]
-        done = engine.run(reqs)
-        assert len(done) == B and all(len(r.generated) == NEW for r in done)
-        runs.append(round(engine.stats["decode_tok_per_s"], 2))
-        if best is None or engine.stats["decode_tok_per_s"] >                 best["decode_tok_per_s"]:
-            best = dict(engine.stats)
-    best["runs"] = runs
-    return best
+# Fallback for vs_baseline when the in-run baseline substage could not
+# run: the same strategy measured on this chip in round 2 (docs/TPU_RUNS.md).
+BASELINE_FALLBACK_TOK_S = 25.72
 
 
-def step_bytes(params, cfg, kv_dtype, avg_len):
-    """HBM bytes one decode step must touch: every param byte once (the
-    weights dominate; decode is weight-bound) + the KV window read per
-    sequence. Used for the roofline fraction."""
-    import jax
-    param_bytes = sum(int(np.prod(v.shape)) * v.dtype.itemsize
-                      for v in jax.tree.leaves(params))
-    kv_b = {"float32": 8.0, "bfloat16": 4.0,
-            "int8": 2.0 + 8.0 / cfg.head_dim}[kv_dtype]
-    kv_bytes = cfg.num_layers * cfg.num_heads * cfg.head_dim * kv_b * avg_len
-    return param_bytes, kv_bytes
+def _log(msg: str) -> None:
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
 
 
-def bench_1558m(B=8, PROMPT=128, NEW=128, CHUNK=32):
-    """North-star model: 1.5B decode in bf16 and int8 (weights+KV)."""
-    import jax
+# ===================== stage machinery (child side) =====================
 
-    from llmc_paged_tpu.config import GPT2Config
-    from llmc_paged_tpu.models import gpt2
+class _Budget:
+    """Per-child deadline; substages skip themselves when their estimated
+    cost no longer fits."""
 
-    cfg = GPT2Config.gpt2_1558m()
-    params = gpt2.init_params(cfg, jax.random.PRNGKey(0))
-    params_np = jax.tree.map(np.asarray, params)
-    del params
-    rng = np.random.default_rng(0)
-    prompts = [rng.integers(0, cfg.vocab_size, PROMPT).astype(np.int32)
-               .tolist() for _ in range(B)]
-    out = {}
-    for name in ("bfloat16", "int8"):
-        stats = run_paged(params_np, cfg, B, prompts, NEW, CHUNK, name, name)
-        tok_s = stats["decode_tok_per_s"]
-        # steady-state decode step time: each chunked step yields B tokens
-        step_s = B / tok_s if tok_s else float("inf")
-        from llmc_paged_tpu.models.gpt2 import to_device
-        from llmc_paged_tpu.ops.int8 import quantize_params
-        dev = to_device(params_np, cfg,
-                        {"bfloat16": "bfloat16", "int8": "float32"}[name])
-        if name == "int8":
-            dev = quantize_params(dev)
-        pb, kvb = step_bytes(dev, cfg, name, PROMPT + NEW / 2)
-        del dev
-        roofline_s = (pb + kvb * B) / HBM_GBPS
-        out[name] = {"tok_s": round(tok_s, 2),
-                     "p50_ttft_s": round(stats["p50_ttft_s"], 4),
-                     "runs": stats["runs"],
-                     "param_bytes": int(pb),
-                     "roofline_frac": round(roofline_s / step_s, 4)}
-    return out
+    def __init__(self, deadline: float):
+        self.deadline = deadline
+
+    def left(self) -> float:
+        return self.deadline - time.monotonic()
+
+    def fits(self, est_s: float) -> bool:
+        return self.left() >= est_s
 
 
-def bench_loaded_queue(params_np, cfg, B, NEW, CHUNK):
-    """16 mixed-length requests through B slots: chunking under queue
-    pressure (VERDICT r1 weakness 6: the old engine dropped to 1-token
-    steps whenever anyone was waiting)."""
-    from llmc_paged_tpu.config import EngineConfig, PageConfig
-    from llmc_paged_tpu.engine.engine import InferenceEngine
-    from llmc_paged_tpu.engine.scheduler import Request
-
-    rng = np.random.default_rng(3)
-    lens = rng.integers(32, 192, 16).tolist()
-    prompts = [rng.integers(0, cfg.vocab_size, int(n)).astype(np.int32)
-               .tolist() for n in lens]
-    page = PageConfig(page_size=128, num_pages=B * 3 + 6, max_seqs=B,
-                      pages_per_seq=3, kv_dtype="bfloat16")
-    econf = EngineConfig(cache_mode="paged", page=page, max_batch=B,
-                         greedy=True, decode_chunk=CHUNK,
-                         param_dtype="bfloat16")
-    engine = InferenceEngine(params_np, cfg, econf)
-    best = 0.0
-    for _ in range(3):   # first run also compiles the odd bucket shapes
-        reqs = [Request(rid=i, prompt=p, max_new_tokens=NEW)
-                for i, p in enumerate(prompts)]
-        done = engine.run(reqs)
-        assert len(done) == 16
-        best = max(best, engine.stats["decode_tok_per_s"])
-    return {"tok_s": round(best, 2), "n_requests": 16, "slots": B,
-            "prompt_lens": "32-192"}
-
-
-def main():
-    import jax
-
+def _setup_jax():
+    sys.path.insert(0, REPO)
+    if os.environ.get("LLMC_PLATFORM") == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     from llmc_paged_tpu.utils import enable_compile_cache
     enable_compile_cache()
 
-    from llmc_paged_tpu.config import EngineConfig, GPT2Config
-    from llmc_paged_tpu.engine.engine import InferenceEngine
+
+def _smoke() -> bool:
+    return bool(os.environ.get("LLMC_BENCH_SMOKE"))
+
+
+def _model_cfg(which: str):
+    from llmc_paged_tpu.config import GPT2Config
+    if _smoke():
+        return GPT2Config.tiny(max_seq_len=512, vocab_size=512,
+                               num_layers=2, num_heads=2, channels=128)
+    return {"124m": GPT2Config.gpt2_124m,
+            "1558m": GPT2Config.gpt2_1558m}[which]()
+
+
+def device_params(cfg):
+    """fp32 params generated ON DEVICE — never pulled to the host."""
+    import jax
     from llmc_paged_tpu.models import gpt2
-
-    cfg = GPT2Config.gpt2_124m()
     params = gpt2.init_params(cfg, jax.random.PRNGKey(0))
-    params_np = jax.tree.map(np.asarray, params)
+    jax.block_until_ready(params)
+    return params
 
-    rng = np.random.default_rng(0)
+
+def _cast_params(params32, cfg, param_dtype: str, activation_dtype: str):
+    """Device-side cast to a serving dtype (the engine's own np-input
+    conversion, done here because we hand it a device pytree)."""
+    import jax.numpy as jnp
+    from llmc_paged_tpu.models import gpt2
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16,
+             "int8": {"float32": jnp.float32,
+                      "bfloat16": jnp.bfloat16}[activation_dtype],
+             }[param_dtype]
+    return gpt2.to_device(params32, cfg, dtype)
+
+
+def _engine(params32, cfg, *, param_dtype, kv_dtype, B, CHUNK,
+            num_pages=None, pages_per_seq=3, greedy=True,
+            top_k=None, temperature=1.0):
+    from llmc_paged_tpu.config import EngineConfig, PageConfig
+    from llmc_paged_tpu.engine.engine import InferenceEngine
+    act = "bfloat16" if param_dtype == "int8" else "float32"
+    page = PageConfig(page_size=128,
+                      num_pages=(B * 3 + 4 if num_pages is None else num_pages),
+                      max_seqs=B, pages_per_seq=pages_per_seq,
+                      kv_dtype=kv_dtype)
+    econf = EngineConfig(cache_mode="paged", page=page, max_batch=B,
+                         greedy=greedy, decode_chunk=CHUNK,
+                         param_dtype=param_dtype, activation_dtype=act,
+                         top_k=top_k, temperature=temperature)
+    dev = _cast_params(params32, cfg, param_dtype, act)
+    return InferenceEngine(dev, cfg, econf)
+
+
+def _run_requests(engine, prompts, NEW):
+    from llmc_paged_tpu.engine.scheduler import Request
+    reqs = [Request(rid=i, prompt=list(p), max_new_tokens=NEW)
+            for i, p in enumerate(prompts)]
+    done = engine.run(reqs)
+    return done
+
+
+def run_paged(params32, cfg, B, prompts, NEW, CHUNK, param_dtype, kv_dtype,
+              budget: "_Budget", warmups=2, runs=2):
+    engine = _engine(params32, cfg, param_dtype=param_dtype,
+                     kv_dtype=kv_dtype, B=B, CHUNK=CHUNK)
+    # warmup 1 compiles prefill + decode-chunk; warmup 2 smooths relay
+    # first-use effects. Skip warmup 2 / run 2 when the deadline is near.
+    warm_new = min(NEW, CHUNK + 3)
+    for i in range(warmups):
+        _run_requests(engine, prompts, warm_new)
+        if not budget.fits(10):
+            break
+    best, all_runs = None, []
+    for i in range(runs):
+        done = _run_requests(engine, prompts, NEW)
+        assert len(done) == B and all(len(r.generated) == NEW for r in done)
+        all_runs.append(round(engine.stats["decode_tok_per_s"], 2))
+        if best is None or engine.stats["decode_tok_per_s"] > \
+                best["decode_tok_per_s"]:
+            best = dict(engine.stats)
+        if not budget.fits(10):
+            break
+    best["runs"] = all_runs
+    best["param_bytes"] = _param_bytes(engine.params)
+    del engine
+    return best
+
+
+def _param_bytes(params) -> int:
+    import jax
+    import numpy as np
+    return int(sum(int(np.prod(v.shape)) * v.dtype.itemsize
+                   for v in jax.tree.leaves(params)))
+
+
+def _kv_bytes_per_token(cfg, kv_dtype: str) -> float:
+    kv_b = {"float32": 8.0, "bfloat16": 4.0,
+            "int8": 2.0 + 8.0 / cfg.head_dim}[kv_dtype]
+    return cfg.num_layers * cfg.num_heads * cfg.head_dim * kv_b
+
+
+def _prompts(cfg, B, n, seed=0):
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    return [rng.integers(0, cfg.vocab_size, n).astype(np.int32).tolist()
+            for _ in range(B)]
+
+
+class _Partial:
+    """Cumulative child output: one JSON line per completed substage, so
+    the parent always has the latest state even if this process dies."""
+
+    def __init__(self):
+        self.out = {}
+
+    def emit(self):
+        print(json.dumps(self.out), flush=True)
+
+    def sub(self, name, fn, budget, est_s):
+        if not budget.fits(est_s):
+            self.out[name] = {"skipped": f"budget ({budget.left():.0f}s "
+                              f"left < {est_s}s est)"}
+        else:
+            t0 = time.monotonic()
+            try:
+                self.out[name] = fn()
+                self.out[name]["elapsed_s"] = round(time.monotonic() - t0, 1)
+            except Exception as e:   # pragma: no cover - diagnostics
+                self.out[name] = {"error": f"{type(e).__name__}: {e}"}
+        self.emit()
+
+
+# ------------------------------ stage m124 ------------------------------
+
+def stage_m124(budget: _Budget):
+    _setup_jax()
+    import jax
+
+    from llmc_paged_tpu.config import EngineConfig
+    from llmc_paged_tpu.engine.engine import InferenceEngine
+    from llmc_paged_tpu.sampler import Sampler
+
+    cfg = _model_cfg("124m")
     B, PROMPT, NEW, CHUNK = 8, 128, 128, 64
-    prompts = [rng.integers(0, cfg.vocab_size, PROMPT).astype(np.int32).tolist()
-               for _ in range(B)]
+    if _smoke():
+        PROMPT, NEW, CHUNK = 32, 24, 8
+    params32 = device_params(cfg)
+    prompts = _prompts(cfg, B, PROMPT)
+    part = _Partial()
+    part.out["device"] = str(jax.devices()[0])
+    part.out["backend"] = jax.default_backend()
+    part.out["batch"], part.out["prompt_len"] = B, PROMPT
+    part.out["new_tokens"] = NEW
+    part.out["sweep"] = {}
 
-    sweep = {}
-    for name, (pd, kd) in {"float32": ("float32", "float32"),
-                           "bfloat16": ("bfloat16", "bfloat16"),
-                           "int8": ("int8", "int8")}.items():
-        stats = run_paged(params_np, cfg, B, prompts, NEW, CHUNK, pd, kd)
-        sweep[name] = {"tok_s": round(stats["decode_tok_per_s"], 2),
-                       "p50_ttft_s": round(stats["p50_ttft_s"], 4),
-                       "runs": stats["runs"]}
+    # headline sweep, best dtype first so a budget cut keeps the headline;
+    # the first dtype runs UNCONDITIONALLY (est 0) — an attempted headline
+    # beats a guaranteed-zero one even under a starved budget
+    for j, name in enumerate(("int8", "bfloat16", "float32")):
+        def one(name=name):
+            stats = run_paged(params32, cfg, B, prompts, NEW, CHUNK,
+                              name, name, budget)
+            bpt = _kv_bytes_per_token(cfg, name)
+            return {"tok_s": round(stats["decode_tok_per_s"], 2),
+                    "p50_ttft_s": round(stats["p50_ttft_s"], 4),
+                    "runs": stats["runs"],
+                    "kv_bytes_per_token": int(bpt),
+                    "max_seqs_256tok_per_gb": int(2**30 / (bpt * 256))}
+        part.sub(f"sweep.{name}", lambda one=one: one(), budget,
+                 est_s=0 if j == 0 else (20 if _smoke() else 45))
+        if f"sweep.{name}" in part.out:   # flatten into sweep dict
+            part.out["sweep"][name] = part.out.pop(f"sweep.{name}")
+            part.emit()
 
-    # BASELINE metric "max concurrent seqs per GB": KV bytes per token by
-    # dtype decide how many 256-token sequences a GB of pool holds
-    kv_bpt = {"float32": 8, "bfloat16": 4, "int8": 2 + 8 / cfg.head_dim}
-    for name in sweep:
-        bpt = cfg.num_layers * cfg.num_heads * cfg.head_dim * kv_bpt[name]
-        sweep[name]["kv_bytes_per_token"] = int(bpt)
-        sweep[name]["max_seqs_256tok_per_gb"] = int(2**30 / (bpt * 256))
+    # reference-strategy baseline: infer.c full-recompute sliding window
+    def baseline():
+        dev = _cast_params(params32, cfg, "float32", "float32")
+        nocache = InferenceEngine(dev, cfg,
+                                  EngineConfig(cache_mode="none", greedy=True))
+        nocache.generate_nocache(prompts[0], 2, window=PROMPT)  # warmup
+        steps = 4 if _smoke() else 12
+        t0 = time.monotonic()
+        nocache.generate_nocache(prompts[0], steps, window=PROMPT)
+        return {"tok_s": round(steps / (time.monotonic() - t0), 2),
+                "strategy": "infer.c full-recompute window, B=1, fp32"}
+    part.sub("baseline_infer_c", baseline, budget, est_s=15 if _smoke() else 40)
 
-    best = max(sweep, key=lambda k: sweep[k]["tok_s"])
+    # loaded queue AT THE HEADLINE DTYPE (VERDICT r2 weak #4: was bf16-only)
+    def loaded():
+        import numpy as np
+        rng = np.random.default_rng(3)
+        lens = rng.integers(32, PROMPT + 64, 16).tolist()
+        qprompts = [rng.integers(0, cfg.vocab_size, int(n)).astype(np.int32)
+                    .tolist() for n in lens]
+        engine = _engine(params32, cfg, param_dtype="int8", kv_dtype="int8",
+                         B=B, CHUNK=CHUNK, num_pages=B * 3 + 6)
+        best = 0.0
+        n_runs = 2 if _smoke() else 3
+        for i in range(n_runs):   # first run also compiles odd buckets
+            done = _run_requests(engine, qprompts, NEW)
+            assert len(done) == 16
+            best = max(best, engine.stats["decode_tok_per_s"])
+            if not budget.fits(15):
+                break
+        return {"tok_s": round(best, 2), "n_requests": 16, "slots": B,
+                "dtype": "int8", "prompt_lens": f"32-{PROMPT + 64}"}
+    part.sub("loaded_queue", loaded, budget, est_s=25 if _smoke() else 70)
 
-    # north-star 1.5B + loaded-queue benches: never let them kill the
-    # headline line (they are reported as errors in detail instead)
+    # parity (xorshift) sampling under load: config-3 semantics, one host
+    # sync per token BY DESIGN (the RNG stream is host state) — this row
+    # records the measured cost of that mode (VERDICT r2 weak #6/#8)
+    def parity():
+        engine = _engine(params32, cfg, param_dtype="float32",
+                         kv_dtype="float32", B=B, CHUNK=CHUNK, greedy=False)
+        n_new = 6 if _smoke() else 24
+        _run_requests(engine, prompts, 2)   # compile single-token path
+        done = _run_requests(engine, prompts, n_new)
+        assert len(done) == B
+        return {"tok_s": round(engine.stats["decode_tok_per_s"], 2),
+                "sampler": "xorshift parity (host, 1 sync/token)",
+                "new_tokens": n_new}
+    part.sub("parity_sampling", parity, budget,
+             est_s=20 if _smoke() else 80)
+
+    # MEASURED max concurrent seqs per GB: admit 256-token sequences into
+    # a pool deliberately smaller than the slot count until pages bind
+    def pool_fill():
+        num_pages = 12          # 6 concurrent 2-page sequences < 8 slots
+        n_reqs = 12
+        p_len, n_new = 128, 128   # 256 tokens = exactly 2 pages of 128
+        if _smoke():
+            p_len, n_new = 32, 32
+        engine = _engine(params32, cfg, param_dtype="int8", kv_dtype="int8",
+                         B=B, CHUNK=32, num_pages=num_pages)
+        fprompts = _prompts(cfg, n_reqs, p_len, seed=7)
+        done = _run_requests(engine, fprompts, n_new)
+        assert len(done) == n_reqs
+        peak_pages = engine.stats["peak_pages_used"]
+        pool_gb = (num_pages * 128 * _kv_bytes_per_token(cfg, "int8")
+                   / 2**30)
+        concurrent = peak_pages // 2   # 2 pages per 256-token sequence
+        return {"peak_pages_used": int(peak_pages),
+                "pool_gb": round(pool_gb, 4),
+                "concurrent_256tok_seqs": int(concurrent),
+                "measured_seqs_256tok_per_gb": int(concurrent / pool_gb),
+                "preemptions": engine.stats["preemptions"]}
+    part.sub("pool_fill", pool_fill, budget, est_s=20 if _smoke() else 70)
+
+    part.emit()
+
+
+# ------------------------------ stage m1558 -----------------------------
+
+def stage_m1558(budget: _Budget):
+    _setup_jax()
+    cfg = _model_cfg("1558m")
+    B, PROMPT, NEW, CHUNK = 8, 128, 128, 32
+    if _smoke():
+        PROMPT, NEW, CHUNK = 32, 24, 8
+    params32 = device_params(cfg)
+    prompts = _prompts(cfg, B, PROMPT)
+    part = _Partial()
+    for name in ("int8", "bfloat16"):
+        def one(name=name):
+            stats = run_paged(params32, cfg, B, prompts, NEW, CHUNK,
+                              name, name, budget)
+            tok_s = stats["decode_tok_per_s"]
+            step_s = B / tok_s if tok_s else float("inf")
+            pb = stats["param_bytes"]
+            kvb = _kv_bytes_per_token(cfg, name) * (PROMPT + NEW / 2)
+            roofline_s = (pb + kvb * B) / HBM_GBPS
+            return {"tok_s": round(tok_s, 2),
+                    "p50_ttft_s": round(stats["p50_ttft_s"], 4),
+                    "runs": stats["runs"], "param_bytes": pb,
+                    "roofline_frac": round(roofline_s / step_s, 4)}
+        part.sub(name, lambda one=one: one(), budget,
+                 est_s=30 if _smoke() else 120)
+    part.emit()
+
+
+def stage_m1558_b32(budget: _Budget):
+    _setup_jax()
+    cfg = _model_cfg("1558m")
+    B, PROMPT, NEW, CHUNK = 32, 128, 64, 32
+    if _smoke():
+        PROMPT, NEW, CHUNK = 32, 16, 8
+    params32 = device_params(cfg)
+    prompts = _prompts(cfg, B, PROMPT)
+    part = _Partial()
+
+    def one():
+        stats = run_paged(params32, cfg, B, prompts, NEW, CHUNK,
+                          "int8", "int8", budget, warmups=1, runs=2)
+        return {"tok_s": round(stats["decode_tok_per_s"], 2),
+                "p50_ttft_s": round(stats["p50_ttft_s"], 4),
+                "runs": stats["runs"], "batch": B, "new_tokens": NEW}
+    part.sub("int8", one, budget, est_s=40 if _smoke() else 150)
+    part.emit()
+
+
+STAGES = {"m124": stage_m124, "m1558": stage_m1558,
+          "m1558_b32": stage_m1558_b32}
+
+
+# ===================== orchestrator (parent side) ========================
+
+_LIVE_CHILD = [None]   # current stage Popen, killed by the signal handler
+
+
+def _run_child(name: str, timeout_s: float):
+    """Run one stage subprocess; return (status, dict-or-None). The child
+    prints a cumulative JSON line per substage; we keep the last parseable
+    one, so a timeout/kill only loses the in-flight substage."""
+    _log(f"stage {name}: timeout {timeout_s:.0f}s")
+    p = subprocess.Popen(
+        [sys.executable, os.path.abspath(__file__), "--stage", name,
+         "--deadline-in", str(max(timeout_s - 10.0, 15.0))],
+        stdout=subprocess.PIPE, stderr=sys.stderr, text=True, cwd=REPO)
+    _LIVE_CHILD[0] = p
+    status = "ok"
     try:
-        m1558 = bench_1558m(B=B, PROMPT=PROMPT, NEW=NEW, CHUNK=32)
-    except Exception as e:   # pragma: no cover - diagnostics only
-        m1558 = {"error": f"{type(e).__name__}: {e}"}
-    try:
-        loaded = bench_loaded_queue(params_np, cfg, B, NEW, CHUNK=64)
-    except Exception as e:   # pragma: no cover
-        loaded = {"error": f"{type(e).__name__}: {e}"}
+        out, _ = p.communicate(timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        status = "timeout"
+        p.terminate()           # child may flush a last partial line
+        try:
+            out, _ = p.communicate(timeout=20)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            out, _ = p.communicate()
+    if p.returncode not in (0, None) and status == "ok":
+        status = f"rc={p.returncode}"
+    parsed = None
+    for line in (out or "").splitlines():
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                parsed = json.loads(line)
+            except json.JSONDecodeError:
+                pass
+    _LIVE_CHILD[0] = None
+    _log(f"stage {name}: {status}")
+    return status, parsed
 
-    # baseline strategy: infer.c full-recompute sliding window, batch=1,
-    # fp32. prompt == window so every step reruns a (1, PROMPT) forward.
-    nocache = InferenceEngine(gpt2.to_device(params_np, cfg), cfg,
-                              EngineConfig(cache_mode="none", greedy=True))
-    nocache.generate_nocache(prompts[0], 2, window=PROMPT)  # warmup
-    steps = 12
+
+def main():
     t0 = time.monotonic()
-    nocache.generate_nocache(prompts[0], steps, window=PROMPT)
-    nocache_tok_s = steps / (time.monotonic() - t0)
+    budget = float(os.environ.get("LLMC_BENCH_BUDGET_S",
+                                  "240" if _smoke() else "480"))
+    reserve = 10.0   # orchestrator tail (emit + margin)
+    detail = {"stages": {}}
+    emitted = [False]
 
-    print(json.dumps({
-        "metric": "gpt2_124m_paged_decode_tok_per_s_per_chip",
-        "value": sweep[best]["tok_s"],
-        "unit": "tokens/sec/chip",
-        "vs_baseline": round(sweep[best]["tok_s"] / nocache_tok_s, 2),
-        "detail": {
-            "batch": B, "prompt_len": PROMPT, "new_tokens": NEW,
-            "headline_dtype": best,
-            "sweep": sweep,
-            "gpt2_1558m": m1558,
-            "loaded_queue": loaded,
-            "baseline_infer_c_strategy_tok_s_b1_fp32": round(nocache_tok_s, 2),
-            "device": str(jax.devices()[0]),
-            "backend": jax.default_backend(),
-        },
-    }))
+    def emit(final=False):
+        if emitted[0]:
+            return
+        emitted[0] = True
+        sweep = detail.get("sweep") or {}
+        usable = {k: v for k, v in sweep.items() if "tok_s" in v}
+        headline_dtype = (max(usable, key=lambda k: usable[k]["tok_s"])
+                          if usable else None)
+        value = usable[headline_dtype]["tok_s"] if headline_dtype else 0.0
+        base = (detail.get("baseline_infer_c") or {}).get("tok_s")
+        if base:
+            detail["vs_baseline_basis"] = "measured this run"
+        else:
+            base = BASELINE_FALLBACK_TOK_S
+            detail["vs_baseline_basis"] = \
+                "round-2 measured fallback (docs/TPU_RUNS.md)"
+        detail["headline_dtype"] = headline_dtype
+        detail["budget_s"] = budget
+        detail["elapsed_s"] = round(time.monotonic() - t0, 1)
+        print(json.dumps({
+            "metric": "gpt2_124m_paged_decode_tok_per_s_per_chip",
+            "value": value,
+            "unit": "tokens/sec/chip",
+            "vs_baseline": round(value / base, 2) if value else 0.0,
+            "detail": detail,
+        }), flush=True)
+
+    def on_signal(signum, frame):   # pragma: no cover
+        _log(f"signal {signum}: emitting partial result")
+        if _LIVE_CHILD[0] is not None:
+            try:
+                _LIVE_CHILD[0].kill()   # don't leave a child on the TPU
+            except Exception:
+                pass
+        emit()
+        sys.exit(0)
+    signal.signal(signal.SIGTERM, on_signal)
+    signal.signal(signal.SIGINT, on_signal)
+
+    # (stage, minimum seconds to bother starting, cap seconds)
+    plan = [("m124", 60, 300), ("m1558", 60, 220), ("m1558_b32", 45, 130)]
+    if _smoke():
+        plan = [("m124", 20, 120), ("m1558", 15, 80), ("m1558_b32", 15, 60)]
+    for name, min_s, cap_s in plan:
+        left = budget - (time.monotonic() - t0) - reserve
+        if left < min_s:
+            detail["stages"][name] = f"skipped (budget: {left:.0f}s left)"
+            continue
+        status, parsed = _run_child(name, min(cap_s, left))
+        detail["stages"][name] = status
+        if parsed:
+            if name == "m124":
+                detail.update(parsed)
+            else:
+                key = {"m1558": "gpt2_1558m",
+                       "m1558_b32": "gpt2_1558m_b32"}[name]
+                detail[key] = parsed
+    emit(final=True)
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", choices=sorted(STAGES))
+    ap.add_argument("--deadline-in", type=float, default=1e9)
+    args = ap.parse_args()
+    if args.stage:
+        STAGES[args.stage](_Budget(time.monotonic() + args.deadline_in))
+    else:
+        main()
