@@ -174,7 +174,8 @@ class InferenceEngine:
                 "kv_quant": kv_quant,
                 "params": sh.prepare_tp_params(
                     params_np, cfg, mesh,
-                    param_dtype=self.econf.param_dtype),
+                    param_dtype=self.econf.param_dtype,
+                    activation_dtype=self.econf.activation_dtype),
                 "decode": sh.make_tp_decode_step(
                     cfg, mesh, use_kernel=use_kernel,
                     quant_params=quant, kv_quant=kv_quant),

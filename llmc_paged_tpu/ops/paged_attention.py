@@ -42,6 +42,12 @@ from llmc_paged_tpu.ops import layers as L
 
 NEG_INF = -1e30
 
+# The int8-KV DMA kernel holds both whole (P, NH, ps) f32 scale arrays in
+# VMEM (~25.6KB/page at 1.5B shapes). Cap that at a fraction of the ~128MB
+# VMEM, leaving room for the double-buffered page streams; bigger pools
+# fall back to the XLA gather path rather than failing Mosaic compilation.
+_SCALE_VMEM_BUDGET_BYTES = 32 * 1024 * 1024
+
 
 def _flash_decode_dma_kernel(
     # scalar prefetch
@@ -536,7 +542,12 @@ def paged_decode_attention_quant_parts(q: jax.Array, k_pages: jax.Array,
     pages_per_seq = block_tables.shape[1]
     if starts is None:
         starts = jnp.zeros_like(lengths)
-    if ps % 128 != 0:
+    # The kernel pins BOTH whole (P, NH, ps) f32 scale arrays in VMEM
+    # (no per-page scale DMA), so its VMEM footprint grows with pool
+    # size; a pool large enough to oversubscribe VMEM (very long
+    # max_context × many slots) would fail Mosaic compilation — route it
+    # to the XLA path instead (trace-time static decision).
+    if ps % 128 != 0 or 2 * P * NH * ps * 4 > _SCALE_VMEM_BUDGET_BYTES:
         return paged_decode_attention_quant_parts_xla(
             q, k_pages, v_pages, k_scale, v_scale, block_tables, lengths,
             starts)

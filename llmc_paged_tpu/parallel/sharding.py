@@ -111,8 +111,8 @@ TP_PARAM_SPECS: Dict[str, P] = {
 
 
 def tp_pool_spec(ndim: int = 4) -> P:
-    """PartitionSpec for one pool leaf: pages are page-major
-    (P, NH, ps, HS) and int8 scales (P, NH, ps) — heads (the TP axis)
+    """PartitionSpec for one pool leaf: pages are page-major transposed
+    (P, NH, HS, ps) and int8 scales (P, NH, ps) — heads (the TP axis)
     are axis 1 in both."""
     return (P(None, "model", None, None) if ndim == 4
             else P(None, "model", None))
@@ -171,14 +171,24 @@ def quantize_tp(tp: Dict[str, jax.Array]) -> Dict[str, jax.Array]:
 
 def prepare_tp_params(params: Dict[str, np.ndarray], cfg: GPT2Config,
                       mesh: Mesh,
-                      param_dtype: str = "float32") -> Dict[str, jax.Array]:
+                      param_dtype: str = "float32",
+                      activation_dtype: str = "float32"
+                      ) -> Dict[str, jax.Array]:
     """Load + relayout (+ quantize) + shard a checkpoint pytree onto the
     mesh. ``param_dtype``: "float32" (parity), "bfloat16" (serving), or
     "int8" (weight-only quant; layernorms/biases/wpe stay float, the same
-    split as ops.int8.quantize_params)."""
-    dev = gpt2.to_device(params, cfg,
-                         jnp.bfloat16 if param_dtype == "bfloat16"
-                         else jnp.float32)
+    split as ops.int8.quantize_params). For int8, ``activation_dtype``
+    sets the dtype of the non-quantized leaves (float32 keeps int8 TP
+    tokens bit-equal to single-device f32 activations; bfloat16 shaves
+    residual/activation traffic — the EngineConfig.activation_dtype knob)."""
+    if param_dtype == "bfloat16":
+        dtype = jnp.bfloat16
+    elif param_dtype == "int8":
+        dtype = {"float32": jnp.float32,
+                 "bfloat16": jnp.bfloat16}[activation_dtype]
+    else:
+        dtype = jnp.float32
+    dev = gpt2.to_device(params, cfg, dtype)
     tp = relayout_tp(dev, cfg)
     if param_dtype == "int8":
         if any(v.dtype == jnp.int8 for v in tp.values()):

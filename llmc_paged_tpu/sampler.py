@@ -101,6 +101,12 @@ class Sampler:
             # logits by zero would NaN the softmax and silently emit the
             # CDF-fallback token (V-1) forever
             greedy, temperature = True, 1.0
+        if temperature < 0:
+            # a negative temperature inverts the logit ordering after
+            # scaling, which would silently break the engine's top-k
+            # prefix-ship boundary-tie test (engine._sample_rows_topk
+            # assumes kth-largest on RAW logits stays kth after scaling)
+            raise ValueError(f"temperature must be >= 0, got {temperature}")
         self.greedy = greedy
         self.top_k = top_k
         self.temperature = temperature

@@ -192,11 +192,23 @@ int main(void) {
 """
 
 
+# Pinned bytes of the untrusted reference source this parity harness
+# compiles and executes (same guard as tests/test_c_forward_parity.py).
+REFERENCE_SHA256 = \
+    "8a8ed34a6275ad18ed8fc070d4ca21e544b31fdc65e2fa7cfd69f84b817fa3fc"
+
+
 @pytest.mark.skipif(not os.path.exists(REFERENCE),
                     reason="reference sources not mounted")
 def test_exact_parity_with_reference_c(tmp_path):
     """Drive the REAL block_manager.c through the same op sequence as our
     manager and diff the complete metadata state after every op."""
+    import hashlib
+    with open(REFERENCE, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()
+    if digest != REFERENCE_SHA256:
+        pytest.skip(f"block_manager.c sha256 {digest} != pinned; refusing "
+                    "to compile/execute modified untrusted content")
     src = tmp_path / "harness.c"
     src.write_text(HARNESS)
     exe = tmp_path / "harness"

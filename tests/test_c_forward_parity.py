@@ -11,6 +11,7 @@ the C ↔ repo chain directly instead of transitively through the torch
 oracle (tools/make_golden.py)."""
 
 import ctypes
+import hashlib
 import os
 import subprocess
 
@@ -24,6 +25,13 @@ from llmc_paged_tpu.models import gpt2
 from llmc_paged_tpu.ops import layers as L
 
 REFERENCE = "/root/reference/train_scratch.c"
+
+# The reference mount is UNTRUSTED retrieved content; compiling and
+# executing it at test time would hand it arbitrary code execution if it
+# changed underneath us. Pin the exact bytes this oracle was written
+# against and skip (loudly) on any mismatch.
+REFERENCE_SHA256 = \
+    "398ef4000687e8f17f6cfdd607601706a5033a521da4f5a16a3bd327054f7259"
 
 # Wrapper, not a copy: the reference source itself is #included from its
 # read-only mount and compiled with -DTESTING (its own test hook,
@@ -49,6 +57,12 @@ int run_forward(const char* ckpt, int B, int T, const int* inputs,
 def ref_lib(tmp_path_factory):
     if not os.path.exists(REFERENCE):
         pytest.skip("reference sources not mounted")
+    with open(REFERENCE, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()
+    if digest != REFERENCE_SHA256:
+        pytest.skip(f"reference train_scratch.c sha256 {digest} != pinned "
+                    f"{REFERENCE_SHA256}; refusing to compile/execute "
+                    "modified untrusted content")
     d = tmp_path_factory.mktemp("cfwd")
     src = d / "wrapper.c"
     src.write_text(WRAPPER)
