@@ -32,6 +32,7 @@ its local heads and every kernel runs unchanged.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -41,6 +42,14 @@ from jax.experimental.pallas import tpu as pltpu
 from llmc_paged_tpu.ops import layers as L
 
 NEG_INF = -1e30
+
+# Serving kernel variant (dev toggle, read at trace time):
+#   "flat"  — ONE Mosaic program per layer: static-unrolled batch loop over
+#             a single globally double-buffered DMA stream (default; kills
+#             the per-sequence program-launch overhead and the pipeline
+#             drain at sequence boundaries of the (B,)-grid kernel)
+#   "gridb" — the round-2 (B,)-grid kernel (one program per sequence)
+_VARIANT = os.environ.get("LLMC_ATTN_VARIANT", "flat")
 
 # The int8-KV DMA kernel holds both whole (P, NH, ps) f32 scale arrays in
 # VMEM (~25.6KB/page at 1.5B shapes). Cap that at a fraction of the ~128MB
@@ -245,6 +254,184 @@ def _flash_decode_dma_quant_kernel(
     l_out[0] = l
 
 
+def _make_flash_decode_flat_kernel(B: int, quant: bool):
+    """Build the FLAT serving kernel: one Mosaic program (grid (1,)) that
+    walks every sequence's live page range in a single globally
+    double-buffered DMA stream.
+
+    Why flat: the (B,)-grid kernels above launch B sequential Mosaic
+    programs per layer-call; each pays pipeline setup and drains its
+    double buffer at the program boundary (the next program's first page
+    DMA cannot start until the previous program ends). At 1.5B decode
+    shapes that fixed overhead — not page bytes — dominates the layer
+    call. Here the batch loop is unrolled INSIDE one program and the DMA
+    pipeline runs through sequence boundaries: while sequence b's last
+    page computes, sequence b+1's first page is already in flight. The
+    global buffer-slot parity (`ord`) carries across the unrolled loop,
+    so the steady-state invariant (start ord+1 into the slot consumed at
+    ord-1, then wait ord) is exactly the double-buffering pattern of the
+    per-sequence kernels, with the boundary case folded in.
+    """
+
+    def kernel(lengths_ref, starts_ref, tables_ref, q_ref, k_hbm, v_hbm,
+               *rest):
+        if quant:
+            ksc_ref, vsc_ref, out_ref, m_out, l_out, kbuf, vbuf, sems = rest
+        else:
+            out_ref, m_out, l_out, kbuf, vbuf, sems = rest
+        NBUF, NH, HS, ps = kbuf.shape
+        scale = jax.lax.rsqrt(jnp.float32(HS))
+
+        firsts = [starts_ref[b] // ps for b in range(B)]
+        nums = []
+        for b in range(B):
+            length = lengths_ref[b]
+            last = jnp.where(length > 0, (length - 1) // ps, -1)
+            nums.append(jnp.maximum(last - firsts[b] + 1, 0))
+
+        def start_pair(slot, page):
+            pltpu.make_async_copy(k_hbm.at[page], kbuf.at[slot],
+                                  sems.at[slot, 0]).start()
+            pltpu.make_async_copy(v_hbm.at[page], vbuf.at[slot],
+                                  sems.at[slot, 1]).start()
+
+        def wait_pair(slot, page):
+            pltpu.make_async_copy(k_hbm.at[page], kbuf.at[slot],
+                                  sems.at[slot, 0]).wait()
+            pltpu.make_async_copy(v_hbm.at[page], vbuf.at[slot],
+                                  sems.at[slot, 1]).wait()
+
+        # warmup: the first live page across the whole batch
+        first_page = jnp.int32(-1)
+        for b in range(B - 1, -1, -1):
+            first_page = jnp.where(nums[b] > 0, tables_ref[b, firsts[b]],
+                                   first_page)
+
+        @pl.when(first_page >= 0)
+        def _warmup():
+            start_pair(0, first_page)
+
+        ord_ = jnp.int32(0)   # global page ordinal → buffer-slot parity
+        for b in range(B):
+            num_b, first_b = nums[b], firsts[b]
+            length, start = lengths_ref[b], starts_ref[b]
+            # first live page of the NEXT live sequence (cross-boundary
+            # prefetch target; -1 when b is the last live sequence)
+            nxt_page = jnp.int32(-1)
+            for b2 in range(B - 1, b, -1):
+                nxt_page = jnp.where(nums[b2] > 0,
+                                     tables_ref[b2, firsts[b2]], nxt_page)
+            q = q_ref[b].astype(jnp.float32)          # (NH, HS)
+
+            def body(i, carry, b=b, num_b=num_b, first_b=first_b,
+                     length=length, start=start, nxt_page=nxt_page, q=q):
+                ord_, m, l, acc = carry
+                slot = jax.lax.rem(ord_, NBUF)
+                nslot = jax.lax.rem(ord_ + 1, NBUF)
+
+                @pl.when(i + 1 < num_b)
+                def _prefetch_own():
+                    start_pair(nslot, tables_ref[b, first_b + i + 1])
+
+                @pl.when((i + 1 == num_b) & (nxt_page >= 0))
+                def _prefetch_next_seq():
+                    start_pair(nslot, nxt_page)
+
+                page = tables_ref[b, first_b + i]
+                wait_pair(slot, page)
+                if quant:
+                    k = kbuf[slot].astype(jnp.float32) \
+                        * ksc_ref[page][:, None, :]
+                    v = vbuf[slot].astype(jnp.float32) \
+                        * vsc_ref[page][:, None, :]
+                else:
+                    k = kbuf[slot].astype(jnp.float32)
+                    v = vbuf[slot].astype(jnp.float32)
+                scores = jax.lax.dot_general(
+                    q[:, None, :], k,
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )[:, 0, :] * scale                    # (NH, ps)
+                pos = (first_b + i) * ps + jax.lax.broadcasted_iota(
+                    jnp.int32, scores.shape, 1)
+                scores = jnp.where((pos < length) & (pos >= start), scores,
+                                   NEG_INF)
+                m_cur = jnp.max(scores, axis=1, keepdims=True)
+                m_new = jnp.maximum(m, m_cur)
+                p = jnp.exp(scores - m_new)
+                alpha = jnp.exp(m - m_new)
+                l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+                pv = jax.lax.dot_general(
+                    p[:, None, :], v,
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )[:, 0, :]
+                return ord_ + 1, m_new, l_new, acc * alpha + pv
+
+            m0 = jnp.full((NH, 1), NEG_INF, jnp.float32)
+            l0 = jnp.zeros((NH, 1), jnp.float32)
+            a0 = jnp.zeros((NH, HS), jnp.float32)
+            ord_, m, l, acc = jax.lax.fori_loop(0, num_b, body,
+                                                (ord_, m0, l0, a0))
+            out_ref[b] = acc.astype(out_ref.dtype)
+            m_out[b] = m
+            l_out[b] = l
+
+    return kernel
+
+
+def _flat_parts_call(q, k_pages, v_pages, block_tables, lengths, starts,
+                     scales, interpret: bool):
+    """pallas_call wrapper shared by the float/quant flat kernels."""
+    B, NH, HS = q.shape
+    P, _, _, ps = k_pages.shape
+    pages_per_seq = block_tables.shape[1]
+    quant = scales is not None
+    in_specs = [
+        pl.BlockSpec((B, NH, HS), lambda i, *_: (0, 0, 0)),
+        pl.BlockSpec(memory_space=pltpu.HBM),
+        pl.BlockSpec(memory_space=pltpu.HBM),
+    ]
+    operands = [q, k_pages, v_pages]
+    if quant:
+        in_specs += [pl.BlockSpec((P, NH, ps), lambda i, *_: (0, 0, 0)),
+                     pl.BlockSpec((P, NH, ps), lambda i, *_: (0, 0, 0))]
+        operands += list(scales)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(1,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((B, NH, HS), lambda i, *_: (0, 0, 0)),
+            pl.BlockSpec((B, NH, 1), lambda i, *_: (0, 0, 0)),
+            pl.BlockSpec((B, NH, 1), lambda i, *_: (0, 0, 0)),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, NH, HS, ps), k_pages.dtype),
+            pltpu.VMEM((2, NH, HS, ps), v_pages.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    kv_bytes = 2 * B * NH * pages_per_seq * ps * HS \
+        * jnp.dtype(k_pages.dtype).itemsize
+    acc, m, l = pl.pallas_call(
+        _make_flash_decode_flat_kernel(B, quant),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((B, NH, HS), jnp.float32),
+                   jax.ShapeDtypeStruct((B, NH, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((B, NH, 1), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * NH * pages_per_seq * ps * HS,
+            bytes_accessed=kv_bytes + B * NH * HS * 4,
+            transcendentals=B * NH * pages_per_seq * ps,
+        ),
+    )(lengths, starts, block_tables, *operands)
+    return acc, m[..., 0], l[..., 0]
+
+
 def _paged_decode_kernel(
     # scalar prefetch
     lengths_ref,      # (B,) int32 in SMEM
@@ -344,6 +531,9 @@ def paged_decode_attention_parts(q: jax.Array, k_pages: jax.Array,
         return paged_decode_attention_parts_xla(q, k_pages, v_pages,
                                                 block_tables, lengths,
                                                 starts)
+    if _VARIANT == "flat":
+        return _flat_parts_call(q, k_pages, v_pages, block_tables, lengths,
+                                starts, None, interpret)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -551,6 +741,9 @@ def paged_decode_attention_quant_parts(q: jax.Array, k_pages: jax.Array,
         return paged_decode_attention_quant_parts_xla(
             q, k_pages, v_pages, k_scale, v_scale, block_tables, lengths,
             starts)
+    if _VARIANT == "flat":
+        return _flat_parts_call(q, k_pages, v_pages, block_tables, lengths,
+                                starts, (k_scale, v_scale), interpret)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
