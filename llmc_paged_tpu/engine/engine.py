@@ -149,6 +149,11 @@ class InferenceEngine:
         self.use_kernel = use_kernel
         self.native_manager = native_manager
         self.stats: Dict[str, float] = {}
+        # device page pool kept across run() calls: allocating + zeroing
+        # hundreds of MB of per-layer buffers per run costs real wall time
+        # on a 1.5B pool, and stale contents are never read (block tables
+        # and lengths only ever cover tokens written by the current run)
+        self._pool_cache = None
         # Tensor-parallel serving (EngineConfig.mesh_shape, e.g.
         # {"model": 4} or {"data": 1, "model": 4}): weights, KV pool and
         # the decode step are sharded over heads via shard_map; the
@@ -256,9 +261,12 @@ class InferenceEngine:
         mgr = make_block_manager(page.num_pages, page.page_size,
                                  max(page.max_seqs, self.econf.max_batch),
                                  native=self.native_manager)
-        pool = init_pool(self.cfg, page, dtype=page.kv_dtype)
-        if self._tp is not None:
-            pool = self._tp["sh"].shard_pool(pool, self._tp["mesh"])
+        pool = self._pool_cache
+        self._pool_cache = None     # ownership moves to run() (donation)
+        if pool is None:
+            pool = init_pool(self.cfg, page, dtype=page.kv_dtype)
+            if self._tp is not None:
+                pool = self._tp["sh"].shard_pool(pool, self._tp["mesh"])
         return mgr, pool
 
     def generate_paged(self, prompt: Sequence[int], max_new_tokens: int,
@@ -716,6 +724,7 @@ class InferenceEngine:
                     "scheduler stalled: pool too small for any waiting "
                     "request (need a larger page pool or shorter prompts)")
 
+        self._pool_cache = pool     # reuse the device buffers next run
         dt = time.monotonic() - t_start
         self.stats = {
             "wall_s": dt,
