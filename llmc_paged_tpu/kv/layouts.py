@@ -262,35 +262,6 @@ def write_layer_kv(k_pool_l: jax.Array, v_pool_l: jax.Array,
     return k_pool_l, v_pool_l
 
 
-def write_kv_full(pool: PagePool, layer: jax.Array, k_new: jax.Array,
-                  v_new: jax.Array, page: jax.Array,
-                  slot: jax.Array) -> PagePool:
-    """LAB ARTIFACT (stacked-pool layout): scatter (N, NH, HS) rows into
-    layer ``layer`` of a STACKED (L, P, NH, HS, ps) pool (a PagePool whose
-    k/v are single stacked arrays, not the production per-layer tuples).
-    Measured slower than per-layer buffers when carried through a scan —
-    XLA does not perform the carried scatter in place (probe_decode.py);
-    kept with the full-pool kernels as the documented alternative."""
-    k = pool.k.at[layer, page, :, :, slot].set(
-        k_new.astype(pool.k.dtype), mode="drop")
-    v = pool.v.at[layer, page, :, :, slot].set(
-        v_new.astype(pool.v.dtype), mode="drop")
-    return PagePool(k, v)
-
-
-def write_kv_quant_full(pool: QuantPagePool, layer: jax.Array,
-                        k_new: jax.Array, v_new: jax.Array,
-                        page: jax.Array, slot: jax.Array) -> QuantPagePool:
-    """LAB ARTIFACT (stacked-pool layout): write_kv_full for int8 pools."""
-    kq, ks = quantize_rows(k_new)   # (N, NH, HS) int8, (N, NH) f32
-    vq, vs = quantize_rows(v_new)
-    k = pool.k.at[layer, page, :, :, slot].set(kq, mode="drop")
-    v = pool.v.at[layer, page, :, :, slot].set(vq, mode="drop")
-    k_scale = pool.k_scale.at[layer, page, :, slot].set(ks, mode="drop")
-    v_scale = pool.v_scale.at[layer, page, :, slot].set(vs, mode="drop")
-    return QuantPagePool(k, v, k_scale, v_scale)
-
-
 def gather_layer_kv(k_pool_l: jax.Array, v_pool_l: jax.Array,
                     block_tables: jax.Array
                     ) -> Tuple[jax.Array, jax.Array]:

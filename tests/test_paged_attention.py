@@ -204,7 +204,7 @@ def test_paged_model_matches_dense_model(golden, use_kernel):
 def test_full_pool_kernel_matches_single_layer():
     """The full-pool kernel (layer plane selected by scalar prefetch) must
     equal the single-layer kernel on every layer of a multi-layer pool."""
-    from llmc_paged_tpu.ops.paged_attention import (
+    from llmc_paged_tpu.ops.dev.lab_full_pool import (
         paged_decode_attention_full, paged_decode_attention_full_xla)
 
     rng = np.random.default_rng(3)
@@ -231,7 +231,7 @@ def test_full_pool_kernel_matches_single_layer():
 
 def test_full_pool_quant_kernel_matches_oracle():
     from llmc_paged_tpu.kv.layouts import quantize_pages
-    from llmc_paged_tpu.ops.paged_attention import (
+    from llmc_paged_tpu.ops.dev.lab_full_pool import (
         paged_decode_attention_quant_full,
         paged_decode_attention_quant_full_xla)
 
@@ -256,8 +256,8 @@ def test_full_pool_quant_kernel_matches_oracle():
 
 
 def test_write_kv_full_matches_per_layer():
-    from llmc_paged_tpu.kv.layouts import (
-        PagePool, write_kv_full, write_layer_kv)
+    from llmc_paged_tpu.kv.layouts import PagePool, write_layer_kv
+    from llmc_paged_tpu.ops.dev.lab_full_pool import write_kv_full
 
     rng = np.random.default_rng(9)
     Lk, NH, P, ps, HS, N = 3, 2, 6, 4, 8, 5
