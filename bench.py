@@ -132,7 +132,12 @@ def _engine(params32, cfg, *, param_dtype, kv_dtype, B, CHUNK,
     econf = EngineConfig(cache_mode="paged", page=page, max_batch=B,
                          greedy=greedy, decode_chunk=CHUNK,
                          param_dtype=param_dtype, activation_dtype=act,
-                         top_k=top_k, temperature=temperature)
+                         top_k=top_k, temperature=temperature,
+                         # prefill is compute-bound: serve it from a bf16
+                         # weight copy; decode stays on int8 (bandwidth)
+                         prefill_param_dtype=("bfloat16"
+                                              if param_dtype == "int8"
+                                              else None))
     dev = _cast_params(params32, cfg, param_dtype, act)
     return InferenceEngine(dev, cfg, econf)
 

@@ -97,6 +97,14 @@ class EngineConfig:
     # (float32 keeps int8 TP tokens bit-equal to single-device; bfloat16
     # is slightly faster). Ignored for float params (they set it).
     activation_dtype: str = "float32"
+    # "bfloat16" keeps a SECOND, bf16 copy of the weights used only by
+    # the paged PREFILL (single-device path). Decode is weight-bandwidth
+    # bound and stays int8; prefill is MXU-compute bound, where streaming
+    # int8 through the dequant-fused dot throttles the matmul (measured
+    # as int8 TTFT > bf16 TTFT at 1.5B). Costs one extra bf16 param copy
+    # in HBM. None = prefill with the serving params (the default; token
+    # streams then match the TP engine bit-exactly).
+    prefill_param_dtype: Optional[str] = None
     max_batch: int = 8
     max_new_tokens: int = 64
     temperature: float = 1.0

@@ -51,6 +51,12 @@ NEG_INF = -1e30
 #   "gridb" — the round-2 (B,)-grid kernel (one program per sequence)
 _VARIANT = os.environ.get("LLMC_ATTN_VARIANT", "flat")
 
+# Ring depth of the flat kernel's global DMA pipeline: NBUF page buffers,
+# NBUF-1 pages in flight while one computes. 2 = plain double buffering;
+# 4 (default) hides DMA issue + semaphore latency behind ~3 pages of
+# compute. VMEM cost: 2*NBUF*NH*HS*ps*itemsize (~1.6MB at 1.5B int8).
+_FLAT_NBUF = max(2, int(os.environ.get("LLMC_ATTN_NBUF", "4")))
+
 # The int8-KV DMA kernel holds both whole (P, NH, ps) f32 scale arrays in
 # VMEM (~25.6KB/page at 1.5B shapes). Cap that at a fraction of the ~128MB
 # VMEM, leaving room for the double-buffered page streams; bigger pools
@@ -257,7 +263,7 @@ def _flash_decode_dma_quant_kernel(
 def _make_flash_decode_flat_kernel(B: int, quant: bool):
     """Build the FLAT serving kernel: one Mosaic program (grid (1,)) that
     walks every sequence's live page range in a single globally
-    double-buffered DMA stream.
+    pipelined DMA stream.
 
     Why flat: the (B,)-grid kernels above launch B sequential Mosaic
     programs per layer-call; each pays pipeline setup and drains its
@@ -266,19 +272,26 @@ def _make_flash_decode_flat_kernel(B: int, quant: bool):
     shapes that fixed overhead — not page bytes — dominates the layer
     call. Here the batch loop is unrolled INSIDE one program and the DMA
     pipeline runs through sequence boundaries: while sequence b's last
-    page computes, sequence b+1's first page is already in flight. The
-    global buffer-slot parity (`ord`) carries across the unrolled loop,
-    so the steady-state invariant (start ord+1 into the slot consumed at
-    ord-1, then wait ord) is exactly the double-buffering pattern of the
-    per-sequence kernels, with the boundary case folded in.
+    page computes, the next NBUF-1 pages (wherever they live in the
+    batch) are already in flight.
+
+    The prefetch schedule is made trivial by FLATTENING first: a scalar
+    prologue writes every live page index, in visit order, into an SMEM
+    scratch (`sched`). The main loop then runs a classic NBUF-slot ring
+    over that flat list — wait slot g%NBUF, issue page g+NBUF-1 —
+    regardless of where sequence boundaries fall. Prefetch depth is
+    NBUF-1 pages (LLMC_ATTN_NBUF, default 4 → 3 in flight), chosen so a
+    single page's DMA issue+semaphore latency hides behind several
+    pages of compute, not just one.
     """
 
     def kernel(lengths_ref, starts_ref, tables_ref, q_ref, k_hbm, v_hbm,
                *rest):
         if quant:
-            ksc_ref, vsc_ref, out_ref, m_out, l_out, kbuf, vbuf, sems = rest
+            (ksc_ref, vsc_ref, out_ref, m_out, l_out, kbuf, vbuf, sems,
+             sched_ref) = rest
         else:
-            out_ref, m_out, l_out, kbuf, vbuf, sems = rest
+            out_ref, m_out, l_out, kbuf, vbuf, sems, sched_ref = rest
         NBUF, NH, HS, ps = kbuf.shape
         scale = jax.lax.rsqrt(jnp.float32(HS))
 
@@ -288,6 +301,15 @@ def _make_flash_decode_flat_kernel(B: int, quant: bool):
             length = lengths_ref[b]
             last = jnp.where(length > 0, (length - 1) // ps, -1)
             nums.append(jnp.maximum(last - firsts[b] + 1, 0))
+
+        # ---- prologue: flatten the live-page visit order into SMEM ----
+        ord0 = jnp.int32(0)
+        for b in range(B):
+            def fill(i, o, b=b, first_b=firsts[b]):
+                sched_ref[o] = tables_ref[b, first_b + i]
+                return o + 1
+            ord0 = jax.lax.fori_loop(0, nums[b], fill, ord0)
+        total = ord0
 
         def start_pair(slot, page):
             pltpu.make_async_copy(k_hbm.at[page], kbuf.at[slot],
@@ -301,41 +323,27 @@ def _make_flash_decode_flat_kernel(B: int, quant: bool):
             pltpu.make_async_copy(v_hbm.at[page], vbuf.at[slot],
                                   sems.at[slot, 1]).wait()
 
-        # warmup: the first live page across the whole batch
-        first_page = jnp.int32(-1)
-        for b in range(B - 1, -1, -1):
-            first_page = jnp.where(nums[b] > 0, tables_ref[b, firsts[b]],
-                                   first_page)
+        # warmup: fill the ring NBUF-1 deep
+        for j in range(NBUF - 1):
+            @pl.when(j < total)
+            def _warmup(j=j):
+                start_pair(j, sched_ref[j])
 
-        @pl.when(first_page >= 0)
-        def _warmup():
-            start_pair(0, first_page)
-
-        ord_ = jnp.int32(0)   # global page ordinal → buffer-slot parity
+        ord_ = jnp.int32(0)   # global page ordinal → ring slot
         for b in range(B):
             num_b, first_b = nums[b], firsts[b]
             length, start = lengths_ref[b], starts_ref[b]
-            # first live page of the NEXT live sequence (cross-boundary
-            # prefetch target; -1 when b is the last live sequence)
-            nxt_page = jnp.int32(-1)
-            for b2 in range(B - 1, b, -1):
-                nxt_page = jnp.where(nums[b2] > 0,
-                                     tables_ref[b2, firsts[b2]], nxt_page)
             q = q_ref[b].astype(jnp.float32)          # (NH, HS)
 
             def body(i, carry, b=b, num_b=num_b, first_b=first_b,
-                     length=length, start=start, nxt_page=nxt_page, q=q):
+                     length=length, start=start, q=q, total=total):
                 ord_, m, l, acc = carry
                 slot = jax.lax.rem(ord_, NBUF)
-                nslot = jax.lax.rem(ord_ + 1, NBUF)
 
-                @pl.when(i + 1 < num_b)
-                def _prefetch_own():
-                    start_pair(nslot, tables_ref[b, first_b + i + 1])
-
-                @pl.when((i + 1 == num_b) & (nxt_page >= 0))
-                def _prefetch_next_seq():
-                    start_pair(nslot, nxt_page)
+                @pl.when(ord_ + NBUF - 1 < total)
+                def _prefetch():
+                    start_pair(jax.lax.rem(ord_ + NBUF - 1, NBUF),
+                               sched_ref[ord_ + NBUF - 1])
 
                 page = tables_ref[b, first_b + i]
                 wait_pair(slot, page)
@@ -409,9 +417,10 @@ def _flat_parts_call(q, k_pages, v_pages, block_tables, lengths, starts,
             pl.BlockSpec((B, NH, 1), lambda i, *_: (0, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, NH, HS, ps), k_pages.dtype),
-            pltpu.VMEM((2, NH, HS, ps), v_pages.dtype),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((_FLAT_NBUF, NH, HS, ps), k_pages.dtype),
+            pltpu.VMEM((_FLAT_NBUF, NH, HS, ps), v_pages.dtype),
+            pltpu.SemaphoreType.DMA((_FLAT_NBUF, 2)),
+            pltpu.SMEM((B * pages_per_seq,), jnp.int32),
         ],
     )
     kv_bytes = 2 * B * NH * pages_per_seq * ps * HS \

@@ -115,6 +115,34 @@ def test_int8_paged_engine_generates(golden):
     assert len(outs[0]) == 24
 
 
+def test_int8_engine_bf16_prefill_copy(golden):
+    """prefill_param_dtype="bfloat16": the engine keeps a bf16 weight
+    copy for the compute-bound prefill while decode serves the int8
+    weights. Gate: runs, deterministic, and the stream stays identical
+    to the plain int8 engine up to quantization near-ties (assert
+    executability + determinism + shared prompt echo, like the base
+    int8 engine test)."""
+    cfg, params_np, state = golden
+    page = PageConfig(page_size=8, num_pages=64, max_seqs=8, pages_per_seq=8)
+    stream = formats.read_token_stream(
+        os.path.join(os.path.dirname(__file__), "fixtures",
+                     "tokens_tiny.bin"))
+    prompt = stream[:8].tolist()
+    outs = []
+    for _ in range(2):
+        econf = EngineConfig(cache_mode="paged", page=page, greedy=True,
+                             max_batch=2, param_dtype="int8",
+                             prefill_param_dtype="bfloat16")
+        eng = InferenceEngine(params_np, cfg, econf)
+        assert eng.params["fcw"].dtype == jnp.int8
+        assert eng._prefill_params is not None
+        assert eng._prefill_params["fcw"].dtype == jnp.bfloat16
+        outs.append(eng.generate(prompt, 16))
+    assert outs[0] == outs[1]
+    assert len(outs[0]) == 24
+    assert outs[0][:8] == prompt
+
+
 # ---- INT8 KV pages ----------------------------------------------------------
 
 def test_quant_kv_kernel_matches_oracle():
