@@ -83,6 +83,33 @@ def _setup_jax():
         jax.config.update("jax_platforms", "cpu")
     from llmc_paged_tpu.utils import enable_compile_cache
     enable_compile_cache()
+    _probe_flat_kernel()
+
+
+def _probe_flat_kernel():
+    """Compile-probe the flat serving kernel on the real backend; fall
+    back to the (B,)-grid variant if Mosaic rejects it. Keeps a kernel
+    regression from zeroing the whole bench (the engine would otherwise
+    hit the compile error mid-stage)."""
+    import jax
+    if jax.default_backend() != "tpu" or \
+            os.environ.get("LLMC_ATTN_VARIANT") == "gridb":
+        return
+    import jax.numpy as jnp
+    from llmc_paged_tpu.ops import paged_attention as pa
+    try:
+        B, NH, HS, P, ps = 2, 2, 64, 4, 128
+        q = jnp.zeros((B, NH, HS), jnp.float32)
+        kv = jnp.zeros((P, NH, HS, ps), jnp.float32)
+        tables = jnp.zeros((B, 2), jnp.int32)
+        lengths = jnp.ones(B, jnp.int32)
+        acc, m, l = pa.paged_decode_attention_parts(
+            q, kv, kv, tables, lengths)
+        jax.block_until_ready(acc)
+    except Exception as e:   # pragma: no cover - chip-only path
+        _log(f"flat kernel probe FAILED ({type(e).__name__}); "
+             f"falling back to gridb")
+        os.environ["LLMC_ATTN_VARIANT"] = "gridb"
 
 
 def _smoke() -> bool:

@@ -49,7 +49,12 @@ NEG_INF = -1e30
 #             the per-sequence program-launch overhead and the pipeline
 #             drain at sequence boundaries of the (B,)-grid kernel)
 #   "gridb" — the round-2 (B,)-grid kernel (one program per sequence)
-_VARIANT = os.environ.get("LLMC_ATTN_VARIANT", "flat")
+def _variant() -> str:
+    """Serving kernel variant, re-read from the env at every trace so a
+    caller can probe-compile "flat" and fall back to "gridb" at runtime
+    (bench.py does) — traces are cached per call site, so flipping the
+    env only affects computations traced afterwards."""
+    return os.environ.get("LLMC_ATTN_VARIANT", "flat")
 
 # Ring depth of the flat kernel's global DMA pipeline: NBUF page buffers,
 # NBUF-1 pages in flight while one computes. 2 = plain double buffering;
@@ -540,7 +545,7 @@ def paged_decode_attention_parts(q: jax.Array, k_pages: jax.Array,
         return paged_decode_attention_parts_xla(q, k_pages, v_pages,
                                                 block_tables, lengths,
                                                 starts)
-    if _VARIANT == "flat":
+    if _variant() == "flat":
         return _flat_parts_call(q, k_pages, v_pages, block_tables, lengths,
                                 starts, None, interpret)
 
@@ -750,7 +755,7 @@ def paged_decode_attention_quant_parts(q: jax.Array, k_pages: jax.Array,
         return paged_decode_attention_quant_parts_xla(
             q, k_pages, v_pages, k_scale, v_scale, block_tables, lengths,
             starts)
-    if _VARIANT == "flat":
+    if _variant() == "flat":
         return _flat_parts_call(q, k_pages, v_pages, block_tables, lengths,
                                 starts, (k_scale, v_scale), interpret)
 
