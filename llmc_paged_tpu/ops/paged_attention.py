@@ -56,11 +56,13 @@ def _variant() -> str:
     env only affects computations traced afterwards."""
     return os.environ.get("LLMC_ATTN_VARIANT", "flat")
 
-# Ring depth of the flat kernel's global DMA pipeline: NBUF page buffers,
-# NBUF-1 pages in flight while one computes. 2 = plain double buffering;
-# 4 (default) hides DMA issue + semaphore latency behind ~3 pages of
-# compute. VMEM cost: 2*NBUF*NH*HS*ps*itemsize (~1.6MB at 1.5B int8).
-_FLAT_NBUF = max(2, int(os.environ.get("LLMC_ATTN_NBUF", "4")))
+def _flat_nbuf() -> int:
+    """Ring depth of the flat kernel's global DMA pipeline: NBUF page
+    buffers, NBUF-1 pages in flight while one computes. 2 = plain double
+    buffering; 4 (default) hides DMA issue + semaphore latency behind ~3
+    pages of compute. VMEM: 2*NBUF*NH*HS*ps*itemsize (~1.6MB at 1.5B
+    int8). Read per trace (like _variant) so perf probes can sweep it."""
+    return max(2, int(os.environ.get("LLMC_ATTN_NBUF", "4")))
 
 # The int8-KV DMA kernel holds both whole (P, NH, ps) f32 scale arrays in
 # VMEM (~25.6KB/page at 1.5B shapes). Cap that at a fraction of the ~128MB
@@ -422,9 +424,9 @@ def _flat_parts_call(q, k_pages, v_pages, block_tables, lengths, starts,
             pl.BlockSpec((B, NH, 1), lambda i, *_: (0, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((_FLAT_NBUF, NH, HS, ps), k_pages.dtype),
-            pltpu.VMEM((_FLAT_NBUF, NH, HS, ps), v_pages.dtype),
-            pltpu.SemaphoreType.DMA((_FLAT_NBUF, 2)),
+            pltpu.VMEM((_flat_nbuf(), NH, HS, ps), k_pages.dtype),
+            pltpu.VMEM((_flat_nbuf(), NH, HS, ps), v_pages.dtype),
+            pltpu.SemaphoreType.DMA((_flat_nbuf(), 2)),
             pltpu.SMEM((B * pages_per_seq,), jnp.int32),
         ],
     )

@@ -70,6 +70,40 @@ def test_kernel_window_starts(ps, P):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("nbuf", [2, 3, 5])
+def test_flat_kernel_ring_depths(nbuf, monkeypatch):
+    """The flat serving kernel's DMA ring must be correct at every depth
+    (LLMC_ATTN_NBUF), including when the batch's total live pages are
+    fewer than the warmup depth (zero-length + one-page rows) and when
+    the ring wraps many times (a 4-page row)."""
+    monkeypatch.setenv("LLMC_ATTN_VARIANT", "flat")
+    monkeypatch.setenv("LLMC_ATTN_NBUF", str(nbuf))
+    from llmc_paged_tpu.kv.layouts import quantize_pages
+    from llmc_paged_tpu.ops.paged_attention import (
+        paged_decode_attention_quant, paged_decode_attention_quant_xla)
+
+    ps, P = 128, 17
+    q, k, v, tables, _ = rand_case(B=4, P=P, ps=ps, seed=11)
+    lengths = jnp.asarray(np.array([0, 1, 4 * ps, 2 * ps + 3], np.int32))
+    starts = jnp.asarray(np.array([0, 0, ps + 5, 0], np.int32))
+    out_k = paged_decode_attention(q, k, v, tables, lengths, starts,
+                                   interpret=INTERP)
+    out_x = paged_decode_attention_xla(q, k, v, tables, lengths, starts)
+    live = np.asarray(lengths) > 0
+    np.testing.assert_allclose(np.asarray(out_k)[live],
+                               np.asarray(out_x)[live],
+                               rtol=1e-5, atol=1e-5)
+    kq, ks = quantize_pages(k)
+    vq, vs = quantize_pages(v)
+    out_q = paged_decode_attention_quant(q, kq, vq, ks, vs, tables,
+                                         lengths, starts, interpret=INTERP)
+    out_qx = paged_decode_attention_quant_xla(q, kq, vq, ks, vs, tables,
+                                              lengths, starts)
+    np.testing.assert_allclose(np.asarray(out_q)[live],
+                               np.asarray(out_qx)[live],
+                               rtol=1e-5, atol=2e-5)
+
+
 @pytest.mark.parametrize("ps,P", [(8, 16), (128, 14)])
 def test_quant_kernel_both_paths(ps, P):
     from llmc_paged_tpu.kv.layouts import quantize_pages
