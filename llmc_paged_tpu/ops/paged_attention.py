@@ -295,8 +295,10 @@ def _make_flash_decode_flat_kernel(B: int, quant: bool):
     def kernel(lengths_ref, starts_ref, tables_ref, q_ref, k_hbm, v_hbm,
                *rest):
         if quant:
-            (ksc_ref, vsc_ref, out_ref, m_out, l_out, kbuf, vbuf, sems,
-             sched_ref) = rest
+            # scale arrays stay in HBM and ride the same ring as their
+            # pages (streams 2/3) — VMEM use is O(NBUF), not O(pool)
+            (ksc_hbm, vsc_hbm, out_ref, m_out, l_out, kbuf, vbuf,
+             ksbuf, vsbuf, sems, sched_ref) = rest
         else:
             out_ref, m_out, l_out, kbuf, vbuf, sems, sched_ref = rest
         NBUF, NH, HS, ps = kbuf.shape
@@ -323,12 +325,22 @@ def _make_flash_decode_flat_kernel(B: int, quant: bool):
                                   sems.at[slot, 0]).start()
             pltpu.make_async_copy(v_hbm.at[page], vbuf.at[slot],
                                   sems.at[slot, 1]).start()
+            if quant:
+                pltpu.make_async_copy(ksc_hbm.at[page], ksbuf.at[slot],
+                                      sems.at[slot, 2]).start()
+                pltpu.make_async_copy(vsc_hbm.at[page], vsbuf.at[slot],
+                                      sems.at[slot, 3]).start()
 
         def wait_pair(slot, page):
             pltpu.make_async_copy(k_hbm.at[page], kbuf.at[slot],
                                   sems.at[slot, 0]).wait()
             pltpu.make_async_copy(v_hbm.at[page], vbuf.at[slot],
                                   sems.at[slot, 1]).wait()
+            if quant:
+                pltpu.make_async_copy(ksc_hbm.at[page], ksbuf.at[slot],
+                                      sems.at[slot, 2]).wait()
+                pltpu.make_async_copy(vsc_hbm.at[page], vsbuf.at[slot],
+                                      sems.at[slot, 3]).wait()
 
         # warmup: fill the ring NBUF-1 deep
         for j in range(NBUF - 1):
@@ -356,9 +368,9 @@ def _make_flash_decode_flat_kernel(B: int, quant: bool):
                 wait_pair(slot, page)
                 if quant:
                     k = kbuf[slot].astype(jnp.float32) \
-                        * ksc_ref[page][:, None, :]
+                        * ksbuf[slot][:, None, :]
                     v = vbuf[slot].astype(jnp.float32) \
-                        * vsc_ref[page][:, None, :]
+                        * vsbuf[slot][:, None, :]
                 else:
                     k = kbuf[slot].astype(jnp.float32)
                     v = vbuf[slot].astype(jnp.float32)
@@ -411,8 +423,8 @@ def _flat_parts_call(q, k_pages, v_pages, block_tables, lengths, starts,
     ]
     operands = [q, k_pages, v_pages]
     if quant:
-        in_specs += [pl.BlockSpec((P, NH, ps), lambda i, *_: (0, 0, 0)),
-                     pl.BlockSpec((P, NH, ps), lambda i, *_: (0, 0, 0))]
+        in_specs += [pl.BlockSpec(memory_space=pltpu.HBM),
+                     pl.BlockSpec(memory_space=pltpu.HBM)]
         operands += list(scales)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -423,12 +435,15 @@ def _flat_parts_call(q, k_pages, v_pages, block_tables, lengths, starts,
             pl.BlockSpec((B, NH, 1), lambda i, *_: (0, 0, 0)),
             pl.BlockSpec((B, NH, 1), lambda i, *_: (0, 0, 0)),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((_flat_nbuf(), NH, HS, ps), k_pages.dtype),
-            pltpu.VMEM((_flat_nbuf(), NH, HS, ps), v_pages.dtype),
-            pltpu.SemaphoreType.DMA((_flat_nbuf(), 2)),
-            pltpu.SMEM((B * pages_per_seq,), jnp.int32),
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((_flat_nbuf(), NH, HS, ps), k_pages.dtype),
+             pltpu.VMEM((_flat_nbuf(), NH, HS, ps), v_pages.dtype)]
+            + ([pltpu.VMEM((_flat_nbuf(), NH, ps), jnp.float32),
+                pltpu.VMEM((_flat_nbuf(), NH, ps), jnp.float32)]
+               if quant else [])
+            + [pltpu.SemaphoreType.DMA((_flat_nbuf(), 4 if quant else 2)),
+               pltpu.SMEM((B * pages_per_seq,), jnp.int32)]
+        ),
     )
     kv_bytes = 2 * B * NH * pages_per_seq * ps * HS \
         * jnp.dtype(k_pages.dtype).itemsize
@@ -748,18 +763,23 @@ def paged_decode_attention_quant_parts(q: jax.Array, k_pages: jax.Array,
     pages_per_seq = block_tables.shape[1]
     if starts is None:
         starts = jnp.zeros_like(lengths)
-    # The kernel pins BOTH whole (P, NH, ps) f32 scale arrays in VMEM
-    # (no per-page scale DMA), so its VMEM footprint grows with pool
-    # size; a pool large enough to oversubscribe VMEM (very long
-    # max_context × many slots) would fail Mosaic compilation — route it
-    # to the XLA path instead (trace-time static decision).
-    if ps % 128 != 0 or 2 * P * NH * ps * 4 > _SCALE_VMEM_BUDGET_BYTES:
+    if ps % 128 != 0:
         return paged_decode_attention_quant_parts_xla(
             q, k_pages, v_pages, k_scale, v_scale, block_tables, lengths,
             starts)
+    # The FLAT kernel streams per-page scales through its DMA ring, so
+    # its VMEM footprint is O(NBUF) regardless of pool size. The (B,)-
+    # grid kernel pins BOTH whole (P, NH, ps) f32 scale arrays in VMEM;
+    # a pool large enough to oversubscribe VMEM (very long max_context ×
+    # many slots) would fail Mosaic compilation — route it to the XLA
+    # path instead (trace-time static decision).
     if _variant() == "flat":
         return _flat_parts_call(q, k_pages, v_pages, block_tables, lengths,
                                 starts, (k_scale, v_scale), interpret)
+    if 2 * P * NH * ps * 4 > _SCALE_VMEM_BUDGET_BYTES:
+        return paged_decode_attention_quant_parts_xla(
+            q, k_pages, v_pages, k_scale, v_scale, block_tables, lengths,
+            starts)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
