@@ -552,6 +552,7 @@ class InferenceEngine:
                     sls = np.zeros((chunk, B), np.int32)
                     tables = np.zeros((B, pps), np.int32)
                     stepped: List[Tuple[int, int]] = []
+                    will_free = False   # a stepped row finishes this link
                     for slot in plan:
                         req = sched.running[slot]
                         # tokens already produced by earlier links of THIS
@@ -579,10 +580,12 @@ class InferenceEngine:
                         for j, (pj, sj) in enumerate(coords):
                             pgs[j, slot], sls[j, slot] = pj, sj
                         tables[slot] = mgr.block_table_array(slot, pps)
-                        keep = min(chunk, req.max_new_tokens
-                                   - len(req.generated) - pend_ct
-                                   - dct.get(slot, 0))
+                        remaining = (req.max_new_tokens - len(req.generated)
+                                     - pend_ct - dct.get(slot, 0))
+                        keep = min(chunk, remaining)
                         stepped.append((slot, keep))
+                        if remaining <= chunk:
+                            will_free = True   # row finishes inside link
                     if econf.debug_checks:
                         _validate_indices(page, tables, pgs, sls)
                     if first_dev is not None:
@@ -640,10 +643,14 @@ class InferenceEngine:
                     # one chunk, keeping TTFT bounded while the download
                     # still overlaps chain execution (no-op after once)
                     flush_deferred()
-                    if queue_blocked:
+                    if queue_blocked and will_free:
                         # bounded chain under queue pressure: materialize
-                        # now so finished rows release their slots and the
-                        # waiting queue gets its admission retry
+                        # as soon as a row can actually finish, so its
+                        # slot/pages release and the waiting queue gets
+                        # its admission retry. While NO row can finish
+                        # this link (finish is deterministic: greedy runs
+                        # to max_new_tokens), breaking would only buy a
+                        # useless ~60ms sync per link — keep chaining.
                         break
                 if pending:
                     progressed = True
