@@ -319,6 +319,76 @@ def attention_suite(B: int, cfg, dtypes=("bfloat16", "int8"), steps=32):
               f"ms/step ({dt/Lc*1e6:.1f} us/layer) --")
 
 
+def prefill_suite(B: int, cfg, dtypes=("bfloat16", "int8", "int8bf16"),
+                  T=128):
+    """Paged prefill (B, T) wall time by param dtype — the r2 open
+    thread: 1.5B prefill ~0.14s is ~4x off the MXU roofline, suspected
+    cause the int8 dequant-fused dot throttling the compute-bound
+    matmuls (unlike bandwidth-bound decode where it wins). 'int8bf16' is
+    the serving fix under test: int8 pool writes but BF16 weights (the
+    engine's prefill_param_dtype copy)."""
+    from llmc_paged_tpu.config import PageConfig
+    from llmc_paged_tpu.kv.layouts import init_pool, token_coords
+    from llmc_paged_tpu.kv.manager import BlockManager
+    from llmc_paged_tpu.models import gpt2
+    from llmc_paged_tpu.models.gpt2_paged import prefill_paged
+    from llmc_paged_tpu.ops.int8 import quantize_params
+
+    page_cfg = PageConfig(page_size=128, num_pages=B * 3 + 8, max_seqs=B,
+                          pages_per_seq=3)
+    mgr = BlockManager(page_cfg.num_pages, page_cfg.page_size, B)
+    for b in range(B):
+        mgr.append_tokens(b, T)
+    tables = jnp.asarray(np.stack(
+        [mgr.block_table_array(b, page_cfg.pages_per_seq)
+         for b in range(B)]))
+    pos = jnp.broadcast_to(jnp.arange(T, dtype=jnp.int32), (B, T))
+    valid = jnp.ones((B, T), bool)
+    pg, sl = token_coords(tables, pos, page_cfg.page_size, valid,
+                          page_cfg.num_pages)
+    last = jnp.full((B,), T - 1, jnp.int32)
+    params32 = gpt2.init_params(cfg, jax.random.PRNGKey(0))
+    # model FLOPs (qkv+attproj+mlp+lm_head last-pos) for the roofline line
+    C, L_, Vp = cfg.channels, cfg.num_layers, cfg.padded_vocab_size
+    flops = 2 * B * T * L_ * 12 * C * C + 2 * B * C * Vp
+    print(f"-- prefill suite, B={B} T={T} --")
+    for name in dtypes:
+        dev = jax.tree.map(
+            lambda v: v.astype(jnp.bfloat16)
+            if name != "float32" and v.dtype == jnp.float32 else v,
+            params32)
+        if name == "int8":
+            dev = quantize_params(dev)
+        kv_dtype = "int8" if name.startswith("int8") else name
+        pool = init_pool(cfg, page_cfg,
+                         dtype={"float32": jnp.float32,
+                                "bfloat16": jnp.bfloat16,
+                                "int8": "int8"}[kv_dtype])
+
+        @functools.partial(jax.jit, donate_argnums=(2,))
+        def run(params, toks, pool):
+            logits, pool = prefill_paged(params, toks, pg, sl, pool, cfg,
+                                         last_pos=last)
+            # chain the next call's tokens on this call's logits so the
+            # relay cannot memoize or overlap iterations
+            nxt = (toks + jnp.argmax(logits, -1)[:, None]) % cfg.vocab_size
+            return nxt.astype(jnp.int32), pool
+
+        rng = np.random.default_rng(0)
+        toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)),
+                           jnp.int32)
+        toks, pool = run(dev, toks, pool)   # compile
+        jax.block_until_ready(toks)
+        iters = 6
+        t0 = time.monotonic()
+        for _ in range(iters):
+            toks, pool = run(dev, toks, pool)
+        jax.block_until_ready(toks)
+        dt = (time.monotonic() - t0) / iters
+        print(f"  prefill {name:9s} {dt*1e3:8.2f} ms  "
+              f"{flops/dt/1e12:6.2f} TFLOP/s")
+
+
 def chunk_suite(B: int, cfg, dtypes=("float32", "bfloat16", "int8")):
     """Per-step time of the real chunked decode, by param/pool dtype."""
     import __graft_entry__ as _  # noqa: F401  (repo root on path)
@@ -507,10 +577,18 @@ def main():
                     choices=["124m", "350m", "774m", "1558m"])
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--skip", default="",
-                    help="comma list: gemv,kernel,matmul,chunk,unrolled")
+                    help="comma list: gemv,kernel,matmul,prefill,"
+                         "attention,chunk,unrolled")
     ap.add_argument("--dtypes", default="float32,bfloat16,int8",
                     help="comma list for the chunk suite")
+    ap.add_argument("--attn-variants", default="",
+                    help="comma list of serving-kernel variants to sweep "
+                         "for the attention/chunk suites: 'flat' (default "
+                         "ring depth), 'flatN' (ring depth N, e.g. flat2/"
+                         "flat8), 'gridb'. Empty = current env settings.")
     args = ap.parse_args()
+    import os as _os
+
     from llmc_paged_tpu.config import GPT2Config
     from llmc_paged_tpu.utils import enable_compile_cache
     enable_compile_cache()
@@ -525,12 +603,31 @@ def main():
         matmul_suite(args.batch, cfg,
                      dtypes=tuple(d for d in args.dtypes.split(",")
                                   if ":" not in d))
-    if "attention" not in skip:
-        attention_suite(args.batch, cfg,
-                        dtypes=tuple(d for d in args.dtypes.split(",")
-                                     if ":" not in d and d != "int8xla"))
-    if "chunk" not in skip:
-        chunk_suite(args.batch, cfg, dtypes=tuple(args.dtypes.split(",")))
+    if "prefill" not in skip:
+        prefill_suite(args.batch, cfg)
+
+    variants = [v for v in args.attn_variants.split(",") if v]
+    for variant in variants or [None]:
+        if variant is not None:
+            # _variant()/_flat_nbuf() re-read the env at trace time, so
+            # flipping it between suites retraces onto the new kernel
+            if variant.startswith("flat"):
+                _os.environ["LLMC_ATTN_VARIANT"] = "flat"
+                if variant[4:]:
+                    _os.environ["LLMC_ATTN_NBUF"] = variant[4:]
+                else:
+                    _os.environ.pop("LLMC_ATTN_NBUF", None)
+            else:
+                _os.environ["LLMC_ATTN_VARIANT"] = variant
+            print(f"== attention variant: {variant} ==")
+        if "attention" not in skip:
+            attention_suite(args.batch, cfg,
+                            dtypes=tuple(d for d in args.dtypes.split(",")
+                                         if ":" not in d
+                                         and d != "int8xla"))
+        if "chunk" not in skip:
+            chunk_suite(args.batch, cfg,
+                        dtypes=tuple(args.dtypes.split(",")))
     if "unrolled" not in skip:
         chunk_suite_unrolled(args.batch, cfg)
 
