@@ -267,7 +267,8 @@ def _flash_decode_dma_quant_kernel(
     l_out[0] = l
 
 
-def _make_flash_decode_flat_kernel(B: int, quant: bool):
+def _make_flash_decode_flat_kernel(B: int, quant: bool,
+                                   scale_dma: bool = False):
     """Build the FLAT serving kernel: one Mosaic program (grid (1,)) that
     walks every sequence's live page range in a single globally
     pipelined DMA stream.
@@ -294,11 +295,21 @@ def _make_flash_decode_flat_kernel(B: int, quant: bool):
 
     def kernel(lengths_ref, starts_ref, tables_ref, q_ref, k_hbm, v_hbm,
                *rest):
-        if quant:
+        ksbuf = vsbuf = ksc_ref = None
+        if quant and scale_dma:
             # scale arrays stay in HBM and ride the same ring as their
-            # pages (streams 2/3) — VMEM use is O(NBUF), not O(pool)
+            # pages (streams 2/3) — VMEM use is O(NBUF), not O(pool).
+            # OPT-IN (LLMC_ATTN_SCALE_DMA=1): the (NH, ps) scale block
+            # has a non-8-multiple sublane count at GPT-2 head counts,
+            # which Mosaic's DMA alignment rules may reject — unverified
+            # on hardware, so the default keeps scales whole in VMEM.
             (ksc_hbm, vsc_hbm, out_ref, m_out, l_out, kbuf, vbuf,
              ksbuf, vsbuf, sems, sched_ref) = rest
+        elif quant:
+            # whole (P, NH, ps) scale arrays pinned in VMEM (same as the
+            # grid kernel; the dispatch bounds P via the VMEM budget)
+            (ksc_ref, vsc_ref, out_ref, m_out, l_out, kbuf, vbuf, sems,
+             sched_ref) = rest
         else:
             out_ref, m_out, l_out, kbuf, vbuf, sems, sched_ref = rest
         NBUF, NH, HS, ps = kbuf.shape
@@ -325,7 +336,7 @@ def _make_flash_decode_flat_kernel(B: int, quant: bool):
                                   sems.at[slot, 0]).start()
             pltpu.make_async_copy(v_hbm.at[page], vbuf.at[slot],
                                   sems.at[slot, 1]).start()
-            if quant:
+            if quant and scale_dma:
                 pltpu.make_async_copy(ksc_hbm.at[page], ksbuf.at[slot],
                                       sems.at[slot, 2]).start()
                 pltpu.make_async_copy(vsc_hbm.at[page], vsbuf.at[slot],
@@ -336,7 +347,7 @@ def _make_flash_decode_flat_kernel(B: int, quant: bool):
                                   sems.at[slot, 0]).wait()
             pltpu.make_async_copy(v_hbm.at[page], vbuf.at[slot],
                                   sems.at[slot, 1]).wait()
-            if quant:
+            if quant and scale_dma:
                 pltpu.make_async_copy(ksc_hbm.at[page], ksbuf.at[slot],
                                       sems.at[slot, 2]).wait()
                 pltpu.make_async_copy(vsc_hbm.at[page], vsbuf.at[slot],
@@ -366,11 +377,16 @@ def _make_flash_decode_flat_kernel(B: int, quant: bool):
 
                 page = tables_ref[b, first_b + i]
                 wait_pair(slot, page)
-                if quant:
+                if quant and scale_dma:
                     k = kbuf[slot].astype(jnp.float32) \
                         * ksbuf[slot][:, None, :]
                     v = vbuf[slot].astype(jnp.float32) \
                         * vsbuf[slot][:, None, :]
+                elif quant:
+                    k = kbuf[slot].astype(jnp.float32) \
+                        * ksc_ref[page][:, None, :]
+                    v = vbuf[slot].astype(jnp.float32) \
+                        * vsc_ref[page][:, None, :]
                 else:
                     k = kbuf[slot].astype(jnp.float32)
                     v = vbuf[slot].astype(jnp.float32)
@@ -422,9 +438,12 @@ def _flat_parts_call(q, k_pages, v_pages, block_tables, lengths, starts,
         pl.BlockSpec(memory_space=pltpu.HBM),
     ]
     operands = [q, k_pages, v_pages]
+    scale_dma = bool(os.environ.get("LLMC_ATTN_SCALE_DMA"))
     if quant:
-        in_specs += [pl.BlockSpec(memory_space=pltpu.HBM),
-                     pl.BlockSpec(memory_space=pltpu.HBM)]
+        in_specs += ([pl.BlockSpec(memory_space=pltpu.HBM)] * 2
+                     if scale_dma else
+                     [pl.BlockSpec((P, NH, ps), lambda i, *_: (0, 0, 0)),
+                      pl.BlockSpec((P, NH, ps), lambda i, *_: (0, 0, 0))])
         operands += list(scales)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -440,15 +459,16 @@ def _flat_parts_call(q, k_pages, v_pages, block_tables, lengths, starts,
              pltpu.VMEM((_flat_nbuf(), NH, HS, ps), v_pages.dtype)]
             + ([pltpu.VMEM((_flat_nbuf(), NH, ps), jnp.float32),
                 pltpu.VMEM((_flat_nbuf(), NH, ps), jnp.float32)]
-               if quant else [])
-            + [pltpu.SemaphoreType.DMA((_flat_nbuf(), 4 if quant else 2)),
+               if quant and scale_dma else [])
+            + [pltpu.SemaphoreType.DMA(
+                   (_flat_nbuf(), 4 if quant and scale_dma else 2)),
                pltpu.SMEM((B * pages_per_seq,), jnp.int32)]
         ),
     )
     kv_bytes = 2 * B * NH * pages_per_seq * ps * HS \
         * jnp.dtype(k_pages.dtype).itemsize
     acc, m, l = pl.pallas_call(
-        _make_flash_decode_flat_kernel(B, quant),
+        _make_flash_decode_flat_kernel(B, quant, scale_dma),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((B, NH, HS), jnp.float32),
                    jax.ShapeDtypeStruct((B, NH, 1), jnp.float32),
@@ -767,19 +787,21 @@ def paged_decode_attention_quant_parts(q: jax.Array, k_pages: jax.Array,
         return paged_decode_attention_quant_parts_xla(
             q, k_pages, v_pages, k_scale, v_scale, block_tables, lengths,
             starts)
-    # The FLAT kernel streams per-page scales through its DMA ring, so
-    # its VMEM footprint is O(NBUF) regardless of pool size. The (B,)-
-    # grid kernel pins BOTH whole (P, NH, ps) f32 scale arrays in VMEM;
-    # a pool large enough to oversubscribe VMEM (very long max_context ×
-    # many slots) would fail Mosaic compilation — route it to the XLA
-    # path instead (trace-time static decision).
-    if _variant() == "flat":
-        return _flat_parts_call(q, k_pages, v_pages, block_tables, lengths,
-                                starts, (k_scale, v_scale), interpret)
-    if 2 * P * NH * ps * 4 > _SCALE_VMEM_BUDGET_BYTES:
+    # Both kernels pin the whole (P, NH, ps) f32 scale arrays in VMEM by
+    # default, so a pool large enough to oversubscribe VMEM (very long
+    # max_context × many slots) routes to the XLA path (trace-time
+    # static decision) — unless LLMC_ATTN_SCALE_DMA streams per-page
+    # scales through the flat kernel's ring (O(NBUF) VMEM, no limit).
+    scale_dma_ok = (_variant() == "flat"
+                    and bool(os.environ.get("LLMC_ATTN_SCALE_DMA")))
+    if not scale_dma_ok and \
+            2 * P * NH * ps * 4 > _SCALE_VMEM_BUDGET_BYTES:
         return paged_decode_attention_quant_parts_xla(
             q, k_pages, v_pages, k_scale, v_scale, block_tables, lengths,
             starts)
+    if _variant() == "flat":
+        return _flat_parts_call(q, k_pages, v_pages, block_tables, lengths,
+                                starts, (k_scale, v_scale), interpret)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
