@@ -204,7 +204,16 @@ class InferenceEngine:
                     cfg, mesh, quant_params=quant, kv_quant=kv_quant),
                 "chunks": {},   # (num_steps, window, ...) -> compiled fn
             }
-            jax.block_until_ready(self._tp["params"])
+            # bf16 prefill copy under TP: a second (sharded) float param
+            # pytree + a non-quant prefill step; decode keeps the int8
+            # shards (same rationale as the single-device copy above)
+            if quant and self.econf.prefill_param_dtype == "bfloat16":
+                self._tp["prefill_params"] = sh.prepare_tp_params(
+                    params_np, cfg, mesh, param_dtype="bfloat16")
+                self._tp["prefill"] = sh.make_tp_prefill(
+                    cfg, mesh, quant_params=False, kv_quant=kv_quant)
+            jax.block_until_ready(
+                (self._tp["params"], self._tp.get("prefill_params")))
 
     # -- mode "none": full recompute with sliding window (infer.c) ----------
 
@@ -422,8 +431,9 @@ class InferenceEngine:
                                       page.num_pages)
                 if self._tp is not None:
                     logits, pool = self._tp["prefill"](
-                        self._tp["params"], jnp.asarray(xs), pg, sl, pool,
-                        jnp.asarray(last))
+                        self._tp.get("prefill_params",
+                                     self._tp["params"]),
+                        jnp.asarray(xs), pg, sl, pool, jnp.asarray(last))
                     logits = logits[: len(group)]
                 else:
                     logits, pool = gpt2_paged.prefill_paged(

@@ -237,6 +237,44 @@ def test_engine_tp_reduced_dtypes_match_single_device(fixtures_dir,
     assert run({"model": 2}) == run(None)
 
 
+def test_engine_tp_int8_bf16_prefill_copy(fixtures_dir):
+    """prefill_param_dtype under TP: the engine keeps a second bf16
+    TP-sharded weight pytree and a non-quant prefill step; decode stays
+    on the int8 shards. bf16 prefill accumulation can flip greedy picks
+    vs the f32-activation path, so (like the bf16 TP engine test) this
+    gates executability + determinism, TP vs TP-again."""
+    from llmc_paged_tpu.config import EngineConfig, PageConfig
+    from llmc_paged_tpu.engine.engine import InferenceEngine
+    from llmc_paged_tpu.engine.scheduler import Request
+
+    cfg, params = formats.read_checkpoint(
+        os.path.join(fixtures_dir, "model_tiny.bin"))
+    stream = formats.read_token_stream(
+        os.path.join(fixtures_dir, "tokens_tiny.bin"))
+    prompts = [stream[i * 5: i * 5 + 7].tolist() for i in range(2)]
+    page = PageConfig(page_size=8, num_pages=32, max_seqs=4,
+                      pages_per_seq=6, kv_dtype="int8")
+
+    def run():
+        econf = EngineConfig(cache_mode="paged", page=page, greedy=True,
+                             max_batch=2, decode_chunk=8,
+                             param_dtype="int8",
+                             prefill_param_dtype="bfloat16",
+                             mesh_shape={"model": 2})
+        eng = InferenceEngine(params, cfg, econf)
+        assert "prefill_params" in eng._tp
+        assert eng._tp["prefill_params"]["qkvw"].dtype == jnp.bfloat16
+        assert eng._tp["params"]["qkvw"].dtype == jnp.int8
+        done = eng.run([Request(rid=i, prompt=prompts[i],
+                                max_new_tokens=10) for i in range(2)])
+        return {r.rid: r.tokens for r in done}
+
+    first = run()
+    assert first == run()
+    assert all(len(v) == len(p) + 10
+               for v, p in zip(first.values(), prompts))
+
+
 def test_engine_tp_bf16_deterministic_and_close(fixtures_dir):
     """bf16 TP serving: the engine loop must run the full bf16 shard_map
     path, be deterministic run-to-run, and stay close to the single-device
