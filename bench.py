@@ -87,10 +87,13 @@ def _setup_jax():
 
 
 def _probe_flat_kernel():
-    """Compile-probe the flat serving kernel on the real backend; fall
-    back to the (B,)-grid variant if Mosaic rejects it. Keeps a kernel
-    regression from zeroing the whole bench (the engine would otherwise
-    hit the compile error mid-stage)."""
+    """Compile-probe the flat serving kernels on the real backend; fall
+    back to the (B,)-grid variant if Mosaic rejects any of them. Keeps a
+    kernel regression from zeroing the whole bench (the engine would
+    otherwise hit the compile error mid-stage). Probes BOTH the float
+    and the int8 kernel at the bench's real head counts (12 = 124M,
+    25 = 1.5B — a non-8-multiple NH is exactly where Mosaic layout
+    rules bite) with the default ring depth."""
     import jax
     if jax.default_backend() != "tpu" or \
             os.environ.get("LLMC_ATTN_VARIANT") == "gridb":
@@ -98,18 +101,25 @@ def _probe_flat_kernel():
     import jax.numpy as jnp
     from llmc_paged_tpu.ops import paged_attention as pa
     try:
-        B, NH, HS, P, ps = 2, 2, 64, 4, 128
-        q = jnp.zeros((B, NH, HS), jnp.float32)
-        kv = jnp.zeros((P, NH, HS, ps), jnp.float32)
-        tables = jnp.zeros((B, 2), jnp.int32)
-        lengths = jnp.ones(B, jnp.int32)
-        acc, m, l = pa.paged_decode_attention_parts(
-            q, kv, kv, tables, lengths)
-        jax.block_until_ready(acc)
+        for NH in (12, 25):
+            B, HS, P, ps = 8, 64, 26, 128
+            q = jnp.zeros((B, NH, HS), jnp.float32)
+            kv = jnp.zeros((P, NH, HS, ps), jnp.float32)
+            tables = jnp.zeros((B, 3), jnp.int32)
+            lengths = jnp.ones(B, jnp.int32)
+            out = pa.paged_decode_attention_parts(
+                q, kv, kv, tables, lengths)
+            jax.block_until_ready(out[0])
+            kvq = jnp.zeros((P, NH, HS, ps), jnp.int8)
+            sc = jnp.ones((P, NH, ps), jnp.float32)
+            out = pa.paged_decode_attention_quant_parts(
+                q, kvq, kvq, sc, sc, tables, lengths)
+            jax.block_until_ready(out[0])
     except Exception as e:   # pragma: no cover - chip-only path
         _log(f"flat kernel probe FAILED ({type(e).__name__}); "
              f"falling back to gridb")
         os.environ["LLMC_ATTN_VARIANT"] = "gridb"
+        jax.clear_caches()   # jit caches ignore env vars — drop traces
 
 
 def _smoke() -> bool:

@@ -653,7 +653,8 @@ class InferenceEngine:
                     # one chunk, keeping TTFT bounded while the download
                     # still overlaps chain execution (no-op after once)
                     flush_deferred()
-                    if queue_blocked and will_free:
+                    if queue_blocked and \
+                            (will_free or window < page.max_context):
                         # bounded chain under queue pressure: materialize
                         # as soon as a row can actually finish, so its
                         # slot/pages release and the waiting queue gets
@@ -661,6 +662,11 @@ class InferenceEngine:
                         # this link (finish is deterministic: greedy runs
                         # to max_new_tokens), breaking would only buy a
                         # useless ~60ms sync per link — keep chaining.
+                        # EXCEPT in window mode: there pages also free
+                        # WITHOUT a finish (release_below reclaims
+                        # slid-out pages, outer loop only), so keep the
+                        # one-link bound to give reclamation + admission
+                        # their retry.
                         break
                 if pending:
                     progressed = True

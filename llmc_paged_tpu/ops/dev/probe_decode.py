@@ -609,8 +609,10 @@ def main():
     variants = [v for v in args.attn_variants.split(",") if v]
     for variant in variants or [None]:
         if variant is not None:
-            # _variant()/_flat_nbuf() re-read the env at trace time, so
-            # flipping it between suites retraces onto the new kernel
+            # _variant()/_flat_nbuf() are read at trace time but jit
+            # caches ignore env vars — drop every cached trace so the
+            # same-shape suite calls really retrace onto the new kernel
+            jax.clear_caches()
             if variant.startswith("flat"):
                 _os.environ["LLMC_ATTN_VARIANT"] = "flat"
                 if variant[4:]:

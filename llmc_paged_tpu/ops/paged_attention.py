@@ -50,10 +50,11 @@ NEG_INF = -1e30
 #             drain at sequence boundaries of the (B,)-grid kernel)
 #   "gridb" — the round-2 (B,)-grid kernel (one program per sequence)
 def _variant() -> str:
-    """Serving kernel variant, re-read from the env at every trace so a
-    caller can probe-compile "flat" and fall back to "gridb" at runtime
-    (bench.py does) — traces are cached per call site, so flipping the
-    env only affects computations traced afterwards."""
+    """Serving kernel variant, read at TRACE time. jit caches are keyed
+    on avals/statics only — the env var is NOT part of the key — so
+    flipping it affects already-traced same-shape call sites only after
+    `jax.clear_caches()`. Callers that flip mid-process (bench fallback,
+    probe sweeps, tests) must clear; fresh processes just set the env."""
     return os.environ.get("LLMC_ATTN_VARIANT", "flat")
 
 def _flat_nbuf() -> int:

@@ -61,6 +61,9 @@ def _child(coord: str, nprocs: int, proc_id: int, local_devices: int) -> None:
         (len(jax.devices()), n_global)
     assert len(jax.local_devices()) == local_devices
     assert jax.process_count() == nprocs
+    # past this line failures are CORRECTNESS failures, not environment
+    # ones — the parent uses this sentinel to tell them apart
+    print(f"MP_INIT_OK p{proc_id}", flush=True)
 
     import numpy as np
     import jax.numpy as jnp
@@ -132,10 +135,19 @@ def _child(coord: str, nprocs: int, proc_id: int, local_devices: int) -> None:
     print(f"MP_DRYRUN_OK p{proc_id}", flush=True)
 
 
+class MpChildFailure(RuntimeError):
+    """A child got PAST distributed init (environment was fine) and then
+    failed — a genuine multi-process correctness failure. Callers that
+    treat environmental problems (no gloo, port in use, spawn failure)
+    as skippable must NOT swallow this."""
+
+
 def run_parent(nprocs: int = 2, n_devices: int = 8, port: int = 12657,
                timeout_s: float = 900.0) -> None:
     """Spawn nprocs copies of this module in child mode and require every
-    one to print its MP_DRYRUN_OK sentinel."""
+    one to print its MP_DRYRUN_OK sentinel. Raises MpChildFailure when a
+    child failed after its MP_INIT_OK sentinel (correctness), plain
+    RuntimeError when it never initialized (environmental)."""
     assert n_devices % nprocs == 0, (n_devices, nprocs)
     local = n_devices // nprocs
     env = dict(os.environ)
@@ -161,12 +173,13 @@ def run_parent(nprocs: int = 2, n_devices: int = 8, port: int = 12657,
             left = max(5.0, deadline - time.monotonic())
             out, _ = p.communicate(timeout=left)
             outs.append(out)
-            if p.returncode != 0:
-                raise RuntimeError(
+            failed = (p.returncode != 0
+                      or f"MP_DRYRUN_OK p{pid}" not in out)
+            if failed:
+                exc = (MpChildFailure
+                       if f"MP_INIT_OK p{pid}" in out else RuntimeError)
+                raise exc(
                     f"mp_dryrun child {pid} rc={p.returncode}\n{out}")
-            if f"MP_DRYRUN_OK p{pid}" not in out:
-                raise RuntimeError(
-                    f"mp_dryrun child {pid} missing OK sentinel\n{out}")
     finally:
         for p in procs:
             if p.poll() is None:

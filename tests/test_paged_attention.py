@@ -78,6 +78,9 @@ def test_flat_kernel_ring_depths(nbuf, monkeypatch):
     the ring wraps many times (a 4-page row)."""
     monkeypatch.setenv("LLMC_ATTN_VARIANT", "flat")
     monkeypatch.setenv("LLMC_ATTN_NBUF", str(nbuf))
+    # jit caches are keyed on avals, not env — without this the nbuf=2
+    # parametrization's cached executable would serve all three depths
+    jax.clear_caches()
     from llmc_paged_tpu.kv.layouts import quantize_pages
     from llmc_paged_tpu.ops.paged_attention import (
         paged_decode_attention_quant, paged_decode_attention_quant_xla)
