@@ -119,3 +119,28 @@ def test_window_reclaim_with_concurrency(tiny):
         expect = solo.run([Request(rid=0, prompt=p, max_new_tokens=40)],
                           window=window)[0].tokens
         assert outs[i] == expect
+
+
+def test_window_with_waiting_queue(tiny):
+    """Window mode + a waiting queue: more requests than slots, pool
+    sized so admission leans on release_below reclaiming slid-out pages.
+    The chunk chain keeps its one-link bound in window mode (pages free
+    WITHOUT any row finishing there), so waiting requests are admitted
+    as reclamation frees pages, and every stream matches its solo run."""
+    cfg, params, stream = tiny
+    window = 8
+    prompts = [stream[i: i + 6].tolist() for i in range(4)]
+    page = PageConfig(page_size=4, num_pages=14, max_seqs=4,
+                      pages_per_seq=16)
+    econf = EngineConfig(cache_mode="paged", page=page, greedy=True,
+                         max_batch=2, decode_chunk=4)
+    eng = InferenceEngine(params, cfg, econf)
+    done = eng.run([Request(rid=i, prompt=p, max_new_tokens=30)
+                    for i, p in enumerate(prompts)], window=window)
+    assert len(done) == 4
+    outs = {r.rid: r.tokens for r in done}
+    for i, p in enumerate(prompts):
+        solo = InferenceEngine(params, cfg, econf)
+        expect = solo.run([Request(rid=0, prompt=p, max_new_tokens=30)],
+                          window=window)[0].tokens
+        assert outs[i] == expect, i
