@@ -107,6 +107,43 @@ def test_flat_kernel_ring_depths(nbuf, monkeypatch):
                                rtol=1e-5, atol=2e-5)
 
 
+def test_flat_kernel_randomized_schedules():
+    """Property sweep for the flat kernel's SMEM schedule + DMA ring:
+    random ragged lengths (including zero-length and full rows) and
+    window starts across random batch sizes must match the XLA oracle.
+    The ring's slot-reuse invariant only breaks on specific live-page
+    totals, so coverage comes from many schedules, not one."""
+    rng = np.random.default_rng(2024)
+    NH, HS, ps = 4, 64, 128
+    for case in range(12):
+        B = int(rng.integers(1, 7))
+        pps = int(rng.integers(1, 5))
+        P = B * pps + 1
+        q = jnp.asarray(rng.standard_normal((B, NH, HS), dtype=np.float32))
+        k = jnp.asarray(
+            rng.standard_normal((P, NH, HS, ps), dtype=np.float32))
+        v = jnp.asarray(
+            rng.standard_normal((P, NH, HS, ps), dtype=np.float32))
+        tables = jnp.asarray(
+            rng.permutation(P)[: B * pps].reshape(B, pps).astype(np.int32))
+        lengths = rng.integers(0, pps * ps + 1, B).astype(np.int32)
+        starts = np.asarray([0 if n == 0 else int(rng.integers(0, n))
+                             for n in lengths], np.int32)
+        out_k = paged_decode_attention(q, k, v, tables,
+                                       jnp.asarray(lengths),
+                                       jnp.asarray(starts),
+                                       interpret=INTERP)
+        out_x = paged_decode_attention_xla(q, k, v, tables,
+                                           jnp.asarray(lengths),
+                                           jnp.asarray(starts))
+        live = lengths > 0
+        np.testing.assert_allclose(
+            np.asarray(out_k)[live], np.asarray(out_x)[live],
+            rtol=1e-5, atol=1e-5,
+            err_msg=f"case {case}: B={B} pps={pps} lengths={lengths} "
+                    f"starts={starts}")
+
+
 @pytest.mark.parametrize("ps,P", [(8, 16), (128, 14)])
 def test_quant_kernel_both_paths(ps, P):
     from llmc_paged_tpu.kv.layouts import quantize_pages
