@@ -147,13 +147,31 @@ class InferenceEngine:
         # compute-bound, and the int8 dequant-fused dot throttles the MXU
         # there; decode stays on the int8 weights (bandwidth-bound)
         self._prefill_params = None
-        if (self.econf.param_dtype == "int8"
-                and self.econf.prefill_param_dtype == "bfloat16"
-                and self.params["wte"].dtype != jnp.int8):
-            self._prefill_params = jax.tree.map(
-                lambda v: v.astype(jnp.bfloat16)
-                if v.dtype in (jnp.float32, jnp.bfloat16) else v,
-                self.params)
+        if self.econf.prefill_param_dtype is not None:
+            if self.econf.prefill_param_dtype != "bfloat16":
+                raise ValueError("prefill_param_dtype: only 'bfloat16' is "
+                                 f"supported, got "
+                                 f"{self.econf.prefill_param_dtype!r}")
+            if self.econf.param_dtype != "int8" or \
+                    self.params["wte"].dtype == jnp.int8:
+                # float serving dtypes already prefill at param_dtype, and
+                # pre-quantized params have no float source to copy from —
+                # fail loudly rather than silently measuring the wrong
+                # configuration
+                raise ValueError(
+                    "prefill_param_dtype requires param_dtype='int8' with "
+                    "FLOAT input params (it splits prefill/decode dtypes)")
+            # layernorm params stay fp32 like every reduced-precision
+            # path (gpt2.to_device convention) — a blanket cast would
+            # diverge from the TP prefill copy, which goes through
+            # prepare_tp_params/to_device
+            ln_keys = ("ln1w", "ln1b", "ln2w", "ln2b", "lnfw", "lnfb")
+            if not self.econf.mesh_shape:   # TP builds its own sharded copy
+                self._prefill_params = {
+                    k: (v.astype(jnp.bfloat16)
+                        if k not in ln_keys and v.dtype == jnp.float32
+                        else v)
+                    for k, v in self.params.items()}
         if self.econf.param_dtype == "int8" and \
                 self.params["wte"].dtype != jnp.int8:
             from llmc_paged_tpu.ops.int8 import quantize_params
@@ -215,6 +233,12 @@ class InferenceEngine:
             jax.block_until_ready(
                 (self._tp["params"], self._tp.get("prefill_params")))
 
+    def _default_sampler(self) -> Sampler:
+        """The EngineConfig-derived sampler (one construction point)."""
+        return Sampler(self.econf.seed, self.econf.greedy,
+                       top_k=self.econf.top_k,
+                       temperature=self.econf.temperature)
+
     # -- mode "none": full recompute with sliding window (infer.c) ----------
 
     def generate_nocache(self, prompt: Sequence[int], max_new_tokens: int,
@@ -223,9 +247,7 @@ class InferenceEngine:
         """infer.c semantics: re-run the full forward over the last
         `window` tokens each step (phase-2 slide, infer.c:104-127)."""
         window = _check_window(window, self.cfg)
-        sampler = sampler or Sampler(self.econf.seed, self.econf.greedy,
-                              top_k=self.econf.top_k,
-                              temperature=self.econf.temperature)
+        sampler = sampler or self._default_sampler()
         toks = list(prompt)
         for _ in range(max_new_tokens):
             ctx = toks[-window:]
@@ -260,9 +282,7 @@ class InferenceEngine:
         # relative to the dropped base
         base = max(0, len(prompt) - window)
         total = len(prompt) - base + max_new_tokens
-        sampler = sampler or Sampler(self.econf.seed, self.econf.greedy,
-                              top_k=self.econf.top_k,
-                              temperature=self.econf.temperature)
+        sampler = sampler or self._default_sampler()
         cache = gpt2.init_cache(cfg, 1, total)
         toks = list(prompt)
         logits, cache = gpt2.prefill(
@@ -312,9 +332,7 @@ class InferenceEngine:
         cfg, econf = self.cfg, self.econf
         page = econf.page
         window = _check_window(window, cfg)
-        sampler = sampler or Sampler(econf.seed, econf.greedy, top_k=econf.top_k,
-                              temperature=econf.temperature)
-        mgr, pool = self._paged_state()
+        sampler = sampler or self._default_sampler()
         sched = Scheduler(econf.max_batch)
         for r in requests:
             if r.max_new_tokens <= 0:
@@ -340,6 +358,9 @@ class InferenceEngine:
                     " be scheduled")
             sched.submit(r)
 
+        # allocate/reuse the device pool only after every request
+        # validated — a ValueError above must not drop the pool cache
+        mgr, pool = self._paged_state()
         B = econf.max_batch
         pps = page.pages_per_seq
         t_start = time.monotonic()
@@ -448,7 +469,9 @@ class InferenceEngine:
                     deferred = (jnp.argmax(logits[: len(group)], axis=-1)
                                 .astype(jnp.int32), list(group))
                 else:
-                    first_toks = _sample_rows(sampler, logits, len(group))
+                    first_toks = _sample_rows(sampler,
+                                              logits[: len(group)],
+                                              len(group))
                     for i, (slot, req) in enumerate(group):
                         req.generated.append(first_toks[i])
                         req.mark_first_token()
@@ -548,6 +571,20 @@ class InferenceEngine:
                                   for s2, k in ks if s2 == slot)
                         if rem <= 0:
                             continue
+                        if window < page.max_context:
+                            # mid-chain window reclamation: pages whose
+                            # every token slid below this link's attention
+                            # lower bound are dead for it AND all later
+                            # links; freeing them here (not just in the
+                            # outer loop) keeps a window-W sequence at
+                            # O(W/ps) pages even through long chains.
+                            # Safe to reallocate immediately: the device
+                            # stream is in-order, so the new link's
+                            # scatters into a reused page execute after
+                            # every already-dispatched link's reads of it.
+                            start = mgr.seq_len(slot) - window
+                            if start >= ps:
+                                mgr.release_below(slot, start)
                         ln = mgr.seq_len(slot)   # window-relative by design
                         if ln + chunk > page.max_context:
                             continue
@@ -653,8 +690,14 @@ class InferenceEngine:
                     # one chunk, keeping TTFT bounded while the download
                     # still overlaps chain execution (no-op after once)
                     flush_deferred()
+                    # track the chain's own page allocations — the outer
+                    # per-iteration sample misses them entirely (a solo
+                    # request's decode pages would never be counted)
+                    peak_pages = max(peak_pages,
+                                     page.num_pages - mgr.num_free())
                     if queue_blocked and \
-                            (will_free or window < page.max_context):
+                            (will_free or window < page.max_context
+                             or sched.free_slots()):
                         # bounded chain under queue pressure: materialize
                         # as soon as a row can actually finish, so its
                         # slot/pages release and the waiting queue gets
@@ -662,11 +705,13 @@ class InferenceEngine:
                         # this link (finish is deterministic: greedy runs
                         # to max_new_tokens), breaking would only buy a
                         # useless ~60ms sync per link — keep chaining.
-                        # EXCEPT in window mode: there pages also free
+                        # EXCEPT when (a) window mode: pages also free
                         # WITHOUT a finish (release_below reclaims
-                        # slid-out pages, outer loop only), so keep the
-                        # one-link bound to give reclamation + admission
-                        # their retry.
+                        # slid-out pages, outer loop only), or (b) a slot
+                        # is ALREADY free (a row finished outside the
+                        # plan — deferred max_new=1 picks land in
+                        # flush_deferred above) — keep the one-link bound
+                        # there so admission gets its retry.
                         break
                 if pending:
                     progressed = True

@@ -107,6 +107,11 @@ class Sampler:
             # prefix-ship boundary-tie test (engine._sample_rows_topk
             # assumes kth-largest on RAW logits stays kth after scaling)
             raise ValueError(f"temperature must be >= 0, got {temperature}")
+        if top_k is not None and top_k < 1:
+            # top_k=0/-1 would slip through truthiness dispatches and
+            # sample a silently truncated distribution (the top-k prefix
+            # ship keeps ~top_k+16 entries and applies no filter)
+            raise ValueError(f"top_k must be >= 1, got {top_k}")
         self.greedy = greedy
         self.top_k = top_k
         self.temperature = temperature
