@@ -42,6 +42,7 @@ from llmc_paged_tpu.kv.layouts import (
 from llmc_paged_tpu.models import gpt2
 from llmc_paged_tpu.ops import layers as L
 from llmc_paged_tpu.ops.paged_attention import (
+    NEG_INF,
     paged_decode_attention,
     paged_decode_attention_parts,
     paged_decode_attention_parts_xla,
@@ -165,7 +166,7 @@ def _chunk_attention(q, pool_l, tail_k, tail_v, block_tables, lengths_pool,
     t_idx = jnp.arange(K, dtype=jnp.int32)
     pos_t = pos0[:, None] + t_idx[None, :]          # (B, K) absolute pos
     mask = (t_idx[None, :] <= j) & (pos_t >= starts[:, None])
-    scores = jnp.where(mask[:, None, :], scores, -1e30)
+    scores = jnp.where(mask[:, None, :], scores, NEG_INF)
     m_t = jnp.max(scores, axis=-1)                  # (B, NH)
     p = jnp.where(mask[:, None, :], jnp.exp(scores - m_t[..., None]), 0.0)
     l_t = jnp.sum(p, axis=-1)
@@ -218,6 +219,13 @@ def decode_chunk_paged(params: gpt2.Params, first_tokens: jax.Array,
     transform) via jax.random.categorical, one fold_in per sub-step.
     Device sampling trades the host parity sampler's bit-exact xorshift
     stream for chunked throughput (EngineConfig.device_sampling)."""
+    if rng_key is not None and isinstance(temperature, (int, float)) \
+            and temperature == 0:
+        # Sampler.__init__ rewrites temperature 0 to greedy before the
+        # engine reaches here; a direct caller would get ±inf logits and
+        # arbitrary categorical picks with no error — fail at trace time
+        raise ValueError("temperature=0 with device sampling: use greedy "
+                         "(rng_key=None) instead")
     active = positions0 >= 0
     safe_pos0 = jnp.where(active, positions0, 0)
 
@@ -243,7 +251,8 @@ def decode_chunk_paged(params: gpt2.Params, first_tokens: jax.Array,
     tv0 = tuple(jnp.zeros((K, B, NH, HS), cdtype)
                 for _ in range(cfg.num_layers))
     # pool reads cover the COMPLETED prefix only — fixed across the chunk
-    lengths_pool = jnp.where(active, safe_pos0, 0)
+    # (safe_pos0 is already 0 on inactive rows)
+    lengths_pool = safe_pos0
 
     def step(carry, _):
         toks, tks, tvs, j = carry
@@ -304,11 +313,17 @@ def prefill_paged(params: gpt2.Params, tokens: jax.Array,
                   ) -> Tuple[jax.Array, PagePool]:
     """Prompt forward that scatters all T tokens' K/V into the pool.
 
-    tokens: (B, T) right-padded prompts; page/slot: (B, T) pool coordinates
-    per token (page == num_pages on padding → dropped). Attention during
-    prefill is dense causal over the in-flight K/V (paged_infer.c first-pass
-    semantics :699-704: full matmul_forward + copy-all-T-to-cache).
-    Returns (logits (B,T,V), updated pool); the pool is DONATED.
+    tokens: (B, T) right-padded prompts; page: (B, T) pool page per token
+    (page == num_pages on padding → dropped). PRECONDITION: prompts start
+    at position 0 of freshly-allocated pages, so token t's in-page slot
+    is t % page_size — the page-granular writes below derive slots from
+    position and ``slot`` is accepted only for signature symmetry with
+    the decode paths (engine/token_coords always satisfies this; a
+    caller passing other slots would NOT get them honored). Attention
+    during prefill is dense causal over the in-flight K/V
+    (paged_infer.c first-pass semantics :699-704: full matmul_forward +
+    copy-all-T-to-cache). Returns (logits (B,T,V), updated pool); the
+    pool is DONATED.
 
     ``last_pos``: optional (B,) int32 — when given, the lm_head projection
     runs only on each row's position ``last_pos[b]`` and logits are (B, V).
