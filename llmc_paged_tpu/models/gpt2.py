@@ -146,21 +146,35 @@ def _split_qkv(qkv: jax.Array, cfg: GPT2Config) -> Tuple[jax.Array, ...]:
     return q.reshape(shape), k.reshape(shape), v.reshape(shape)
 
 
+def _block(x: jax.Array, lp: Params, cfg: GPT2Config, attend) -> jax.Array:
+    """One transformer block with a caller-supplied attention middle.
+
+    ``attend(q, k, v)`` receives the heads straight from the qkv split
+    (shape (..., NH, HS); it owns any KV-cache/pool writes) and returns
+    the attended values reshaped back to x's (..., C). Every forward in
+    the repo — dense, cached decode, paged decode/prefill, chunked
+    decode — is this one skeleton (the reference's per-layer sequence,
+    train_gpt2.c:852-897) with a different middle; keeping it in one
+    place keeps the residual/layernorm/gelu semantics from diverging."""
+    h = L.layernorm(x, lp["ln1w"], lp["ln1b"])
+    q, k, v = _split_qkv(_lin(lp, "qkvw", h, "qkvb"), cfg)
+    x = x + _lin(lp, "attprojw", attend(q, k, v), "attprojb")
+    h2 = L.layernorm(x, lp["ln2w"], lp["ln2b"])
+    return x + _lin(lp, "fcprojw",
+                    L.gelu_tanh(_lin(lp, "fcw", h2, "fcb")), "fcprojb")
+
+
 def _block_dense(x: jax.Array, lp: Params, cfg: GPT2Config) -> jax.Array:
     """One transformer block, full-sequence causal attention.
     x: (B, T, C)."""
     B, T, C = x.shape
-    h = L.layernorm(x, lp["ln1w"], lp["ln1b"])
-    qkv = _lin(lp, "qkvw", h, "qkvb")
-    q, k, v = _split_qkv(qkv, cfg)
-    q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))  # (B,NH,T,HS)
-    att = L.causal_attention(q, k, v)
-    att = att.transpose(0, 2, 1, 3).reshape(B, T, C)
-    x = x + _lin(lp, "attprojw", att, "attprojb")
-    h2 = L.layernorm(x, lp["ln2w"], lp["ln2b"])
-    ff = _lin(lp, "fcprojw", L.gelu_tanh(_lin(lp, "fcw", h2, "fcb")),
-              "fcprojb")
-    return x + ff
+
+    def attend(q, k, v):
+        q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))  # (B,NH,T,HS)
+        att = L.causal_attention(q, k, v)
+        return att.transpose(0, 2, 1, 3).reshape(B, T, C)
+
+    return _block(x, lp, cfg, attend)
 
 
 def _logits(x: jax.Array, params: Params, cfg: GPT2Config) -> jax.Array:
@@ -219,19 +233,17 @@ def prefill(params: Params, tokens: jax.Array, cache: DenseKVCache,
 
     def body(carry, xs):
         lp, k_l, v_l = xs
-        h = L.layernorm(carry, lp["ln1w"], lp["ln1b"])
-        qkv = _lin(lp, "qkvw", h, "qkvb")
-        q, k, v = _split_qkv(qkv, cfg)
-        q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
-        k_l = _write_cache_prefill(k_l, k)
-        v_l = _write_cache_prefill(v_l, v)
-        att = L.prefill_attention(q, k, v)
-        att = att.transpose(0, 2, 1, 3).reshape(B, T, cfg.channels)
-        xout = carry + _lin(lp, "attprojw", att, "attprojb")
-        h2 = L.layernorm(xout, lp["ln2w"], lp["ln2b"])
-        ff = _lin(lp, "fcprojw", L.gelu_tanh(_lin(lp, "fcw", h2, "fcb")),
-                  "fcprojb")
-        return xout + ff, (k_l, v_l)
+        written = {}
+
+        def attend(q, k, v):
+            q, k, v = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
+            written["k"] = _write_cache_prefill(k_l, k)
+            written["v"] = _write_cache_prefill(v_l, v)
+            att = L.prefill_attention(q, k, v)
+            return att.transpose(0, 2, 1, 3).reshape(B, T, cfg.channels)
+
+        xout = _block(carry, lp, cfg, attend)
+        return xout, (written["k"], written["v"])
 
     x, (k_new, v_new) = jax.lax.scan(body, x,
                                      (_layer_stack(params), cache.k, cache.v))
@@ -272,18 +284,17 @@ def decode_step(params: Params, tokens: jax.Array, pos: jax.Array,
 
     def body(carry, xs):
         lp, k_l, v_l = xs
-        h = L.layernorm(carry, lp["ln1w"], lp["ln1b"])
-        qkv = _lin(lp, "qkvw", h, "qkvb")          # (B, 3C)
-        q, k, v = _split_qkv(qkv, cfg)             # (B, NH, HS)
-        k_l = _write_cache_at(k_l, k, pos)
-        v_l = _write_cache_at(v_l, v, pos)
-        att = L.decode_attention(q, k_l, v_l, pos + 1, start=starts)
-        att = att.reshape(B, cfg.channels)
-        xout = carry + _lin(lp, "attprojw", att, "attprojb")
-        h2 = L.layernorm(xout, lp["ln2w"], lp["ln2b"])
-        ff = _lin(lp, "fcprojw", L.gelu_tanh(_lin(lp, "fcw", h2, "fcb")),
-                  "fcprojb")
-        return xout + ff, (k_l, v_l)
+        written = {}
+
+        def attend(q, k, v):
+            written["k"] = _write_cache_at(k_l, k, pos)
+            written["v"] = _write_cache_at(v_l, v, pos)
+            att = L.decode_attention(q, written["k"], written["v"],
+                                     pos + 1, start=starts)
+            return att.reshape(B, cfg.channels)
+
+        xout = _block(carry, lp, cfg, attend)
+        return xout, (written["k"], written["v"])
 
     x, (k_new, v_new) = jax.lax.scan(body, x,
                                      (_layer_stack(params), cache.k, cache.v))

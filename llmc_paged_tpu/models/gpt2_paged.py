@@ -80,25 +80,23 @@ def _decode_core(params, tokens, wpe_pos, page, slot, block_tables, lengths,
 
     for i in range(cfg.num_layers):
         lp = {name: w[i] for name, w in stack.items()}
-        h = L.layernorm(x, lp["ln1w"], lp["ln1b"])
-        qkv = gpt2._lin(lp, "qkvw", h, "qkvb")          # (B, 3C)
-        q, k, v = gpt2._split_qkv(qkv, cfg)             # (B, NH, HS)
-        if quant:
-            pool_l = write_layer_kv_quant(pool.layer(i), k, v, page, slot)
-            attend = (paged_decode_attention_quant if use_kernel
+
+        def attend(q, k, v, i=i):
+            nonlocal pool
+            if quant:
+                pool_l = write_layer_kv_quant(pool.layer(i), k, v,
+                                              page, slot)
+                fn = (paged_decode_attention_quant if use_kernel
                       else paged_decode_attention_quant_xla)
-        else:
-            pool_l = write_layer_kv(*pool.layer(i), k, v, page, slot)
-            attend = (paged_decode_attention if use_kernel
+            else:
+                pool_l = write_layer_kv(*pool.layer(i), k, v, page, slot)
+                fn = (paged_decode_attention if use_kernel
                       else paged_decode_attention_xla)
-        pool = pool.with_layer(i, pool_l)
-        att = attend(q, *pool_l, block_tables, lengths, starts, **interp)
-        att = att.reshape(B, cfg.channels)
-        x = x + gpt2._lin(lp, "attprojw", att, "attprojb")
-        h2 = L.layernorm(x, lp["ln2w"], lp["ln2b"])
-        x = x + gpt2._lin(lp, "fcprojw",
-                          L.gelu_tanh(gpt2._lin(lp, "fcw", h2, "fcb")),
-                          "fcprojb")
+            pool = pool.with_layer(i, pool_l)
+            att = fn(q, *pool_l, block_tables, lengths, starts, **interp)
+            return att.reshape(B, cfg.channels)
+
+        x = gpt2._block(x, lp, cfg, attend)
 
     return gpt2._logits(x, params, cfg), pool
 
@@ -262,25 +260,24 @@ def decode_chunk_paged(params: gpt2.Params, first_tokens: jax.Array,
         x = gpt2._embed(params, toks, wpe_pos)
         for i in range(cfg.num_layers):
             lp = {name: w[i] for name, w in stack.items()}
-            h = L.layernorm(x, lp["ln1w"], lp["ln1b"])
-            qkv = gpt2._lin(lp, "qkvw", h, "qkvb")
-            q, k, v = gpt2._split_qkv(qkv, cfg)        # (B, NH, HS)
-            # in-place dynamic_update_slice at the (scalar) sub-step index
-            tk = jax.lax.dynamic_update_slice(
-                tks[i], k[None].astype(cdtype), (j, 0, 0, 0))
-            tv = jax.lax.dynamic_update_slice(
-                tvs[i], v[None].astype(cdtype), (j, 0, 0, 0))
-            tks = tks[:i] + (tk,) + tks[i + 1:]
-            tvs = tvs[:i] + (tv,) + tvs[i + 1:]
-            att = _chunk_attention(q, pool.layer(i), tk, tv, block_tables,
-                                   lengths_pool, starts, safe_pos0, j,
-                                   use_kernel, interp, quant)
-            x = x + gpt2._lin(lp, "attprojw",
-                              att.reshape(B, cfg.channels), "attprojb")
-            h2 = L.layernorm(x, lp["ln2w"], lp["ln2b"])
-            x = x + gpt2._lin(
-                lp, "fcprojw",
-                L.gelu_tanh(gpt2._lin(lp, "fcw", h2, "fcb")), "fcprojb")
+
+            def attend(q, k, v, i=i):
+                nonlocal tks, tvs
+                # in-place dynamic_update_slice at the (scalar) sub-step
+                # index
+                tk = jax.lax.dynamic_update_slice(
+                    tks[i], k[None].astype(cdtype), (j, 0, 0, 0))
+                tv = jax.lax.dynamic_update_slice(
+                    tvs[i], v[None].astype(cdtype), (j, 0, 0, 0))
+                tks = tks[:i] + (tk,) + tks[i + 1:]
+                tvs = tvs[:i] + (tv,) + tvs[i + 1:]
+                att = _chunk_attention(q, pool.layer(i), tk, tv,
+                                       block_tables, lengths_pool, starts,
+                                       safe_pos0, j, use_kernel, interp,
+                                       quant)
+                return att.reshape(B, cfg.channels)
+
+            x = gpt2._block(x, lp, cfg, attend)
         logits = gpt2._logits(x, params, cfg)
         nxt = pick(logits, j)
         return (nxt, tks, tvs, j + 1), nxt
@@ -349,24 +346,21 @@ def prefill_paged(params: gpt2.Params, tokens: jax.Array,
 
     for i in range(cfg.num_layers):
         lp = {name: w[i] for name, w in stack.items()}
-        h = L.layernorm(x, lp["ln1w"], lp["ln1b"])
-        qkv = gpt2._lin(lp, "qkvw", h, "qkvb")
-        q, k, v = gpt2._split_qkv(qkv, cfg)             # (B, T, NH, HS)
-        if quant:
-            pool_l = write_prompt_pages_quant(pool.layer(i), pad_t(k),
-                                              pad_t(v), page_ids)
-        else:
-            pool_l = write_prompt_pages(*pool.layer(i), pad_t(k), pad_t(v),
-                                        page_ids)
-        pool = pool.with_layer(i, pool_l)
-        qh, kh, vh = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
-        att = L.prefill_attention(qh, kh, vh)
-        att = att.transpose(0, 2, 1, 3).reshape(B, T, cfg.channels)
-        x = x + gpt2._lin(lp, "attprojw", att, "attprojb")
-        h2 = L.layernorm(x, lp["ln2w"], lp["ln2b"])
-        x = x + gpt2._lin(lp, "fcprojw",
-                          L.gelu_tanh(gpt2._lin(lp, "fcw", h2, "fcb")),
-                          "fcprojb")
+
+        def attend(q, k, v, i=i):                       # (B, T, NH, HS)
+            nonlocal pool
+            if quant:
+                pool_l = write_prompt_pages_quant(pool.layer(i), pad_t(k),
+                                                  pad_t(v), page_ids)
+            else:
+                pool_l = write_prompt_pages(*pool.layer(i), pad_t(k),
+                                            pad_t(v), page_ids)
+            pool = pool.with_layer(i, pool_l)
+            qh, kh, vh = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
+            att = L.prefill_attention(qh, kh, vh)
+            return att.transpose(0, 2, 1, 3).reshape(B, T, cfg.channels)
+
+        x = gpt2._block(x, lp, cfg, attend)
 
     if last_pos is not None:
         x = x[jnp.arange(B), last_pos]          # (B, C)
