@@ -29,6 +29,9 @@ Measured rows (beyond the headline sweep):
   pool_fill        — max concurrent seqs per GB MEASURED by admitting
                      256-token sequences until the page pool binds
                      (previously computed analytically only)
+  parity_ps32      — page_size=32 (the reference's BLOCK_SIZE) fp32
+                     serving: below the DMA kernel's 128-lane floor, so
+                     this records what the grid-kernel parity config costs
 
 vs_baseline: speedup over the reference's own baseline decode strategy
 (infer.c: full-recompute sliding-window, batch=1, fp32) measured in this
@@ -158,11 +161,11 @@ def _cast_params(params32, cfg, param_dtype: str, activation_dtype: str):
 
 def _engine(params32, cfg, *, param_dtype, kv_dtype, B, CHUNK,
             num_pages=None, pages_per_seq=3, greedy=True,
-            top_k=None, temperature=1.0):
+            top_k=None, temperature=1.0, page_size=128):
     from llmc_paged_tpu.config import EngineConfig, PageConfig
     from llmc_paged_tpu.engine.engine import InferenceEngine
     act = "bfloat16" if param_dtype == "int8" else "float32"
-    page = PageConfig(page_size=128,
+    page = PageConfig(page_size=page_size,
                       num_pages=(B * 3 + 4 if num_pages is None else num_pages),
                       max_seqs=B, pages_per_seq=pages_per_seq,
                       kv_dtype=kv_dtype)
@@ -373,6 +376,28 @@ def stage_m124(budget: _Budget):
                 "measured_seqs_256tok_per_gb": int(concurrent / pool_gb),
                 "preemptions": engine.stats["preemptions"]}
     part.sub("pool_fill", pool_fill, budget, est_s=20 if _smoke() else 70)
+
+    # parity-CONFIG serving cost (VERDICT r2 weak #7): page_size=32 — the
+    # reference's BLOCK_SIZE — is below the manual-DMA kernel's 128-lane
+    # alignment floor and dispatches to the grid kernel (~10x off
+    # streaming). This row records what that correctness-first config
+    # costs; lowest priority, runs only when budget remains.
+    def parity_ps32():
+        n_new = 8 if _smoke() else 32
+        ps32 = 8 if _smoke() else 32
+        pps = -(-(PROMPT + n_new) // ps32) + 1
+        engine = _engine(params32, cfg, param_dtype="float32",
+                         kv_dtype="float32", B=B, CHUNK=min(CHUNK, 16),
+                         num_pages=B * pps + 4, pages_per_seq=pps,
+                         page_size=ps32)
+        _run_requests(engine, prompts, 2)   # compile
+        done = _run_requests(engine, prompts, n_new)
+        assert len(done) == B
+        return {"tok_s": round(engine.stats["decode_tok_per_s"], 2),
+                "page_size": ps32, "kernel": "gridb fallback (ps<128)",
+                "dtype": "float32 parity config"}
+    part.sub("parity_ps32", parity_ps32, budget,
+             est_s=25 if _smoke() else 60)
 
     part.emit()
 
