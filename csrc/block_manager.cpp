@@ -76,6 +76,34 @@ struct Manager {
         return freed;
     }
 
+    // Roll the write pointer back to new_len tokens, freeing trailing
+    // pages that become empty (mirrors BlockManager.truncate_to; used by
+    // speculative decode to release over-reserved pages). Returns pages
+    // freed, or -1 on invalid prompt/new_len or when new_len lands in a
+    // tombstoned (window-reclaimed) page.
+    int32_t truncate_to(int32_t prompt, int32_t new_len) {
+        if (prompt < 0 || prompt >= max_seqs) return -1;
+        auto& t = tables[prompt];
+        int32_t cur = 0;
+        for (int32_t pid : t)
+            cur += pid < 0 ? page_size : pages[pid].filled;
+        if (new_len < 0 || new_len > cur) return -1;
+        if (new_len == cur) return 0;
+        int32_t keep = (new_len + page_size - 1) / page_size;
+        if (new_len > 0 && t[keep - 1] < 0) return -1;
+        int32_t freed = 0;
+        while (static_cast<int32_t>(t.size()) > keep) {
+            if (t.back() >= 0) {
+                pages[t.back()] = PageMeta{};
+                freed++;
+            }
+            t.pop_back();
+        }
+        if (new_len > 0)
+            pages[t[keep - 1]].filled = new_len - (keep - 1) * page_size;
+        return freed;
+    }
+
     // returns page id or -1; *evicted set to the paged-out prompt or -1
     int32_t request_block(int32_t prompt, int32_t* evicted) {
         *evicted = -1;
@@ -185,6 +213,10 @@ int32_t bm_seq_len(void* m, int32_t prompt) {
 
 int32_t bm_release_below(void* m, int32_t prompt, int32_t start_pos) {
     return static_cast<Manager*>(m)->release_below(prompt, start_pos);
+}
+
+int32_t bm_truncate_to(void* m, int32_t prompt, int32_t new_len) {
+    return static_cast<Manager*>(m)->truncate_to(prompt, new_len);
 }
 
 int32_t bm_num_free(void* m) {

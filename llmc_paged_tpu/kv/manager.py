@@ -170,6 +170,38 @@ class BlockManager:
                 freed += 1
         return freed
 
+    def truncate_to(self, prompt_id: int, new_len: int) -> int:
+        """Roll the write pointer back to `new_len` tokens, freeing trailing
+        pages that become empty — beyond the reference (which only ever
+        grows sequences). Speculative decode reserves pages for the maximum
+        possible acceptance ahead of the verify step and rolls back to the
+        actual accepted length here; the rolled-back slots may hold stale
+        K/V in the device pool, which is never read (attention masks by
+        length) and is overwritten by the next append to the same
+        coordinates. Returns the number of pages freed. Positions must be
+        absolute: truncating into a tombstoned (window-reclaimed) page is
+        rejected."""
+        table = self.tables.get(prompt_id, [])
+        cur = self.seq_len(prompt_id)
+        if not (0 <= new_len <= cur):
+            raise ValueError(f"truncate_to({new_len}) outside [0, {cur}]")
+        if new_len == cur:
+            return 0
+        keep = -(-new_len // self.page_size)    # pages still (partly) used
+        freed = 0
+        for j in range(len(table) - 1, keep - 1, -1):
+            if table[j] >= 0:
+                self.pages[table[j]] = PageMeta()
+                freed += 1
+            table.pop()
+        if new_len > 0:
+            last = table[keep - 1]
+            if last < 0:
+                raise ValueError("truncate_to lands in a reclaimed page")
+            self.pages[last].filled = (new_len
+                                       - (keep - 1) * self.page_size)
+        return freed
+
     def request_block(self, prompt_id: int) -> Tuple[Optional[int], List[int]]:
         """Allocate one page to `prompt_id`. Returns (page index or None,
         list of prompts evicted to make room)."""

@@ -57,6 +57,8 @@ def _load_lib():
     lib.bm_seq_len.argtypes = [p, i32]
     lib.bm_release_below.restype = i32
     lib.bm_release_below.argtypes = [p, i32, i32]
+    lib.bm_truncate_to.restype = i32
+    lib.bm_truncate_to.argtypes = [p, i32, i32]
     lib.bm_num_free.restype = i32
     lib.bm_num_free.argtypes = [p]
     lib.bm_lru_epoch.restype = i64
@@ -135,6 +137,14 @@ class NativeBlockManager:
     def release_below(self, prompt_id: int, start_pos: int) -> int:
         n = self._lib.bm_release_below(self._h, prompt_id, start_pos)
         assert n >= 0
+        return n
+
+    def truncate_to(self, prompt_id: int, new_len: int) -> int:
+        n = self._lib.bm_truncate_to(self._h, prompt_id, new_len)
+        if n < 0:
+            raise ValueError(
+                f"truncate_to({new_len}): invalid prompt/length or "
+                "reclaimed target page")
         return n
 
     def _check_prompt(self, prompt_id: int) -> None:

@@ -102,6 +102,30 @@ def test_lru_counter_touch_on_append():
     assert m.lru_epoch == e1 + 1
 
 
+def test_truncate_to():
+    """Speculative-decode rollback: pages reserved past the accepted length
+    are freed, the last kept page's fill moves back, nothing else changes."""
+    for m in both_managers(num_pages=8, page_size=4):
+        m.append_tokens(0, 11)            # pages 0,1,2 filled 4,4,3
+        m.append_tokens(1, 2)             # page 3 — must stay untouched
+        assert m.truncate_to(0, 11) == 0  # no-op at current length
+        assert m.truncate_to(0, 6) == 1   # page 2 empties
+        assert m.seq_len(0) == 6
+        assert m.block_table(0) == [0, 1]
+        # the kept partial page accepts new tokens from the rolled-back slot
+        segs, _ = m.append_tokens(0, 3)
+        assert [(s.page, s.offset, s.count) for s in segs] == \
+            [(1, 2, 2), (2, 0, 1)]        # page 2 was free → first-free rescan
+        assert m.seq_len(1) == 2 and m.block_table(1) == [3]
+        # exact page boundary: keep page 0 full, free the rest
+        assert m.truncate_to(0, 4) == 2
+        assert m.block_table(0) == [0]
+        assert m.truncate_to(0, 0) == 1
+        assert m.seq_len(0) == 0 and m.block_table(0) == []
+        with pytest.raises(ValueError):
+            m.truncate_to(0, 1)           # beyond current length
+
+
 def test_python_cpp_randomized_equivalence():
     """Model-checking: random op sequences drive both implementations; full
     metadata state must stay identical."""
@@ -114,7 +138,7 @@ def test_python_cpp_randomized_equivalence():
     for step in range(500):
         op = rng.random()
         prompt = rng.randrange(4)
-        if op < 0.6:
+        if op < 0.55:
             n = rng.randrange(1, 5)
             segs_a, ev_a = py.append_tokens(prompt, n)
             segs_b, ev_b = native.append_tokens(prompt, n)
@@ -123,10 +147,15 @@ def test_python_cpp_randomized_equivalence():
             if not segs_a and n > 0:  # preempted: engine would free
                 py.free_prompt(prompt)
                 native.free_prompt(prompt)
-        elif op < 0.8:
+        elif op < 0.75:
             pa, ev_a = py.request_block(prompt)
             pb, ev_b = native.request_block(prompt)
             assert pa == pb and ev_a == ev_b, step
+        elif op < 0.9:
+            cur = py.seq_len(prompt)
+            new_len = rng.randrange(cur + 1)
+            assert py.truncate_to(prompt, new_len) == \
+                native.truncate_to(prompt, new_len), step
         else:
             py.free_prompt(prompt)
             native.free_prompt(prompt)
