@@ -484,6 +484,255 @@ def _flat_parts_call(q, k_pages, v_pages, block_tables, lengths, starts,
     return acc, m[..., 0], l[..., 0]
 
 
+def _make_flash_decode_flat_mq_kernel(B: int, KQ: int, quant: bool,
+                                      scale_dma: bool = False):
+    """Multi-query (query-block) variant of the flat serving kernel, for
+    SPECULATIVE DECODE verification: KQ query tokens per sequence score
+    against the SAME page walk — the pool is read once per step however
+    many draft tokens are being verified, which is what makes greedy
+    speculation nearly free on a bandwidth-bound decode. Per page the
+    (NH,1,HS)x(NH,HS,ps) GEMV of the KQ=1 kernel becomes an
+    (NH,KQ,HS)x(NH,HS,ps) GEMM; online-softmax state (m, l, acc) carries a
+    KQ dim. No causal structure here: every query position >= pool length,
+    so all KQ queries attend the whole committed prefix (the in-flight
+    block's causal part rides the decode-chunk TAIL, models/gpt2_paged.py).
+
+    Kept separate from _make_flash_decode_flat_kernel on purpose: that
+    kernel's compiled layout is hardware-verified; folding KQ=1 into this
+    builder would change its block shapes. Unify once the mq path has its
+    own on-chip record."""
+
+    def kernel(lengths_ref, starts_ref, tables_ref, q_ref, k_hbm, v_hbm,
+               *rest):
+        ksbuf = vsbuf = ksc_ref = vsc_ref = None
+        if quant and scale_dma:
+            (ksc_hbm, vsc_hbm, out_ref, m_out, l_out, kbuf, vbuf,
+             ksbuf, vsbuf, sems, sched_ref) = rest
+        elif quant:
+            (ksc_ref, vsc_ref, out_ref, m_out, l_out, kbuf, vbuf, sems,
+             sched_ref) = rest
+        else:
+            out_ref, m_out, l_out, kbuf, vbuf, sems, sched_ref = rest
+        NBUF, NH, HS, ps = kbuf.shape
+        scale = jax.lax.rsqrt(jnp.float32(HS))
+
+        firsts = [starts_ref[b] // ps for b in range(B)]
+        nums = []
+        for b in range(B):
+            length = lengths_ref[b]
+            last = jnp.where(length > 0, (length - 1) // ps, -1)
+            nums.append(jnp.maximum(last - firsts[b] + 1, 0))
+
+        ord0 = jnp.int32(0)
+        for b in range(B):
+            def fill(i, o, b=b, first_b=firsts[b]):
+                sched_ref[o] = tables_ref[b, first_b + i]
+                return o + 1
+            ord0 = jax.lax.fori_loop(0, nums[b], fill, ord0)
+        total = ord0
+
+        def start_pair(slot, page):
+            pltpu.make_async_copy(k_hbm.at[page], kbuf.at[slot],
+                                  sems.at[slot, 0]).start()
+            pltpu.make_async_copy(v_hbm.at[page], vbuf.at[slot],
+                                  sems.at[slot, 1]).start()
+            if quant and scale_dma:
+                pltpu.make_async_copy(ksc_hbm.at[page], ksbuf.at[slot],
+                                      sems.at[slot, 2]).start()
+                pltpu.make_async_copy(vsc_hbm.at[page], vsbuf.at[slot],
+                                      sems.at[slot, 3]).start()
+
+        def wait_pair(slot, page):
+            pltpu.make_async_copy(k_hbm.at[page], kbuf.at[slot],
+                                  sems.at[slot, 0]).wait()
+            pltpu.make_async_copy(v_hbm.at[page], vbuf.at[slot],
+                                  sems.at[slot, 1]).wait()
+            if quant and scale_dma:
+                pltpu.make_async_copy(ksc_hbm.at[page], ksbuf.at[slot],
+                                      sems.at[slot, 2]).wait()
+                pltpu.make_async_copy(vsc_hbm.at[page], vsbuf.at[slot],
+                                      sems.at[slot, 3]).wait()
+
+        for j in range(NBUF - 1):
+            @pl.when(j < total)
+            def _warmup(j=j):
+                start_pair(j, sched_ref[j])
+
+        ord_ = jnp.int32(0)
+        for b in range(B):
+            num_b, first_b = nums[b], firsts[b]
+            length, start = lengths_ref[b], starts_ref[b]
+            # (KQ, NH, HS) -> (NH, KQ, HS): NH is the dot batch dim
+            q = q_ref[b].astype(jnp.float32).swapaxes(0, 1)
+
+            def body(i, carry, b=b, num_b=num_b, first_b=first_b,
+                     length=length, start=start, q=q, total=total):
+                ord_, m, l, acc = carry
+                slot = jax.lax.rem(ord_, NBUF)
+
+                @pl.when(ord_ + NBUF - 1 < total)
+                def _prefetch():
+                    start_pair(jax.lax.rem(ord_ + NBUF - 1, NBUF),
+                               sched_ref[ord_ + NBUF - 1])
+
+                page = tables_ref[b, first_b + i]
+                wait_pair(slot, page)
+                if quant and scale_dma:
+                    k = kbuf[slot].astype(jnp.float32) \
+                        * ksbuf[slot][:, None, :]
+                    v = vbuf[slot].astype(jnp.float32) \
+                        * vsbuf[slot][:, None, :]
+                elif quant:
+                    k = kbuf[slot].astype(jnp.float32) \
+                        * ksc_ref[page][:, None, :]
+                    v = vbuf[slot].astype(jnp.float32) \
+                        * vsc_ref[page][:, None, :]
+                else:
+                    k = kbuf[slot].astype(jnp.float32)
+                    v = vbuf[slot].astype(jnp.float32)
+                scores = jax.lax.dot_general(
+                    q, k,
+                    dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                ) * scale                             # (NH, KQ, ps)
+                pos = (first_b + i) * ps + jax.lax.broadcasted_iota(
+                    jnp.int32, scores.shape, 2)
+                scores = jnp.where((pos < length) & (pos >= start), scores,
+                                   NEG_INF)
+                m_cur = jnp.max(scores, axis=2, keepdims=True)
+                m_new = jnp.maximum(m, m_cur)         # (NH, KQ, 1)
+                p = jnp.exp(scores - m_new)
+                alpha = jnp.exp(m - m_new)
+                l_new = l * alpha + jnp.sum(p, axis=2, keepdims=True)
+                pv = jax.lax.dot_general(
+                    p, v,
+                    dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST,
+                )                                     # (NH, KQ, HS)
+                return ord_ + 1, m_new, l_new, acc * alpha + pv
+
+            m0 = jnp.full((NH, KQ, 1), NEG_INF, jnp.float32)
+            l0 = jnp.zeros((NH, KQ, 1), jnp.float32)
+            a0 = jnp.zeros((NH, KQ, HS), jnp.float32)
+            ord_, m, l, acc = jax.lax.fori_loop(0, num_b, body,
+                                                (ord_, m0, l0, a0))
+            out_ref[b] = acc.swapaxes(0, 1).astype(out_ref.dtype)
+            m_out[b] = m[..., 0].swapaxes(0, 1)[..., None]
+            l_out[b] = l[..., 0].swapaxes(0, 1)[..., None]
+
+    return kernel
+
+
+def _flat_parts_mq_call(q, k_pages, v_pages, block_tables, lengths, starts,
+                        scales, interpret: bool):
+    """pallas_call wrapper for the multi-query flat kernels."""
+    B, KQ, NH, HS = q.shape
+    P, _, _, ps = k_pages.shape
+    pages_per_seq = block_tables.shape[1]
+    quant = scales is not None
+    in_specs = [
+        pl.BlockSpec((B, KQ, NH, HS), lambda i, *_: (0, 0, 0, 0)),
+        pl.BlockSpec(memory_space=pltpu.HBM),
+        pl.BlockSpec(memory_space=pltpu.HBM),
+    ]
+    operands = [q, k_pages, v_pages]
+    scale_dma = bool(os.environ.get("LLMC_ATTN_SCALE_DMA"))
+    if quant:
+        in_specs += ([pl.BlockSpec(memory_space=pltpu.HBM)] * 2
+                     if scale_dma else
+                     [pl.BlockSpec((P, NH, ps), lambda i, *_: (0, 0, 0)),
+                      pl.BlockSpec((P, NH, ps), lambda i, *_: (0, 0, 0))])
+        operands += list(scales)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(1,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((B, KQ, NH, HS), lambda i, *_: (0, 0, 0, 0)),
+            pl.BlockSpec((B, KQ, NH, 1), lambda i, *_: (0, 0, 0, 0)),
+            pl.BlockSpec((B, KQ, NH, 1), lambda i, *_: (0, 0, 0, 0)),
+        ],
+        scratch_shapes=(
+            [pltpu.VMEM((_flat_nbuf(), NH, HS, ps), k_pages.dtype),
+             pltpu.VMEM((_flat_nbuf(), NH, HS, ps), v_pages.dtype)]
+            + ([pltpu.VMEM((_flat_nbuf(), NH, ps), jnp.float32),
+                pltpu.VMEM((_flat_nbuf(), NH, ps), jnp.float32)]
+               if quant and scale_dma else [])
+            + [pltpu.SemaphoreType.DMA(
+                   (_flat_nbuf(), 4 if quant and scale_dma else 2)),
+               pltpu.SMEM((B * pages_per_seq,), jnp.int32)]
+        ),
+    )
+    kv_bytes = 2 * B * NH * pages_per_seq * ps * HS \
+        * jnp.dtype(k_pages.dtype).itemsize
+    acc, m, l = pl.pallas_call(
+        _make_flash_decode_flat_mq_kernel(B, KQ, quant, scale_dma),
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((B, KQ, NH, HS), jnp.float32),
+                   jax.ShapeDtypeStruct((B, KQ, NH, 1), jnp.float32),
+                   jax.ShapeDtypeStruct((B, KQ, NH, 1), jnp.float32)],
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * KQ * NH * pages_per_seq * ps * HS,
+            bytes_accessed=kv_bytes + B * KQ * NH * HS * 4,
+            transcendentals=B * KQ * NH * pages_per_seq * ps,
+        ),
+    )(lengths, starts, block_tables, *operands)
+    return acc, m[..., 0], l[..., 0]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def paged_decode_attention_parts_mq(q: jax.Array, k_pages: jax.Array,
+                                    v_pages: jax.Array,
+                                    block_tables: jax.Array,
+                                    lengths: jax.Array,
+                                    starts: jax.Array | None = None,
+                                    interpret: bool = False):
+    """Multi-query flash-decode over paged KV: q is (B, KQ, NH, HS) — KQ
+    query tokens per sequence, all attending the same committed prefix
+    [starts, lengths) — returning UNNORMALIZED parts (acc (B,KQ,NH,HS),
+    m/l (B,KQ,NH)). One page walk serves all KQ queries (see
+    _make_flash_decode_flat_mq_kernel). Falls back to the XLA-gather
+    oracle off the flat/ps%128 path."""
+    B, KQ, NH, HS = q.shape
+    if starts is None:
+        starts = jnp.zeros_like(lengths)
+    ps = k_pages.shape[3]
+    if ps % 128 != 0 or _variant() != "flat":
+        return paged_decode_attention_parts_mq_xla(
+            q, k_pages, v_pages, block_tables, lengths, starts)
+    return _flat_parts_mq_call(q, k_pages, v_pages, block_tables, lengths,
+                               starts, None, interpret)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def paged_decode_attention_quant_parts_mq(q: jax.Array, k_pages: jax.Array,
+                                          v_pages: jax.Array,
+                                          k_scale: jax.Array,
+                                          v_scale: jax.Array,
+                                          block_tables: jax.Array,
+                                          lengths: jax.Array,
+                                          starts: jax.Array | None = None,
+                                          interpret: bool = False):
+    """INT8-KV multi-query parts (see paged_decode_attention_parts_mq)."""
+    B, KQ, NH, HS = q.shape
+    P, _, _, ps = k_pages.shape
+    if starts is None:
+        starts = jnp.zeros_like(lengths)
+    scale_dma_ok = (_variant() == "flat"
+                    and bool(os.environ.get("LLMC_ATTN_SCALE_DMA")))
+    if ps % 128 != 0 or _variant() != "flat" or \
+            (not scale_dma_ok
+             and 2 * P * NH * ps * 4 > _SCALE_VMEM_BUDGET_BYTES):
+        return paged_decode_attention_quant_parts_mq_xla(
+            q, k_pages, v_pages, k_scale, v_scale, block_tables, lengths,
+            starts)
+    return _flat_parts_mq_call(q, k_pages, v_pages, block_tables, lengths,
+                               starts, (k_scale, v_scale), interpret)
+
+
 def _paged_decode_kernel(
     # scalar prefetch
     lengths_ref,      # (B,) int32 in SMEM
@@ -987,3 +1236,44 @@ def paged_decode_attention_quant_parts_xla(q, k_pages, v_pages, k_scale,
     k, v = gather_layer_kv(dequant_layer(k_pages, k_scale),
                            dequant_layer(v_pages, v_scale), block_tables)
     return _parts_from_dense(q, k, v, lengths, starts)
+
+
+def _parts_from_dense_mq(q, k, v, lengths, starts):
+    """Multi-query twin of _parts_from_dense: q (B, KQ, NH, HS) over
+    gathered dense KV (B, NH, S, HS) → acc (B,KQ,NH,HS), m/l (B,KQ,NH)."""
+    B, NH, S, HS = k.shape
+    qf = q.astype(jnp.float32)
+    scale = jax.lax.rsqrt(jnp.float32(HS))
+    scores = jnp.einsum("bqhd,bhkd->bhqk", qf, k.astype(jnp.float32),
+                        precision=jax.lax.Precision.HIGHEST) * scale
+    pos = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 3)
+    valid = pos < lengths[:, None, None, None]
+    if starts is not None:
+        valid = valid & (pos >= starts[:, None, None, None])
+    scores = jnp.where(valid, scores, NEG_INF)
+    m = jnp.max(scores, axis=-1)                   # (B, NH, KQ)
+    p = jnp.where(valid, jnp.exp(scores - m[..., None]), 0.0)
+    l = jnp.sum(p, axis=-1)
+    acc = jnp.einsum("bhqk,bhkd->bqhd", p, v.astype(jnp.float32),
+                     precision=jax.lax.Precision.HIGHEST)
+    return acc, m.swapaxes(1, 2), l.swapaxes(1, 2)
+
+
+def paged_decode_attention_parts_mq_xla(q, k_pages, v_pages, block_tables,
+                                        lengths, starts=None):
+    """XLA oracle/fallback for paged_decode_attention_parts_mq."""
+    from llmc_paged_tpu.kv.layouts import gather_layer_kv
+
+    k, v = gather_layer_kv(k_pages, v_pages, block_tables)
+    return _parts_from_dense_mq(q, k, v, lengths, starts)
+
+
+def paged_decode_attention_quant_parts_mq_xla(q, k_pages, v_pages, k_scale,
+                                              v_scale, block_tables,
+                                              lengths, starts=None):
+    """XLA oracle/fallback for paged_decode_attention_quant_parts_mq."""
+    from llmc_paged_tpu.kv.layouts import dequant_layer, gather_layer_kv
+
+    k, v = gather_layer_kv(dequant_layer(k_pages, k_scale),
+                           dequant_layer(v_pages, v_scale), block_tables)
+    return _parts_from_dense_mq(q, k, v, lengths, starts)

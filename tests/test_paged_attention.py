@@ -162,6 +162,74 @@ def test_quant_kernel_both_paths(ps, P):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("KQ", [1, 4])
+def test_mq_parts_match_oracle(KQ):
+    """Multi-query pool parts (speculative-verify path): the flat mq
+    kernel's unnormalized (acc, m, l) must match the XLA-gather oracle on
+    ragged lengths, zero-length rows, and window starts — and at KQ=1 must
+    agree with the single-query parts kernel."""
+    from llmc_paged_tpu.ops.paged_attention import (
+        paged_decode_attention_parts, paged_decode_attention_parts_mq,
+        paged_decode_attention_parts_mq_xla)
+
+    ps, P, B, NH, HS = 128, 14, 3, 4, 64
+    rng = np.random.default_rng(21)
+    q = jnp.asarray(rng.standard_normal((B, KQ, NH, HS), dtype=np.float32))
+    _, k, v, tables, _ = rand_case(B=B, P=P, ps=ps, seed=21)
+    lengths = jnp.asarray(np.array([0, 2 * ps + 5, 4 * ps], np.int32))
+    starts = jnp.asarray(np.array([0, ps + 3, 0], np.int32))
+    acc, m, l = paged_decode_attention_parts_mq(q, k, v, tables, lengths,
+                                                starts, interpret=INTERP)
+    acc_x, m_x, l_x = paged_decode_attention_parts_mq_xla(
+        q, k, v, tables, lengths, starts)
+    live = np.asarray(lengths) > 0
+    np.testing.assert_allclose(np.asarray(acc)[live], np.asarray(acc_x)[live],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(m)[live], np.asarray(m_x)[live],
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(l)[live], np.asarray(l_x)[live],
+                               rtol=1e-5, atol=1e-5)
+    assert np.all(np.asarray(l)[~live] == 0.0)
+    if KQ == 1:
+        acc1, m1, l1 = paged_decode_attention_parts(
+            q[:, 0], k, v, tables, lengths, starts, interpret=INTERP)
+        np.testing.assert_allclose(np.asarray(acc)[:, 0][live],
+                                   np.asarray(acc1)[live],
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(l)[:, 0][live],
+                                   np.asarray(l1)[live],
+                                   rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("ps", [8, 128])
+def test_mq_quant_parts_match_oracle(ps):
+    """INT8-KV multi-query parts — ps=128 runs the flat mq kernel, ps=8
+    falls back to the XLA path (both must agree with the dequant oracle)."""
+    from llmc_paged_tpu.kv.layouts import quantize_pages
+    from llmc_paged_tpu.ops.paged_attention import (
+        paged_decode_attention_quant_parts_mq,
+        paged_decode_attention_quant_parts_mq_xla)
+
+    P, B, NH, HS, KQ = 14, 3, 4, 64, 3
+    rng = np.random.default_rng(31)
+    q = jnp.asarray(rng.standard_normal((B, KQ, NH, HS), dtype=np.float32))
+    _, k, v, tables, _ = rand_case(B=B, P=P, ps=ps, seed=31)
+    kq_, ks = quantize_pages(k)
+    vq_, vs = quantize_pages(v)
+    lengths = jnp.asarray(np.array([ps, 3 * ps + 1, 2 * ps], np.int32))
+    starts = jnp.asarray(np.array([0, ps, ps // 2], np.int32))
+    acc, m, l = paged_decode_attention_quant_parts_mq(
+        q, kq_, vq_, ks, vs, tables, lengths, starts, interpret=INTERP)
+    acc_x, m_x, l_x = paged_decode_attention_quant_parts_mq_xla(
+        q, kq_, vq_, ks, vs, tables, lengths, starts)
+    np.testing.assert_allclose(np.asarray(acc), np.asarray(acc_x),
+                               rtol=1e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(m), np.asarray(m_x),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(l), np.asarray(l_x),
+                               rtol=1e-5, atol=2e-5)
+
+
 def test_kernel_matches_dense_attention():
     """The full chain: scatter K/V into shuffled pages, then the paged
     kernel must equal dense decode attention over the contiguous layout."""
