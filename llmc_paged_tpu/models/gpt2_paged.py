@@ -34,6 +34,7 @@ from llmc_paged_tpu.kv.layouts import (
     PagePool,
     QuantPagePool,
     prompt_page_ids,
+    token_coords,
     write_layer_kv,
     write_layer_kv_quant,
     write_prompt_pages,
@@ -301,6 +302,210 @@ def decode_chunk_paged(params: gpt2.Params, first_tokens: jax.Array,
                                     fpages, fslots)
         pool = pool.with_layer(i, pool_l)
     return out, pool
+
+
+def _ngram_draft(hist: jax.Array, hl: jax.Array, n: int, d: int
+                 ) -> jax.Array:
+    """Device-side prompt-lookup drafting: for each row, find the MOST
+    RECENT position whose n-gram equals the row's last n tokens and
+    propose the d tokens that followed it. Returns (B, d) int32 with -1
+    where no draft exists (no match, or the continuation runs past the
+    known tokens) — -1 never equals an argmax, so bogus drafts are simply
+    rejected by verification; correctness never depends on draft quality.
+
+    hist (B, H): all known tokens per row (prompt + generated); hl (B,):
+    how many are valid. Cost is a (B, H, n) compare — noise next to one
+    decode step on the MXU."""
+    B, H = hist.shape
+    idx = hl[:, None] - n + jnp.arange(n, dtype=jnp.int32)[None, :]
+    tail = jnp.take_along_axis(hist, jnp.clip(idx, 0, H - 1), axis=1)
+    Wn = H - n + 1
+    win = jnp.stack([hist[:, i:i + Wn] for i in range(n)], axis=-1)
+    j_idx = jnp.arange(Wn, dtype=jnp.int32)[None, :]
+    # j == hl-n is the trivial self-match (continuation = the empty
+    # future); require the match to end at least one token earlier
+    ok = (j_idx + n <= hl[:, None] - 1) & (hl[:, None] >= n + 1)
+    match = jnp.all(win == tail[:, None, :], axis=-1) & ok
+    best = jnp.max(jnp.where(match, j_idx, -1), axis=1)          # (B,)
+    didx = best[:, None] + n + jnp.arange(d, dtype=jnp.int32)[None, :]
+    drafts = jnp.take_along_axis(hist, jnp.clip(didx, 0, H - 1), axis=1)
+    valid = (best >= 0)[:, None] & (didx < hl[:, None])
+    return jnp.where(valid, drafts, -1)
+
+
+def _spec_tail_attention(q, pool_l, tail_k, tail_v, block_tables, pos0,
+                         t_off, use_kernel: bool, interp: bool, quant: bool):
+    """Verify-step attention: KQ in-flight queries against the read-only
+    pool prefix (multi-query parts kernel — ONE page walk for all KQ) plus
+    the chunk tail, merged via online-softmax parts like _chunk_attention.
+
+    q (B, KQ, NH, HS); tail_k/tail_v (TK, B, NH, HS) where rows
+    [0, t_off[b]) hold this chunk's ACCEPTED tokens and rows
+    [t_off[b], t_off[b]+KQ) the current in-flight block (query j attends
+    tail rows r <= t_off[b]+j — causal within the block, total over the
+    accepted prefix). Rows past that are stale rejected writes — masked."""
+    from llmc_paged_tpu.ops.paged_attention import (
+        paged_decode_attention_parts_mq,
+        paged_decode_attention_parts_mq_xla,
+        paged_decode_attention_quant_parts_mq,
+        paged_decode_attention_quant_parts_mq_xla,
+    )
+    B, KQ, NH, HS = q.shape
+    TK = tail_k.shape[0]
+    kw = {"interpret": True} if (use_kernel and interp) else {}
+    if use_kernel:
+        parts = (paged_decode_attention_quant_parts_mq if quant
+                 else paged_decode_attention_parts_mq)
+    else:
+        parts = (paged_decode_attention_quant_parts_mq_xla if quant
+                 else paged_decode_attention_parts_mq_xla)
+        kw = {}
+    starts = jnp.zeros_like(pos0)
+    acc_p, m_p, l_p = parts(q, *pool_l, block_tables, pos0, starts, **kw)
+
+    qf = q.astype(jnp.float32)
+    scale = jax.lax.rsqrt(jnp.float32(HS))
+    scores = jnp.einsum("bqhd,kbhd->bqhk", qf, tail_k.astype(jnp.float32),
+                        precision=jax.lax.Precision.HIGHEST) * scale
+    r_idx = jnp.arange(TK, dtype=jnp.int32)
+    limit = t_off[:, None] + jnp.arange(KQ, dtype=jnp.int32)[None, :]
+    mask = r_idx[None, None, :] <= limit[..., None]       # (B, KQ, TK)
+    scores = jnp.where(mask[:, :, None, :], scores, NEG_INF)
+    m_t = jnp.max(scores, axis=-1)                        # (B, KQ, NH)
+    p = jnp.where(mask[:, :, None, :],
+                  jnp.exp(scores - m_t[..., None]), 0.0)
+    l_t = jnp.sum(p, axis=-1)
+    acc_t = jnp.einsum("bqhk,kbhd->bqhd", p, tail_v.astype(jnp.float32),
+                       precision=jax.lax.Precision.HIGHEST)
+
+    m = jnp.maximum(m_p, m_t)
+    a_p = jnp.exp(m_p - m)
+    a_t = jnp.exp(m_t - m)
+    l = l_p * a_p + l_t * a_t
+    l = jnp.where(l == 0.0, 1.0, l)
+    att = (acc_p * a_p[..., None] + acc_t * a_t[..., None]) / l[..., None]
+    return att.astype(q.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "use_kernel", "num_steps",
+                                    "spec_k", "ngram"),
+                   donate_argnums=(4,))
+def decode_chunk_spec(params: gpt2.Params, first_tokens: jax.Array,
+                      positions0: jax.Array, hist: jax.Array,
+                      pool: PagePool, block_tables: jax.Array,
+                      cfg: GPT2Config, num_steps: int, spec_k: int,
+                      ngram: int = 3, use_kernel: bool = True):
+    """SPECULATIVE decode chunk: num_steps greedy verify-steps entirely on
+    device, each consuming spec_k tokens — the carried token plus
+    spec_k - 1 drafts proposed by device-side prompt lookup (_ngram_draft)
+    — in ONE forward. Greedy acceptance keeps the longest prefix where
+    draft i equals the argmax at position i-1, so every emitted token
+    equals plain greedy decode EXACTLY regardless of draft quality; a step
+    yields between 1 and spec_k tokens. Decode is weight-bandwidth-bound,
+    so the extra verify FLOPs ride the same weight stream: acceptance
+    converts directly into tokens/step. (No reference analogue; the
+    TPU-first design is drafting + verification + acceptance all inside
+    the jitted scan — zero extra host syncs on a relay-tunneled chip.)
+
+    first_tokens (B,): input token for step 0 (the last known token);
+    positions0 (B,): its position = committed pool length (< 0 → row
+    inactive for the whole chunk); hist (B, H): ALL known tokens per row
+    (prompt + generated), row b valid through positions0[b] + 1 —
+    H must fit positions0 + 1 + num_steps*spec_k; block_tables must
+    already cover pages for num_steps*spec_k new tokens per row (the host
+    reserves the maximum and rolls back with BlockManager.truncate_to).
+
+    Returns (out (S, spec_k, B) int32 — step s's argmax tokens, of which
+    counts (S, B) leading entries are real; hist (B, H) updated;
+    last_tok (B,), new_positions (B,) — device carries for chaining;
+    pool with ONLY accepted K/V committed). Greedy only; sliding-window
+    serving keeps the non-speculative chunk path."""
+    S, K = num_steps, spec_k
+    assert K >= 2, "spec_k < 2 is plain greedy decode — use decode_chunk_paged"
+    B = first_tokens.shape[0]
+    NH, HS = cfg.num_heads, cfg.head_dim
+    TK = S * K
+    active = positions0 >= 0
+    pos0 = jnp.where(active, positions0, 0)
+    quant = isinstance(pool, QuantPagePool)
+    interp = _use_interpret()
+    stack = gpt2._layer_stack(params)
+    cdtype = params["wpe"].dtype
+    tk0 = tuple(jnp.zeros((TK, B, NH, HS), cdtype)
+                for _ in range(cfg.num_layers))
+    tv0 = tuple(jnp.zeros((TK, B, NH, HS), cdtype)
+                for _ in range(cfg.num_layers))
+    barange = jnp.arange(B, dtype=jnp.int32)
+    karange = jnp.arange(K, dtype=jnp.int32)
+
+    def step(carry, _):
+        cur_tok, hist, hl, t_off, tks, tvs = carry
+        drafts = _ngram_draft(hist, hl, ngram, K - 1)       # (B, K-1)
+        inputs = jnp.concatenate([cur_tok[:, None], drafts], axis=1)
+        q_pos = (pos0 + t_off)[:, None] + karange[None, :]  # (B, K)
+        wpe_pos = jnp.minimum(q_pos, cfg.max_seq_len - 1)
+        x = gpt2._embed(params, jnp.maximum(inputs, 0), wpe_pos)
+
+        for i in range(cfg.num_layers):
+            lp = {name: w[i] for name, w in stack.items()}
+
+            def attend(q, k, v, i=i):                       # (B, K, NH, HS)
+                nonlocal tks, tvs
+                ridx = (t_off[:, None] + karange[None, :]).T   # (K, B)
+                tk = tks[i].at[ridx, barange[None, :]].set(
+                    k.swapaxes(0, 1).astype(cdtype))
+                tv = tvs[i].at[ridx, barange[None, :]].set(
+                    v.swapaxes(0, 1).astype(cdtype))
+                tks = tks[:i] + (tk,) + tks[i + 1:]
+                tvs = tvs[:i] + (tv,) + tvs[i + 1:]
+                att = _spec_tail_attention(q, pool.layer(i), tk, tv,
+                                           block_tables, pos0, t_off,
+                                           use_kernel, interp, quant)
+                return att.reshape(B, K, cfg.channels)
+
+            x = gpt2._block(x, lp, cfg, attend)
+        logits = gpt2._logits(x, params, cfg)               # (B, K, V)
+        o = jnp.argmax(logits, axis=-1).astype(jnp.int32)   # (B, K)
+
+        lead = jnp.cumprod((o[:, :-1] == drafts).astype(jnp.int32), axis=1)
+        a = jnp.where(active, 1 + jnp.sum(lead, axis=1), 0)  # (B,)
+        # append all K outputs at hl (stale entries beyond hl+a are
+        # overwritten by the next step before any masked read sees them)
+        hidx = hl[:, None] + karange[None, :]
+        hist = hist.at[barange[:, None], hidx].set(o, mode="drop")
+        nxt = jnp.take_along_axis(
+            o, jnp.maximum(a - 1, 0)[:, None], axis=1)[:, 0]
+        nxt = jnp.where(active, nxt, cur_tok)
+        return (nxt, hist, hl + a, t_off + a, tks, tvs), (o.T, a)
+
+    hl0 = jnp.where(active, pos0 + 1, 0)
+    (last_tok, hist, hl, t_off, tks, tvs), (out, counts) = jax.lax.scan(
+        step, (first_tokens, hist, hl0, jnp.zeros(B, jnp.int32), tk0, tv0),
+        None, length=S)
+
+    # commit ONLY the accepted tail rows: coordinates computed on device
+    # from the block tables (acceptance is data-dependent, so the host
+    # cannot precompute them like the non-speculative chunk does)
+    tpos = pos0[:, None] + jnp.arange(TK, dtype=jnp.int32)[None, :]
+    valid = (jnp.arange(TK, dtype=jnp.int32)[None, :] < t_off[:, None]) \
+        & active[:, None]
+    pg, sl = token_coords(block_tables, tpos, pool.page_size, valid,
+                          pool.num_pages)
+    fpages = pg.T.reshape(TK * B)                 # tail rows are (TK, B)
+    fslots = sl.T.reshape(TK * B)
+    for i in range(cfg.num_layers):
+        rows_k = tks[i].reshape(TK * B, NH, HS)
+        rows_v = tvs[i].reshape(TK * B, NH, HS)
+        if quant:
+            pool_l = write_layer_kv_quant(pool.layer(i), rows_k, rows_v,
+                                          fpages, fslots)
+        else:
+            pool_l = write_layer_kv(*pool.layer(i), rows_k, rows_v,
+                                    fpages, fslots)
+        pool = pool.with_layer(i, pool_l)
+    new_positions = jnp.where(active, pos0 + t_off, positions0)
+    return out, counts, hist, last_tok, new_positions, pool
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",), donate_argnums=(4,))
