@@ -116,6 +116,14 @@ class EngineConfig:
     # bit-exact xorshift stream (which stays the default).
     device_sampling: bool = False
     decode_chunk: int = 16             # greedy tokens per device round trip
+    # Speculative decoding (greedy-exact, device-side prompt lookup):
+    # each decode-chunk step verifies spec_k tokens (the carried token +
+    # spec_k-1 n-gram drafts) in one forward, accepting the longest prefix
+    # that matches the greedy argmax — a step yields 1..spec_k tokens for
+    # ~the same HBM traffic as 1. 0/1 = off. Requires greedy serving,
+    # full-context attention (no --window), single-device (no mesh_shape).
+    spec_k: int = 0
+    spec_ngram: int = 3                # drafting n-gram length
     seed: int = 1337                   # xorshift seed (paged_infer.c:975)
     mesh_shape: Optional[dict] = None  # e.g. {"data": 1, "model": 4}
     # Validate every device-bound index (block tables, page/slot coords,

@@ -61,6 +61,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="non-quantized-leaf dtype for --dtype int8 "
                         "(bfloat16 is slightly faster; float32 keeps "
                         "int8 TP bit-equal to single-device)")
+    p.add_argument("--spec-k", type=int, default=0,
+                   help="speculative decoding: verify K tokens per device "
+                        "step (carried token + K-1 device n-gram drafts), "
+                        "greedy-exact; 0 = off. Requires --greedy, no "
+                        "--window, no --mesh-model")
+    p.add_argument("--spec-ngram", type=int, default=3,
+                   help="n-gram length for speculative drafting")
     p.add_argument("--device-sampling", action="store_true",
                    help="sample on device inside decode chunks (fast "
                         "non-greedy serving; not bit-parity with the C "
@@ -107,6 +114,7 @@ def main(argv=None) -> int:
                          greedy=args.greedy, top_k=args.top_k,
                          temperature=args.temperature,
                          device_sampling=args.device_sampling,
+                         spec_k=args.spec_k, spec_ngram=args.spec_ngram,
                          log_every=args.log_every,
                          mesh_shape={"model": args.mesh_model}
                          if args.mesh_model else None)

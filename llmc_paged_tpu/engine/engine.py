@@ -376,6 +376,32 @@ class InferenceEngine:
         sample_key = (None if sampler.greedy or not econf.device_sampling
                       else jax.random.PRNGKey(econf.seed))
 
+        # Speculative decoding (EngineConfig.spec_k): greedy-exact by
+        # construction, so it composes only with configurations whose
+        # token stream IS the greedy stream
+        use_spec = econf.spec_k >= 2
+        spec_stats = {"steps": 0, "accepted": 0}
+        if use_spec:
+            if not sampler.greedy:
+                raise ValueError(
+                    "spec_k requires greedy serving: speculative "
+                    "verification accepts argmax matches; rejection "
+                    "sampling for the stochastic samplers is not "
+                    "implemented")
+            if self._tp is not None:
+                raise ValueError("spec_k under tensor parallelism is not "
+                                 "supported yet")
+            # the window must never ACTIVATE: sliding would change what
+            # the verify queries attend vs plain greedy mid-stream (the
+            # non-speculative chunk path keeps window serving)
+            for r in requests:
+                if r.max_new_tokens > 0 and \
+                        min(len(r.prompt), window) + r.max_new_tokens > window:
+                    raise ValueError(
+                        f"spec_k with sliding-window serving is not "
+                        f"supported: request {r.rid} outgrows the "
+                        f"window ({window})")
+
         def requeue_evicted(evicted: List[int], skip_slot: int = -1) -> List[int]:
             preempted = []
             for victim in set(evicted):
@@ -528,6 +554,122 @@ class InferenceEngine:
                 prefill pick (recomputed per chain link — flush_deferred
                 moves the token into req.generated mid-chain)."""
                 return ({s: 1 for s, _ in deferred[1]} if deferred else {})
+
+            # ---- speculative chunk chain (EngineConfig.spec_k) ----------
+            # Like the greedy chain below, but each device step VERIFIES
+            # spec_k tokens (carried token + device n-gram drafts) and
+            # yields 1..spec_k of them. Acceptance is data-dependent, so
+            # the host reserves the maximum (S*spec_k tokens per row per
+            # link) up front and rolls the manager back to the accepted
+            # length with truncate_to once the chain materializes.
+            if use_spec and sched.running:
+                flush_deferred()   # spec chains read req.tokens on the host
+                S = max(1, econf.decode_chunk)
+                Ksp = econf.spec_k
+                TK = S * Ksp
+                ps = page.page_size
+                pending_spec: List = []      # (out dev, counts dev, plan)
+                links = 0
+                hist_d = first_d = pos0_d = None
+                pre_len: Dict[int, int] = {}
+                gen_before = {s: len(r.generated)
+                              for s, r in sched.running.items()}
+                while True:
+                    plan = []
+                    need_pages = 0
+                    for slot, req in sched.running.items():
+                        rem = req.max_new_tokens - gen_before[slot]
+                        if links * S >= rem:
+                            # ≥1 token accepted per step: the row has
+                            # deterministically finished in earlier links
+                            continue
+                        ln = mgr.seq_len(slot)
+                        if ln + TK > page.max_context:
+                            continue   # no headroom for a full reservation
+                        tail = (ps - ln % ps) % ps
+                        need_pages += max(0, -(-(TK - tail) // ps))
+                        plan.append(slot)
+                    if not plan or need_pages > mgr.num_free():
+                        break
+                    for slot in plan:
+                        pre_len.setdefault(slot, mgr.seq_len(slot))
+                        segs, evicted = mgr.append_tokens(slot, TK)
+                        if evicted:
+                            raise RuntimeError(
+                                "free-page guard failed: eviction inside a "
+                                f"speculative chain (victims {evicted})")
+                    tables = np.zeros((B, pps), np.int32)
+                    for slot in plan:
+                        tables[slot] = mgr.block_table_array(slot, pps)
+                    if econf.debug_checks:
+                        assert tables.min() >= 0 and \
+                            tables.max() < page.num_pages
+                    if hist_d is None:
+                        hist = np.zeros((B, page.max_context + 1), np.int32)
+                        first = np.zeros(B, np.int32)
+                        pos0 = np.full(B, -1, np.int32)
+                        for slot in plan:
+                            req = sched.running[slot]
+                            hist[slot, : len(req.tokens)] = req.tokens
+                            first[slot] = req.tokens[-1]
+                            pos0[slot] = len(req.tokens) - 1
+                        hist_d, first_d = jnp.asarray(hist), jnp.asarray(first)
+                        pos0_d = jnp.asarray(pos0)
+                    else:
+                        # deactivate rows that left the plan (capacity); a
+                        # row never re-enters mid-chain
+                        keep = np.zeros(B, bool)
+                        keep[plan] = True
+                        pos0_d = jnp.where(jnp.asarray(keep), pos0_d, -1)
+                    out_d, counts_d, hist_d, first_d, pos0_d, pool = \
+                        gpt2_paged.decode_chunk_spec(
+                            self.params, first_d, pos0_d, hist_d, pool,
+                            jnp.asarray(tables), cfg, num_steps=S,
+                            spec_k=Ksp, ngram=econf.spec_ngram,
+                            use_kernel=self.use_kernel)
+                    pending_spec.append((out_d, counts_d, list(plan)))
+                    links += 1
+                    peak_pages = max(peak_pages,
+                                     page.num_pages - mgr.num_free())
+                    if queue_blocked:
+                        # a row may finish ANY link (acceptance is
+                        # data-dependent): materialize per link so its
+                        # slot/pages release promptly for admission
+                        break
+                if pending_spec:
+                    progressed = True
+                    # one device→host transfer for the whole chain
+                    all_out = np.asarray(
+                        jnp.stack([o for o, _, _ in pending_spec]))
+                    all_cnt = np.asarray(
+                        jnp.stack([c for _, c, _ in pending_spec]))
+                    committed = {s: 0 for s in pre_len}
+                    for li, (_, _, plan) in enumerate(pending_spec):
+                        for slot in plan:
+                            req = sched.running[slot]
+                            for s_i in range(S):
+                                cnt = int(all_cnt[li, s_i, slot])
+                                req.generated.extend(
+                                    int(t)
+                                    for t in all_out[li, s_i, :cnt, slot])
+                            committed[slot] += int(all_cnt[li, :, slot].sum())
+                            spec_stats["steps"] += S
+                    for slot, pre in pre_len.items():
+                        req = sched.running[slot]
+                        spec_stats["accepted"] += committed[slot]
+                        mgr.truncate_to(slot, pre + committed[slot])
+                        if len(req.generated) > req.max_new_tokens:
+                            del req.generated[req.max_new_tokens:]  # overshoot
+                        decode_tokens += len(req.generated) - gen_before[slot]
+                    for slot in list(sched.running):
+                        if sched.running[slot].done:
+                            mgr.free_prompt(slot)
+                            sched.finish(slot)
+                    continue
+                # spec chain could not run (pool pressure / no headroom):
+                # fall through — the plain chunk chain needs fewer pages
+                # per link, and below it the single-token path handles
+                # eviction/preemption
 
             dct = defer_counts()
             if chainable and sched.running:
@@ -821,6 +963,13 @@ class InferenceEngine:
             "p50_ttft_s": float(np.median([r.ttft for r in sched.finished
                                            if r.ttft is not None] or [0.0])),
         }
+        if use_spec:
+            self.stats["spec_steps"] = spec_stats["steps"]
+            # committed tokens per verify step (incl. overshoot): the raw
+            # acceptance of the drafting mechanism, in [1, spec_k]
+            self.stats["spec_tok_per_step"] = round(
+                spec_stats["accepted"] / spec_stats["steps"], 3) \
+                if spec_stats["steps"] else 0.0
         return sched.finished
 
     # -- dispatch ------------------------------------------------------------

@@ -345,3 +345,82 @@ def test_window_larger_than_max_seq_len_rejected(setup):
         eng = make_engine(cfg, params, mode)
         with pytest.raises(ValueError, match="max_seq_len"):
             eng.generate(prompt, 4, window=cfg.max_seq_len + 1)
+
+
+# -- speculative decoding (EngineConfig.spec_k) -------------------------------
+
+def make_spec_engine(cfg, params, spec_k, max_batch=4, num_pages=64,
+                     **ekw):
+    page = PageConfig(page_size=8, num_pages=num_pages, max_seqs=8,
+                      pages_per_seq=8)
+    econf = EngineConfig(cache_mode="paged", page=page, greedy=True,
+                         max_batch=max_batch, decode_chunk=4,
+                         spec_k=spec_k, **ekw)
+    return InferenceEngine(params, cfg, econf)
+
+
+def test_spec_tokens_equal_plain_greedy(setup):
+    """spec_k serving emits exactly the plain greedy token stream for a
+    whole mixed-length batch, and the speculative path actually runs."""
+    cfg, params, stream = setup
+    reqs = lambda: [Request(rid=i, prompt=stream[i * 5: i * 5 + 4 + i]
+                            .tolist(), max_new_tokens=8 + 2 * i)
+                    for i in range(4)]
+    plain = make_engine(cfg, params, "paged")
+    base = {r.rid: r.tokens for r in plain.run(reqs())}
+    spec = make_spec_engine(cfg, params, spec_k=3)
+    done = spec.run(reqs())
+    assert {r.rid: r.tokens for r in done} == base
+    assert spec.stats["spec_steps"] > 0, "speculative path never engaged"
+    assert spec.stats["spec_tok_per_step"] >= 1.0
+    # decode_tokens excludes each row's first token (produced by prefill)
+    assert spec.stats["decode_tokens"] == sum(8 + 2 * i - 1 for i in range(4))
+
+
+def test_spec_acceptance_on_repetitive_prompt(setup):
+    """A strongly periodic prompt makes the tiny model's greedy
+    continuation loop, so n-gram drafting must accept > 1 token/step —
+    the mechanism, not just the fallback, is exercised."""
+    cfg, params, _ = setup
+    prompt = [7, 3, 7, 3, 7, 3, 7, 3]
+    spec = make_spec_engine(cfg, params, spec_k=4)
+    done = spec.run([Request(rid=0, prompt=prompt, max_new_tokens=24)])
+    plain = make_engine(cfg, params, "paged").generate(prompt, 24)
+    assert done[0].tokens == plain
+    assert spec.stats["spec_tok_per_step"] > 1.0, \
+        f"no acceptance on a periodic stream: {spec.stats}"
+
+
+def test_spec_under_queue_pressure(setup):
+    """More requests than slots: speculative chains must interleave with
+    admission, finish every request, and match solo greedy decodes."""
+    cfg, params, stream = setup
+    spec = make_spec_engine(cfg, params, spec_k=3, max_batch=2,
+                            num_pages=24)
+    reqs = [Request(rid=i, prompt=stream[i * 3: i * 3 + 3 + (i % 3)]
+                    .tolist(), max_new_tokens=7 + i) for i in range(5)]
+    done = spec.run(reqs)
+    assert len(done) == 5
+    for r in done:
+        assert len(r.generated) == r.max_new_tokens
+        solo = make_engine(cfg, params, "paged").generate(
+            r.prompt, r.max_new_tokens)
+        assert r.tokens == solo, r.rid
+
+
+def test_spec_invalid_configs_rejected(setup):
+    cfg, params, stream = setup
+    prompt = stream[:6].tolist()
+    spec = make_spec_engine(cfg, params, spec_k=3)
+    with pytest.raises(ValueError, match="greedy"):
+        spec.run([Request(rid=0, prompt=prompt, max_new_tokens=4)],
+                 sampler=Sampler(seed=1, greedy=False))
+    with pytest.raises(ValueError, match="window"):
+        # prompt 6 + 8 new > window 10: the window would activate mid-run
+        spec.run([Request(rid=0, prompt=prompt, max_new_tokens=8)],
+                 window=10)
+    # a window the run never outgrows is fine — and still greedy-exact
+    done = spec.run([Request(rid=0, prompt=prompt, max_new_tokens=4)],
+                    window=16)
+    plain = make_engine(cfg, params, "paged").generate(prompt, 4, window=16)
+    assert done[0].tokens == plain
