@@ -29,6 +29,9 @@ Measured rows (beyond the headline sweep):
   pool_fill        — max concurrent seqs per GB MEASURED by admitting
                      256-token sequences until the page pool binds
                      (previously computed analytically only)
+  spec_decode      — speculative decoding (spec_k=4, greedy-exact device
+                     n-gram drafting) at int8: tok/s + accepted tokens per
+                     verify step on this workload
   parity_ps32      — page_size=32 (the reference's BLOCK_SIZE) fp32
                      serving: below the DMA kernel's 128-lane floor, so
                      this records what the grid-kernel parity config costs
@@ -161,7 +164,7 @@ def _cast_params(params32, cfg, param_dtype: str, activation_dtype: str):
 
 def _engine(params32, cfg, *, param_dtype, kv_dtype, B, CHUNK,
             num_pages=None, pages_per_seq=3, greedy=True,
-            top_k=None, temperature=1.0, page_size=128):
+            top_k=None, temperature=1.0, page_size=128, spec_k=0):
     from llmc_paged_tpu.config import EngineConfig, PageConfig
     from llmc_paged_tpu.engine.engine import InferenceEngine
     act = "bfloat16" if param_dtype == "int8" else "float32"
@@ -170,7 +173,7 @@ def _engine(params32, cfg, *, param_dtype, kv_dtype, B, CHUNK,
                       max_seqs=B, pages_per_seq=pages_per_seq,
                       kv_dtype=kv_dtype)
     econf = EngineConfig(cache_mode="paged", page=page, max_batch=B,
-                         greedy=greedy, decode_chunk=CHUNK,
+                         greedy=greedy, decode_chunk=CHUNK, spec_k=spec_k,
                          param_dtype=param_dtype, activation_dtype=act,
                          top_k=top_k, temperature=temperature,
                          # prefill is compute-bound: serve it from a bf16
@@ -376,6 +379,34 @@ def stage_m124(budget: _Budget):
                 "measured_seqs_256tok_per_gb": int(concurrent / pool_gb),
                 "preemptions": engine.stats["preemptions"]}
     part.sub("pool_fill", pool_fill, budget, est_s=20 if _smoke() else 70)
+
+    # speculative decoding (greedy-exact device n-gram drafting, engine
+    # spec_k): config-3 shapes at the headline dtype. tok/s here rides
+    # spec_tok_per_step, which depends on how repetitive the generated
+    # stream is — random-INIT greedy generations loop, so treat this as
+    # the mechanism's measured behavior on THIS workload, not a universal
+    # speedup (the plain int8 sweep row above is the general number).
+    def spec_decode():
+        S = 8 if _smoke() else 16
+        # pages_per_seq=3 leaves headroom for the S*spec_k reservation, so
+        # spec stays engaged through the whole 256-token run
+        engine = _engine(params32, cfg, param_dtype="int8", kv_dtype="int8",
+                         B=B, CHUNK=S, spec_k=4)
+        n_runs = 2 if _smoke() else 3
+        best = None
+        for _ in range(n_runs):
+            done = _run_requests(engine, prompts, NEW)
+            assert len(done) == B
+            if best is None or engine.stats["decode_tok_per_s"] > \
+                    best["decode_tok_per_s"]:
+                best = dict(engine.stats)
+            if not budget.fits(15):
+                break
+        return {"tok_s": round(best["decode_tok_per_s"], 2),
+                "spec_tok_per_step": best["spec_tok_per_step"],
+                "spec_k": 4, "dtype": "int8",
+                "note": "greedy-exact; gain tracks stream repetitiveness"}
+    part.sub("spec_decode", spec_decode, budget, est_s=25 if _smoke() else 60)
 
     # parity-CONFIG serving cost (VERDICT r2 weak #7): page_size=32 — the
     # reference's BLOCK_SIZE — is below the manual-DMA kernel's 128-lane

@@ -95,3 +95,35 @@ def test_bf16_val_loss_gate_on_trained_weights(trained):
     print(f"trained-weights val loss: fp32 {loss_f:.4f} "
           f"bf16 {loss_h:.4f} delta {loss_h - loss_f:+.4f}")
     assert abs(loss_h - loss_f) <= 0.05, (loss_f, loss_h)
+
+
+def test_spec_decode_on_trained_weights(trained):
+    """Speculative decoding measured where it's honest: a CONVERGED model
+    generating from real English text (random-init models loop, inflating
+    n-gram acceptance). The stream must equal plain greedy exactly, and
+    byte-level prose must give prompt-lookup some acceptance > the
+    1 token/step floor."""
+    from llmc_paged_tpu.config import EngineConfig, PageConfig
+    from llmc_paged_tpu.engine.engine import InferenceEngine
+    from llmc_paged_tpu.engine.scheduler import Request
+
+    cfg, params, val_loader, _, _ = trained
+    stream = val_loader.tokens
+    prompts = [stream[o: o + 64].tolist() for o in (0, 512, 2048, 4096)]
+    page = PageConfig(page_size=8, num_pages=96, max_seqs=4,
+                      pages_per_seq=16)
+
+    def run(spec_k):
+        econf = EngineConfig(cache_mode="paged", page=page, greedy=True,
+                             max_batch=4, decode_chunk=4, spec_k=spec_k)
+        eng = InferenceEngine(params, cfg, econf)
+        done = eng.run([Request(rid=i, prompt=list(p), max_new_tokens=48)
+                        for i, p in enumerate(prompts)])
+        return {r.rid: r.tokens for r in done}, dict(eng.stats)
+
+    base, _ = run(0)
+    spec, stats = run(4)
+    assert spec == base, "speculative stream diverged from greedy"
+    print(f"trained-weights spec: {stats['spec_tok_per_step']} tok/step "
+          f"over {stats['spec_steps']} verify steps")
+    assert stats["spec_tok_per_step"] >= 1.0
