@@ -32,6 +32,10 @@ Measured rows (beyond the headline sweep):
   spec_decode      — speculative decoding (spec_k=4, greedy-exact device
                      n-gram drafting) at int8: tok/s + accepted tokens per
                      verify step on this workload
+  prefix_cache     — content-addressed prefix caching at int8: p50 TTFT
+                     of a wave sharing a 128-token system prefix, cold
+                     (nothing cached) vs warm (prefix pages adopted,
+                     suffix-only prefill)
   parity_ps32      — page_size=32 (the reference's BLOCK_SIZE) fp32
                      serving: below the DMA kernel's 128-lane floor, so
                      this records what the grid-kernel parity config costs
@@ -407,6 +411,55 @@ def stage_m124(budget: _Budget):
                 "spec_k": 4, "dtype": "int8",
                 "note": "greedy-exact; gain tracks stream repetitiveness"}
     part.sub("spec_decode", spec_decode, budget, est_s=25 if _smoke() else 60)
+
+    # prefix caching (PageConfig.prefix_cache): 8 requests sharing a
+    # 128-token system prefix (exactly one 128-token page) + distinct
+    # tails. Cold wave prefills everything; the warm wave adopts the
+    # cached page chain and prefills only the tails — the TTFT delta is
+    # the measured value of the feature.
+    def prefix_cache():
+        import numpy as np
+        from llmc_paged_tpu.config import EngineConfig, PageConfig
+        from llmc_paged_tpu.engine.engine import InferenceEngine
+        rng = np.random.default_rng(9)
+        ps = 128 if not _smoke() else 16
+        sys_len, tail = ps, 32 if not _smoke() else 8
+
+        def make_prompts(seed):
+            r = np.random.default_rng(seed)
+            sysp = r.integers(0, cfg.vocab_size, sys_len).tolist()
+            return [sysp + r.integers(0, cfg.vocab_size, tail).tolist()
+                    for _ in range(B)]
+
+        page = PageConfig(page_size=ps, num_pages=B * 3 + 8, max_seqs=B,
+                          pages_per_seq=4, kv_dtype="int8",
+                          prefix_cache=True)
+        econf = EngineConfig(cache_mode="paged", page=page, max_batch=B,
+                             greedy=True, decode_chunk=CHUNK,
+                             param_dtype="int8",
+                             activation_dtype="bfloat16",
+                             prefill_param_dtype="bfloat16")
+        engine = InferenceEngine(
+            _cast_params(params32, cfg, "int8", "bfloat16"), cfg, econf)
+        n_new = NEW // 2
+        pa = make_prompts(1)
+        _run_requests(engine, pa, 2)    # compiles the plain-prefill path
+        _run_requests(engine, pa, 2)    # adopts pa pages -> compiles the
+        #                                 suffix-prefill path
+        # COLD: fresh content (cache cannot match); WARM: same content
+        prompts_m = make_prompts(2)
+        _run_requests(engine, prompts_m, n_new)
+        cold = dict(engine.stats)
+        _run_requests(engine, prompts_m, n_new)
+        warm = dict(engine.stats)
+        assert warm["prefix_hit_tokens"] > 0
+        return {"cold_p50_ttft_s": round(cold["p50_ttft_s"], 4),
+                "warm_p50_ttft_s": round(warm["p50_ttft_s"], 4),
+                "warm_hit_tokens": warm["prefix_hit_tokens"],
+                "warm_tok_s": round(warm["decode_tok_per_s"], 2),
+                "shared_prefix": sys_len, "dtype": "int8"}
+    part.sub("prefix_cache", prefix_cache, budget,
+             est_s=20 if _smoke() else 50)
 
     # parity-CONFIG serving cost (VERDICT r2 weak #7): page_size=32 — the
     # reference's BLOCK_SIZE — is below the manual-DMA kernel's 128-lane

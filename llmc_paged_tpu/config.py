@@ -80,6 +80,15 @@ class PageConfig:
     max_seqs: int = 8
     pages_per_seq: int = 32
     kv_dtype: str = "float32"   # "float32" | "bfloat16" | "int8"
+    # Content-addressed prefix caching (beyond the reference): FULL prompt
+    # pages are shared across sequences by refcount and kept as a
+    # reclaimable cache after their owners finish, so a repeated prompt
+    # prefix (system prompt, few-shot header) is prefilled ONCE — later
+    # admissions adopt the cached pages and prefill only their suffix
+    # against them (kv/manager.py PrefixCachingBlockManager +
+    # models/gpt2_paged.py prefill_suffix_paged). Requires full-context
+    # attention (no --window) and single-device serving (no mesh_shape).
+    prefix_cache: bool = False
 
     @property
     def max_context(self) -> int:

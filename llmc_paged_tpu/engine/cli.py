@@ -68,6 +68,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "--window, no --mesh-model")
     p.add_argument("--spec-ngram", type=int, default=3,
                    help="n-gram length for speculative drafting")
+    p.add_argument("--prefix-cache", action="store_true",
+                   help="content-addressed prefix caching: full prompt "
+                        "pages shared across sequences, suffix-only "
+                        "prefill. Requires no --window, no --mesh-model")
     p.add_argument("--device-sampling", action="store_true",
                    help="sample on device inside decode chunks (fast "
                         "non-greedy serving; not bit-parity with the C "
@@ -106,7 +110,8 @@ def main(argv=None) -> int:
     page = PageConfig(page_size=args.page_size, num_pages=args.num_pages,
                       max_seqs=max(args.batch, 8),
                       pages_per_seq=args.pages_per_seq,
-                      kv_dtype=args.kv_dtype or args.dtype)
+                      kv_dtype=args.kv_dtype or args.dtype,
+                      prefix_cache=args.prefix_cache)
     econf = EngineConfig(cache_mode=args.mode, page=page,
                          param_dtype=args.dtype,
                          activation_dtype=args.activation_dtype,

@@ -188,6 +188,11 @@ class InferenceEngine:
         # on a 1.5B pool, and stale contents are never read (block tables
         # and lengths only ever cover tokens written by the current run)
         self._pool_cache = None
+        # prefix caching (PageConfig.prefix_cache) keeps the MANAGER too:
+        # its content-addressed cache maps chain hashes to pool pages whose
+        # K/V stays resident in _pool_cache between runs, so a later run's
+        # repeated prompt prefix is adopted instead of re-prefilled
+        self._prefix_mgr = None
         # Tensor-parallel serving (EngineConfig.mesh_shape, e.g.
         # {"model": 4} or {"data": 1, "model": 4}): weights, KV pool and
         # the decode step are sharded over heads via shard_map; the
@@ -304,9 +309,31 @@ class InferenceEngine:
 
     def _paged_state(self):
         page = self.econf.page
-        mgr = make_block_manager(page.num_pages, page.page_size,
-                                 max(page.max_seqs, self.econf.max_batch),
-                                 native=self.native_manager)
+        if page.prefix_cache:
+            # the prefix-caching manager is Python-only (its refcount /
+            # content-hash extension is host metadata, never a hot path)
+            # and PERSISTS across runs — cached pages outlive their owners
+            from llmc_paged_tpu.kv.manager import PrefixCachingBlockManager
+            mgr = self._prefix_mgr
+            # the manager's cached-page metadata is only valid over the
+            # SAME device pool buffers; if the pool cache was lost (first
+            # run, or an aborted run dropped it) start the cache over
+            if mgr is None or self._pool_cache is None:
+                mgr = PrefixCachingBlockManager(
+                    page.num_pages, page.page_size,
+                    max(page.max_seqs, self.econf.max_batch))
+                self._prefix_mgr = mgr
+            else:
+                # drop any live sequences a previous run left behind;
+                # their FULL hashed pages demote to the cache, which is
+                # exactly the across-run reuse contract
+                for pid in range(mgr.max_seqs):
+                    mgr.free_prompt(pid)
+        else:
+            mgr = make_block_manager(page.num_pages, page.page_size,
+                                     max(page.max_seqs,
+                                         self.econf.max_batch),
+                                     native=self.native_manager)
         pool = self._pool_cache
         self._pool_cache = None     # ownership moves to run() (donation)
         if pool is None:
@@ -372,9 +399,34 @@ class InferenceEngine:
         # tokens, exactly like mode "none"); cache positions are relative
         # to this base
         bases: Dict[int, int] = {}
+        # per-slot count of prompt tokens served from ADOPTED cached pages
+        # (prefix_cache): the suffix prefill starts at this absolute
+        # position; 0 everywhere when prefix caching is off
+        cached: Dict[int, int] = {}
         link_no = 0
         sample_key = (None if sampler.greedy or not econf.device_sampling
                       else jax.random.PRNGKey(econf.seed))
+
+        # Prefix caching (PageConfig.prefix_cache): content-addressed
+        # sharing of full prompt pages + suffix-only prefill
+        prefix_on = page.prefix_cache
+        prefix_stats = {"hit_tokens": 0, "hit_pages": 0, "registered": 0}
+        if prefix_on:
+            if self._tp is not None:
+                raise ValueError("prefix_cache under tensor parallelism "
+                                 "is not supported yet")
+            # the window must never ACTIVATE: sliding would make page
+            # content position-window-dependent, breaking the content-
+            # addressed sharing (and release_below is rejected by the
+            # prefix manager)
+            for r in requests:
+                if r.max_new_tokens > 0 and \
+                        min(len(r.prompt), window) + r.max_new_tokens \
+                        > window:
+                    raise ValueError(
+                        f"prefix_cache with sliding-window serving is not "
+                        f"supported: request {r.rid} outgrows the "
+                        f"window ({window})")
 
         # Speculative decoding (EngineConfig.spec_k): greedy-exact by
         # construction, so it composes only with configurations whose
@@ -433,8 +485,21 @@ class InferenceEngine:
                     break
                 base = max(0, len(req.tokens) - window)
                 bases[slot] = base
-                segs, evicted = mgr.append_tokens(slot,
-                                                  len(req.tokens) - base)
+                csl = 0
+                if prefix_on:
+                    # adopt the longest cached page chain matching this
+                    # request's known tokens (prompt + any generated from a
+                    # preemption), capped so ≥1 token remains to prefill
+                    hit = mgr.match_prefix(req.tokens)
+                    hit = hit[: (len(req.tokens) - 1) // page.page_size]
+                    if hit:
+                        mgr.adopt(slot, hit)
+                        csl = len(hit) * page.page_size
+                        prefix_stats["hit_pages"] += len(hit)
+                        prefix_stats["hit_tokens"] += csl
+                cached[slot] = csl
+                segs, evicted = mgr.append_tokens(
+                    slot, len(req.tokens) - base - csl)
                 # a victim may be an EARLIER admission of this same wave:
                 # its pages were freed (and may be re-allocated right here),
                 # so it must be dropped from the wave or its prefill would
@@ -459,20 +524,23 @@ class InferenceEngine:
             if admitted:
                 group = admitted
                 Tb = _bucket(max(len(req.tokens) - bases[slot]
+                                 - cached.get(slot, 0)
                                  for slot, req in group))
                 Bg = 1 << (len(group) - 1).bit_length()  # bounded recompiles
                 xs = np.zeros((Bg, Tb), np.int32)
                 valid = np.zeros((Bg, Tb), bool)
                 tables_g = np.zeros((Bg, pps), np.int32)
                 last = np.zeros(Bg, np.int32)
+                offs = np.zeros(Bg, np.int32)
                 for i, (slot, req) in enumerate(group):
-                    n = len(req.tokens) - bases[slot]
-                    xs[i, :n] = req.tokens[bases[slot]:]
+                    skip = bases[slot] + cached.get(slot, 0)
+                    n = len(req.tokens) - skip
+                    xs[i, :n] = req.tokens[skip:]
                     valid[i, :n] = True
                     tables_g[i] = mgr.block_table_array(slot, pps)
                     last[i] = n - 1
-                pos = np.broadcast_to(np.arange(Tb, dtype=np.int32),
-                                      (Bg, Tb)).copy()
+                    offs[i] = cached.get(slot, 0)   # page-aligned by adopt
+                pos = offs[:, None] + np.arange(Tb, dtype=np.int32)[None, :]
                 pg, sl = token_coords(jnp.asarray(tables_g), jnp.asarray(pos),
                                       page.page_size, jnp.asarray(valid),
                                       page.num_pages)
@@ -482,11 +550,31 @@ class InferenceEngine:
                                      self._tp["params"]),
                         jnp.asarray(xs), pg, sl, pool, jnp.asarray(last))
                     logits = logits[: len(group)]
+                elif offs.any():
+                    # ≥1 row rides adopted pages: suffix prefill attends
+                    # the cached prefix through the block table (rows with
+                    # offs 0 degenerate to plain prefill inside)
+                    logits, pool = gpt2_paged.prefill_suffix_paged(
+                        self._prefill_params or self.params,
+                        jnp.asarray(xs), pg, sl, pool,
+                        jnp.asarray(tables_g), jnp.asarray(offs), cfg,
+                        last_pos=jnp.asarray(last),
+                        use_kernel=self.use_kernel)      # (Bg, V)
                 else:
                     logits, pool = gpt2_paged.prefill_paged(
                         self._prefill_params or self.params,
                         jnp.asarray(xs), pg, sl, pool, cfg,
                         last_pos=jnp.asarray(last))      # (Bg, V)
+                if prefix_on:
+                    # publish this wave's full prompt pages for future
+                    # admissions — only NOW, after the program that writes
+                    # their K/V is dispatched (a same-wave evictee never
+                    # prefills, so registering at admission could cache
+                    # never-written pages); device execution is in-order,
+                    # so any later adopter's reads see these writes
+                    for slot, req in group:
+                        prefix_stats["registered"] += \
+                            mgr.register_prompt(slot, req.tokens)
                 if sampler.greedy:
                     # DEFER the host materialization: pick on device and
                     # let the first chunk chain launch before the ~60ms
@@ -970,6 +1058,14 @@ class InferenceEngine:
             self.stats["spec_tok_per_step"] = round(
                 spec_stats["accepted"] / spec_stats["steps"], 3) \
                 if spec_stats["steps"] else 0.0
+        if prefix_on:
+            # prompt tokens served from adopted cached pages (their
+            # prefill was skipped entirely) + cache occupancy after the run
+            self.stats["prefix_hit_tokens"] = prefix_stats["hit_tokens"]
+            self.stats["prefix_hit_pages"] = prefix_stats["hit_pages"]
+            self.stats["prefix_pages_registered"] = \
+                prefix_stats["registered"]
+            self.stats["prefix_cached_pages"] = mgr.num_cached()
         return sched.finished
 
     # -- dispatch ------------------------------------------------------------

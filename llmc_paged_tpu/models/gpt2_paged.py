@@ -570,3 +570,78 @@ def prefill_paged(params: gpt2.Params, tokens: jax.Array,
     if last_pos is not None:
         x = x[jnp.arange(B), last_pos]          # (B, C)
     return gpt2._logits(x, params, cfg), pool
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "use_kernel"),
+                   donate_argnums=(4,))
+def prefill_suffix_paged(params: gpt2.Params, tokens: jax.Array,
+                         page: jax.Array, slot: jax.Array, pool: PagePool,
+                         block_tables: jax.Array, pool_len: jax.Array,
+                         cfg: GPT2Config, last_pos: jax.Array,
+                         use_kernel: bool = True
+                         ) -> Tuple[jax.Array, PagePool]:
+    """Prefill of a prompt SUFFIX whose prefix is already resident in the
+    pool (prefix caching, PageConfig.prefix_cache): suffix token j of row b
+    sits at absolute position pool_len[b] + j and attends the cached
+    prefix THROUGH THE BLOCK TABLE (multi-query parts kernel — one page
+    walk scores all suffix queries, exactly the speculative-verify read
+    path) plus the suffix itself causally, merged online-softmax. The
+    reference has no analogue (every prompt re-computes its full KV,
+    paged_infer.c:699-704); on TPU the cached prefix is pure metadata —
+    adopted block-table entries — so the saved prefill work is exactly
+    proportional to the shared length.
+
+    PRECONDITIONS: pool_len[b] % page_size == 0 (only FULL pages are
+    shared) and the suffix starts on a freshly-allocated page, so the
+    page-granular write path of prefill_paged applies unchanged with
+    suffix-local token indices (token j → in-page slot j % ps). Rows with
+    pool_len == 0 degenerate to plain prefill (the pool part masks off).
+    ``slot`` is accepted for signature symmetry only, like prefill_paged.
+
+    tokens (B, Tsuf) right-padded suffixes; page (B, Tsuf) per-token pool
+    coordinates (drop sentinel on padding); pool_len (B,) cached prefix
+    lengths; last_pos (B,) suffix-local index of each row's true last
+    prompt token. Returns ((B, V) logits at last_pos, pool). Pool DONATED.
+    """
+    B, T = tokens.shape
+    pos = pool_len[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+    wpe_pos = jnp.minimum(pos, cfg.max_seq_len - 1)
+    x = gpt2._embed(params, tokens, wpe_pos)
+    quant = isinstance(pool, QuantPagePool)
+    interp = _use_interpret()
+    stack = gpt2._layer_stack(params)
+    ps = pool.page_size
+    Tp = -(-T // ps) * ps
+    page_ids = prompt_page_ids(page, T, ps, pool.num_pages)
+    # The flat mq kernel's VMEM blocks scale with KQ (= Tsuf here); long
+    # suffixes go through the XLA-gather parts instead — prefill is a
+    # one-shot compute-bound op, so the gather amortizes (unlike decode).
+    use_k = use_kernel and T <= 64
+    t_off = jnp.zeros(B, jnp.int32)
+
+    def pad_t(a):
+        return (a if Tp == T else
+                jnp.pad(a, ((0, 0), (0, Tp - T), (0, 0), (0, 0))))
+
+    for i in range(cfg.num_layers):
+        lp = {name: w[i] for name, w in stack.items()}
+
+        def attend(q, k, v, i=i):                       # (B, T, NH, HS)
+            nonlocal pool
+            if quant:
+                pool_l = write_prompt_pages_quant(pool.layer(i), pad_t(k),
+                                                  pad_t(v), page_ids)
+            else:
+                pool_l = write_prompt_pages(*pool.layer(i), pad_t(k),
+                                            pad_t(v), page_ids)
+            pool = pool.with_layer(i, pool_l)
+            att = _spec_tail_attention(q, pool.layer(i), k.swapaxes(0, 1),
+                                       v.swapaxes(0, 1), block_tables,
+                                       pool_len, t_off, use_k, interp,
+                                       quant)
+            return att.reshape(B, T, cfg.channels)
+
+        x = gpt2._block(x, lp, cfg, attend)
+
+    x = x[jnp.arange(B), last_pos]                      # (B, C)
+    return gpt2._logits(x, params, cfg), pool

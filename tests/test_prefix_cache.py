@@ -1,0 +1,333 @@
+"""Prefix caching tests (PageConfig.prefix_cache).
+
+Contract: content-addressed sharing of FULL prompt pages must be
+invisible in the token stream — engines with prefix caching on/off emit
+identical tokens (greedy) while the cached engine skips the shared
+prefill work (asserted through its hit stats). The manager extension
+(kv/manager.PrefixCachingBlockManager) is exercised directly for the
+refcount / demotion / reclaim / eviction state machine; the base
+manager's reference parity is untouched (tests/test_block_manager.py).
+No reference analogue: the reference prefills every prompt in full
+(paged_infer.c:699-704).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from llmc_paged_tpu.config import EngineConfig, GPT2Config, PageConfig
+from llmc_paged_tpu.engine.engine import InferenceEngine
+from llmc_paged_tpu.engine.scheduler import Request
+from llmc_paged_tpu.kv.layouts import init_pool, token_coords
+from llmc_paged_tpu.kv.manager import BlockManager, PrefixCachingBlockManager
+from llmc_paged_tpu.models import gpt2, gpt2_paged
+
+
+# ---------------------------- manager unit ------------------------------
+
+def _fill(mgr, pid, n):
+    segs, ev = mgr.append_tokens(pid, n)
+    assert segs and ev == []
+    return segs
+
+
+def test_manager_register_match_adopt():
+    mgr = PrefixCachingBlockManager(num_pages=16, page_size=4, max_seqs=8)
+    toks0 = list(range(11))                 # 2 full pages + 3 tokens
+    _fill(mgr, 0, len(toks0))
+    assert mgr.register_prompt(0, toks0) == 2   # only FULL pages publish
+    t0 = mgr.block_table(0)
+
+    # identical prefix matches both full pages; divergence in page 2 of a
+    # longer prompt stops the chain after the shared part
+    assert mgr.match_prefix(toks0) == t0[:2]
+    assert mgr.match_prefix(toks0[:8] + [99, 98, 97, 96]) == t0[:2]
+    # divergence inside page 0 -> no match (chain hash kills suffix reuse)
+    assert mgr.match_prefix([99] + toks0[1:]) == []
+    # same CONTENT as page 1 but at page-0 position -> no match
+    # (position-dependent chain hashing: only true prefixes share)
+    assert mgr.match_prefix(toks0[4:8]) == []
+
+    # adoption shares the pages; both sequences see full-page prefixes
+    hit = mgr.match_prefix(toks0)
+    mgr.adopt(1, hit)
+    assert mgr.seq_len(1) == 8
+    assert mgr.block_table(1) == t0[:2]
+    assert mgr.holders[t0[0]] == {0, 1}
+    # freeing the original owner keeps the shared pages alive
+    mgr.free_prompt(0)
+    assert mgr.holders[t0[0]] == {1}
+    assert mgr.pages[t0[0]].filled == 4
+    # freeing the last holder DEMOTES to cache instead of freeing
+    mgr.free_prompt(1)
+    assert mgr.num_cached() == 2
+    assert mgr.match_prefix(toks0) == t0[:2]    # still matchable
+
+
+def test_manager_cached_reclaim_and_shared_eviction():
+    mgr = PrefixCachingBlockManager(num_pages=4, page_size=4, max_seqs=8)
+    toks = [1, 2, 3, 4, 5, 6, 7, 8]
+    _fill(mgr, 0, 8)
+    mgr.register_prompt(0, toks)
+    mgr.free_prompt(0)                      # both pages now cached
+    assert mgr.num_free() == 4              # cached pages count as free
+    assert mgr.num_cached() == 2
+
+    # allocation pressure reclaims cached pages LRU (transparently)
+    segs = _fill(mgr, 1, 16)                # needs all 4 pages
+    assert sum(s.count for s in segs) == 16
+    assert mgr.num_cached() == 0
+    assert mgr.match_prefix(toks) == []     # cache entries dropped
+
+    # shared pages are exempt from LRU whole-prompt eviction: set up one
+    # shared 1-page prefix (held by 2 and 3) + one exclusive prompt (1)
+    mgr = PrefixCachingBlockManager(num_pages=3, page_size=4, max_seqs=8)
+    _fill(mgr, 2, 4)
+    mgr.register_prompt(2, [5, 5, 5, 5])
+    mgr.adopt(3, mgr.match_prefix([5, 5, 5, 5, 9]))
+    _fill(mgr, 3, 2)                        # 3's own page
+    _fill(mgr, 1, 3)                        # exclusive, LRU-oldest? no:
+    # make prompt 1 the LRU by touching 3's page afterwards
+    mgr.lru_epoch += 1
+    mgr.pages[mgr.block_table(3)[1]].lru_counter = mgr.lru_epoch
+    page, evicted = mgr.request_block(2)    # pool full -> must evict
+    assert page is not None
+    assert evicted and 1 in evicted         # exclusive victim
+    shared = mgr.block_table(2)[0]
+    assert mgr.holders[shared] == {2, 3}    # shared page survived
+
+
+def test_manager_guards():
+    mgr = PrefixCachingBlockManager(num_pages=8, page_size=4, max_seqs=8)
+    toks = [1, 2, 3, 4]
+    _fill(mgr, 0, 4)
+    mgr.register_prompt(0, toks)
+    mgr.adopt(1, mgr.match_prefix(toks))
+    _fill(mgr, 1, 3)
+    # truncating into / freeing a shared or cached page is rejected
+    with pytest.raises(ValueError):
+        mgr.truncate_to(1, 2)               # would shorten the shared page
+    assert mgr.truncate_to(1, 5) == 0       # shorten own partial page
+    assert mgr.seq_len(1) == 5
+    with pytest.raises(RuntimeError):
+        mgr.release_below(1, 4)             # window mode incompatible
+    # exclusive trailing pages still truncate (spec rollback pattern)
+    _fill(mgr, 1, 9)
+    assert mgr.seq_len(1) == 14
+    mgr.truncate_to(1, 6)
+    assert mgr.seq_len(1) == 6
+
+
+# --------------------------- model function -----------------------------
+
+@pytest.mark.parametrize("use_kernel,ps,kv_dtype",
+                         [(True, 128, "float32"), (False, 16, "float32"),
+                          (True, 128, "int8")])
+def test_prefill_suffix_matches_full_prefill(use_kernel, ps, kv_dtype):
+    """prefill_suffix_paged(prefix-resident pool, suffix) must agree with
+    prefill_paged over the whole prompt: last-position logits close, and
+    the next greedy decode step (which reads the pool it wrote) equal."""
+    cfg = GPT2Config.tiny(max_seq_len=512, vocab_size=64, num_layers=2,
+                          num_heads=4, channels=64)
+    params = gpt2.to_device(
+        jax.tree.map(np.asarray,
+                     gpt2.init_params(cfg, jax.random.PRNGKey(0))), cfg)
+    page_cfg = PageConfig(page_size=ps, num_pages=12, max_seqs=4,
+                          pages_per_seq=-(-cfg.max_seq_len // ps),
+                          kv_dtype=kv_dtype)
+    rng = np.random.default_rng(3)
+    B = 2
+    n_pref, n_suf = ps, 7                   # prefix = exactly one page
+    prompts = rng.integers(0, 64, (B, n_pref + n_suf)).astype(np.int32)
+
+    def table_coords(mgr, T, off=0):
+        tables = np.stack([mgr.block_table_array(b, page_cfg.pages_per_seq)
+                           for b in range(B)])
+        pos = off + np.tile(np.arange(T, dtype=np.int32), (B, 1))
+        pg, sl = token_coords(jnp.asarray(tables), jnp.asarray(pos),
+                              ps, jnp.ones((B, T), bool),
+                              page_cfg.num_pages)
+        return jnp.asarray(tables), pg, sl
+
+    # oracle: one full prefill
+    mgr_a = BlockManager(page_cfg.num_pages, ps, 4)
+    pool_a = init_pool(cfg, page_cfg, dtype=kv_dtype)
+    for b in range(B):
+        _fill(mgr_a, b, n_pref + n_suf)
+    tables_a, pg, sl = table_coords(mgr_a, n_pref + n_suf)
+    logits_a, pool_a = gpt2_paged.prefill_paged(
+        params, jnp.asarray(prompts), pg, sl, pool_a, cfg,
+        last_pos=jnp.full(B, n_pref + n_suf - 1, jnp.int32))
+
+    # prefix prefill, then suffix via prefill_suffix_paged
+    mgr_b = BlockManager(page_cfg.num_pages, ps, 4)
+    pool_b = init_pool(cfg, page_cfg, dtype=kv_dtype)
+    for b in range(B):
+        _fill(mgr_b, b, n_pref)
+    _, pg, sl = table_coords(mgr_b, n_pref)
+    _, pool_b = gpt2_paged.prefill_paged(
+        params, jnp.asarray(prompts[:, :n_pref]), pg, sl, pool_b, cfg,
+        last_pos=jnp.full(B, n_pref - 1, jnp.int32))
+    for b in range(B):
+        _fill(mgr_b, b, n_suf)
+    tables_b, pg, sl = table_coords(mgr_b, n_suf, off=n_pref)
+    logits_b, pool_b = gpt2_paged.prefill_suffix_paged(
+        params, jnp.asarray(prompts[:, n_pref:]), pg, sl, pool_b, tables_b,
+        jnp.full(B, n_pref, jnp.int32), cfg,
+        last_pos=jnp.full(B, n_suf - 1, jnp.int32), use_kernel=use_kernel)
+    # int8 pools: the suffix path attends the QUANTIZED prefix K/V while
+    # full prefill attends the unquantized in-flight values — the delta is
+    # the KV quantization error itself, not an implementation difference
+    tol = 2e-4 if kv_dtype == "float32" else 5e-3
+    np.testing.assert_allclose(np.asarray(logits_b), np.asarray(logits_a),
+                               atol=tol, rtol=tol)
+
+    # the pools must continue identically: one greedy decode step each
+    def step(mgr, pool, tables_unused):
+        pg = np.zeros(B, np.int32)
+        sl = np.zeros(B, np.int32)
+        for b in range(B):
+            segs, _ = mgr.append_tokens(b, 1)
+            pg[b], sl[b] = segs[0].page, segs[0].offset
+        tables = np.stack([mgr.block_table_array(b, page_cfg.pages_per_seq)
+                           for b in range(B)])
+        lengths = np.full(B, n_pref + n_suf + 1, np.int32)
+        tok = np.asarray(jnp.argmax(logits_a, axis=-1), np.int32)
+        logits, pool = gpt2_paged.decode_step_paged(
+            params, jnp.asarray(tok),
+            jnp.full(B, n_pref + n_suf, jnp.int32), jnp.asarray(pg),
+            jnp.asarray(sl), jnp.asarray(tables), jnp.asarray(lengths),
+            pool, cfg, use_kernel=use_kernel)
+        return np.asarray(jnp.argmax(logits, axis=-1))
+
+    np.testing.assert_array_equal(step(mgr_a, pool_a, tables_a),
+                                  step(mgr_b, pool_b, tables_b))
+
+
+# ------------------------------- engine ---------------------------------
+
+def _tiny_engine_setup(seed=0):
+    cfg = GPT2Config.tiny(max_seq_len=128, vocab_size=128, num_layers=2,
+                          num_heads=4, channels=32)
+    params = jax.tree.map(
+        np.asarray, gpt2.init_params(cfg, jax.random.PRNGKey(seed)))
+    rng = np.random.default_rng(11)
+    sys_prompt = rng.integers(0, 128, 24).tolist()    # 3 full pages @ ps=8
+    reqs = [sys_prompt + rng.integers(0, 128, int(n)).tolist()
+            for n in (5, 9, 3, 7, 6, 4)]
+    return cfg, params, reqs
+
+
+def _run_engine(params, cfg, reqs, *, prefix, runs=1, max_batch=3,
+                num_pages=48, spec_k=0, param_dtype="float32",
+                kv_dtype="float32", new=10):
+    page = PageConfig(page_size=8, num_pages=num_pages, max_seqs=8,
+                      pages_per_seq=10, kv_dtype=kv_dtype,
+                      prefix_cache=prefix)
+    econf = EngineConfig(cache_mode="paged", page=page, greedy=True,
+                         max_batch=max_batch, decode_chunk=4,
+                         spec_k=spec_k, param_dtype=param_dtype,
+                         activation_dtype=("bfloat16"
+                                           if param_dtype == "int8"
+                                           else "float32"))
+    eng = InferenceEngine(params, cfg, econf)
+    outs = []
+    for _ in range(runs):
+        done = eng.run([Request(rid=i, prompt=list(p), max_new_tokens=new)
+                        for i, p in enumerate(reqs)])
+        assert len(done) == len(reqs)
+        outs.append({r.rid: r.tokens for r in done})
+    return outs, dict(eng.stats)
+
+
+def test_engine_prefix_cache_token_equality_and_hits():
+    """Same tokens with prefix caching on/off, within a run (later waves
+    adopt the first wave's system-prompt pages) and across run() calls
+    (the cache + pool persist); the second run is ~all hits."""
+    cfg, params, reqs = _tiny_engine_setup()
+    base, _ = _run_engine(params, cfg, reqs, prefix=False)
+    pc, stats = _run_engine(params, cfg, reqs, prefix=True, runs=2)
+    assert pc[0] == base[0], "prefix-cache run diverged from plain greedy"
+    assert pc[1] == base[0], "second run diverged (stale cached K/V?)"
+    # 6 requests x 3 shared pages, minus the first (cold) admission wave
+    assert stats["prefix_hit_pages"] >= 18, stats
+    assert stats["prefix_pages_registered"] == 0     # all cached already
+    assert stats["prefix_cached_pages"] > 0
+
+
+def test_engine_prefix_cache_int8():
+    """int8 params + int8 KV pool: adopted pages carry quantized K/V that
+    the suffix prefill dequantizes in its pool-attention part."""
+    cfg, params, reqs = _tiny_engine_setup()
+    base, _ = _run_engine(params, cfg, reqs, prefix=False,
+                          param_dtype="int8", kv_dtype="int8")
+    pc, stats = _run_engine(params, cfg, reqs, prefix=True,
+                            param_dtype="int8", kv_dtype="int8", runs=2)
+    assert pc[0] == base[0] and pc[1] == base[0]
+    assert stats["prefix_hit_pages"] > 0
+
+
+def test_engine_prefix_cache_under_pool_pressure():
+    """A pool too small to keep the cache: cached pages are reclaimed for
+    new allocations (never stall), preemption still works, and the token
+    streams still match the uncached engine exactly."""
+    cfg, params, reqs = _tiny_engine_setup()
+    # 6 seqs x (3 shared + ~2 own + decode) pages; 13 pages forces both
+    # cached-page reclaim and LRU preemption while staying schedulable
+    base, bstats = _run_engine(params, cfg, reqs, prefix=False,
+                               num_pages=13, max_batch=3, new=12)
+    pc, stats = _run_engine(params, cfg, reqs, prefix=True,
+                            num_pages=13, max_batch=3, new=12, runs=2)
+    assert pc[0] == base[0] and pc[1] == base[0]
+    assert stats["peak_pages_used"] <= 13
+
+
+def test_engine_prefix_cache_with_spec():
+    """Prefix caching composes with speculative decoding: spec reserves /
+    truncates only its own exclusive trailing pages."""
+    cfg, params, reqs = _tiny_engine_setup()
+    base, _ = _run_engine(params, cfg, reqs, prefix=False)
+    pc, stats = _run_engine(params, cfg, reqs, prefix=True, spec_k=3,
+                            runs=2)
+    assert pc[0] == base[0] and pc[1] == base[0]
+    assert stats["prefix_hit_pages"] > 0 and stats["spec_steps"] > 0
+
+
+def test_engine_prefix_cache_guards():
+    cfg, params, reqs = _tiny_engine_setup()
+    page = PageConfig(page_size=8, num_pages=48, max_seqs=8,
+                      pages_per_seq=10, prefix_cache=True)
+    econf = EngineConfig(cache_mode="paged", page=page, greedy=True,
+                         max_batch=3)
+    eng = InferenceEngine(params, cfg, econf)
+    with pytest.raises(ValueError, match="window"):
+        eng.run([Request(rid=0, prompt=list(reqs[0]), max_new_tokens=30)],
+                window=32)
+    econf_tp = EngineConfig(cache_mode="paged", page=page, greedy=True,
+                            max_batch=3, mesh_shape={"model": 1})
+    eng_tp = InferenceEngine(params, cfg, econf_tp)
+    with pytest.raises(ValueError, match="tensor parallelism"):
+        eng_tp.run([Request(rid=0, prompt=list(reqs[0]),
+                            max_new_tokens=4)])
+
+
+def test_engine_prefix_cache_preempted_readmission():
+    """A preempted request re-admits with prompt+generated as its known
+    tokens; its own previously-registered pages are re-adopted (hits even
+    for a lone repeated sequence)."""
+    cfg, params, reqs = _tiny_engine_setup()
+    page = PageConfig(page_size=8, num_pages=48, max_seqs=8,
+                      pages_per_seq=10, prefix_cache=True)
+    econf = EngineConfig(cache_mode="paged", page=page, greedy=True,
+                         max_batch=3, decode_chunk=4)
+    eng = InferenceEngine(params, cfg, econf)
+    done1 = eng.run([Request(rid=0, prompt=list(reqs[0]),
+                             max_new_tokens=8)])
+    out1 = done1[0].tokens
+    # the same prompt again: everything page-aligned is adopted
+    done2 = eng.run([Request(rid=0, prompt=list(reqs[0]),
+                             max_new_tokens=8)])
+    assert done2[0].tokens == out1
+    assert eng.stats["prefix_hit_pages"] >= 3
