@@ -253,9 +253,6 @@ class BlockManager:
         return segments, evicted
 
 
-_HASH_SEED = 0x6c6c6d63   # "llmc" — chain-hash root
-
-
 class PrefixCachingBlockManager(BlockManager):
     """Opt-in extension (PageConfig.prefix_cache) BEYOND the reference:
     content-addressed sharing of FULL prompt pages across sequences.
@@ -270,9 +267,12 @@ class PrefixCachingBlockManager(BlockManager):
     State model (page-granular, vLLM-style automatic prefix caching):
       * every page tracks its holder set (sequences whose table contains
         it); `filled`/`lru_counter` keep their base-class meaning
-      * a FULL page whose token content is known gets a chain hash
-        h_j = hash((h_{j-1}, tokens of page j)) — position-dependent by
-        construction, so only true PREFIX matches ever share
+      * a FULL page whose token content is known gets a chain key = the
+        ENTIRE token prefix through that page (a tuple) — prefix-dependent
+        by construction, so only true PREFIX matches ever share; dict
+        lookup compares content on hash collision, so matching is EXACT
+        (never probabilistic — host memory for the keys is trivial next
+        to the device pool)
       * free_prompt drops one holder; a hashed page with no holders left
         DEMOTES to the cache (contents intact, reclaimable) instead of
         freeing
@@ -292,19 +292,17 @@ class PrefixCachingBlockManager(BlockManager):
                  max_seqs: int = 100):
         super().__init__(num_pages, page_size, max_seqs)
         self.holders: List[set] = [set() for _ in range(num_pages)]
-        self.hashes: List[Optional[int]] = [None] * num_pages
-        self.cache: Dict[int, int] = {}        # chain hash -> page id
+        self.hashes: List[Optional[tuple]] = [None] * num_pages
+        self.cache: Dict[tuple, int] = {}      # prefix-content key -> page
 
-    # -- hashing --------------------------------------------------------
+    # -- content keys ---------------------------------------------------
 
-    def _chain_hashes(self, tokens) -> List[int]:
-        """Chain hash per FULL page of `tokens` (len(tokens)//page_size)."""
+    def _chain_keys(self, tokens) -> List[tuple]:
+        """Content key per FULL page of `tokens`: the whole token prefix
+        through that page, as a tuple (page j -> tokens[:(j+1)*ps])."""
         ps = self.page_size
-        out, h = [], _HASH_SEED
-        for j in range(len(tokens) // ps):
-            h = hash((h, tuple(tokens[j * ps:(j + 1) * ps])))
-            out.append(h)
-        return out
+        return [tuple(tokens[:(j + 1) * ps])
+                for j in range(len(tokens) // ps)]
 
     # -- queries --------------------------------------------------------
 
@@ -322,7 +320,7 @@ class PrefixCachingBlockManager(BlockManager):
         page-aligned prefix of `tokens`. Returns their page ids in order
         (possibly empty). Pure lookup — adopt() takes the refs."""
         out = []
-        for h in self._chain_hashes(tokens):
+        for h in self._chain_keys(tokens):
             pid = self.cache.get(h)
             if pid is None:
                 break
@@ -356,7 +354,7 @@ class PrefixCachingBlockManager(BlockManager):
         number of pages newly published."""
         table = self.tables.get(prompt_id, [])
         added = 0
-        for j, h in enumerate(self._chain_hashes(tokens)):
+        for j, h in enumerate(self._chain_keys(tokens)):
             if j >= len(table):
                 break
             pid = table[j]
