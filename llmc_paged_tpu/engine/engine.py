@@ -352,38 +352,77 @@ class InferenceEngine:
         out = self.run(reqs, window=window, sampler=sampler)
         return out[0].tokens
 
+    def validate_request(self, req: Request,
+                         window: Optional[int] = None) -> None:
+        """Raise ValueError if `req` could never be scheduled under this
+        engine's configuration (too long for the pool, or incompatible
+        with an active spec_k / prefix_cache mode). run() applies this to
+        every request; serving fronts call it at submission time so a bad
+        request fails ITS future instead of the whole serving loop."""
+        econf = self.econf
+        page = econf.page
+        window = _check_window(window, self.cfg)
+        if req.max_new_tokens <= 0:
+            return
+        # prompts longer than the window are truncated to their trailing
+        # `window` tokens at admission (mode-"none" parity), so capacity
+        # is window-relative
+        need = min(len(req.prompt), window) + req.max_new_tokens
+        if need > page.max_context:
+            raise ValueError(
+                f"request {req.rid} needs {need} cached tokens"
+                f" > max_context {page.max_context}")
+        # physical pages: slid-out pages are reclaimed as the window
+        # advances (release_below), so a window-W sequence holds at
+        # most ceil(W/ps)+1 live pages however long it runs
+        phys = min(need, window + page.page_size)
+        if -(-phys // page.page_size) > page.num_pages:
+            raise ValueError(
+                f"request {req.rid} needs {-(-phys // page.page_size)}"
+                f" pages > pool size {page.num_pages} — it can never"
+                " be scheduled")
+        # spec_k / prefix_cache require that the window NEVER activates
+        # (see the mode blocks in run() for the rationale)
+        if (econf.spec_k >= 2 or page.prefix_cache) and need > window:
+            mode = "spec_k" if econf.spec_k >= 2 else "prefix_cache"
+            raise ValueError(
+                f"{mode} with sliding-window serving is not supported: "
+                f"request {req.rid} outgrows the window ({window})")
+
     def run(self, requests: List[Request], window: Optional[int] = None,
-            sampler: Optional[Sampler] = None) -> List[Request]:
+            sampler: Optional[Sampler] = None, feed=None,
+            on_finish=None) -> List[Request]:
         """Continuous batching over the paged pool. Returns the finished
-        requests (same objects, with .generated/.ttft/.preemptions filled)."""
+        requests (same objects, with .generated/.ttft/.preemptions filled).
+
+        ``feed``: optional callable ``feed(block: bool) -> (list[Request],
+        still_open: bool)`` polled every scheduler iteration — requests
+        ARRIVING WHILE OTHERS RUN join the batch at the next admission
+        wave (true continuous serving; engine/server.ServingEngine is the
+        threaded front). With ``block=True`` (engine idle) the feed may
+        wait briefly for work. The loop exits when the feed reports
+        closed and all work drained. ``on_finish``: optional callback
+        invoked with each Request the moment it finishes (not at loop
+        exit). With a feed, stats wall_s includes idle waits — per-request
+        latency lives on the Request (ttft, t_done - t_submit)."""
         cfg, econf = self.cfg, self.econf
         page = econf.page
         window = _check_window(window, cfg)
         sampler = sampler or self._default_sampler()
         sched = Scheduler(econf.max_batch)
-        for r in requests:
+
+        def submit_one(r: Request) -> None:
+            self.validate_request(r, window)
             if r.max_new_tokens <= 0:
                 r.state = State.DONE
                 sched.finished.append(r)
-                continue
-            # prompts longer than the window are truncated to their
-            # trailing `window` tokens at admission (mode-"none" parity),
-            # so capacity is window-relative
-            need = min(len(r.prompt), window) + r.max_new_tokens
-            if need > page.max_context:
-                raise ValueError(
-                    f"request {r.rid} needs {need} cached tokens"
-                    f" > max_context {page.max_context}")
-            # physical pages: slid-out pages are reclaimed as the window
-            # advances (release_below), so a window-W sequence holds at
-            # most ceil(W/ps)+1 live pages however long it runs
-            phys = min(need, window + page.page_size)
-            if -(-phys // page.page_size) > page.num_pages:
-                raise ValueError(
-                    f"request {r.rid} needs {-(-phys // page.page_size)}"
-                    f" pages > pool size {page.num_pages} — it can never"
-                    " be scheduled")
+                if on_finish is not None:
+                    on_finish(r)
+                return
             sched.submit(r)
+
+        for r in requests:
+            submit_one(r)
 
         # allocate/reuse the device pool only after every request
         # validated — a ValueError above must not drop the pool cache
@@ -411,22 +450,13 @@ class InferenceEngine:
         # sharing of full prompt pages + suffix-only prefill
         prefix_on = page.prefix_cache
         prefix_stats = {"hit_tokens": 0, "hit_pages": 0, "registered": 0}
-        if prefix_on:
-            if self._tp is not None:
-                raise ValueError("prefix_cache under tensor parallelism "
-                                 "is not supported yet")
-            # the window must never ACTIVATE: sliding would make page
-            # content position-window-dependent, breaking the content-
-            # addressed sharing (and release_below is rejected by the
-            # prefix manager)
-            for r in requests:
-                if r.max_new_tokens > 0 and \
-                        min(len(r.prompt), window) + r.max_new_tokens \
-                        > window:
-                    raise ValueError(
-                        f"prefix_cache with sliding-window serving is not "
-                        f"supported: request {r.rid} outgrows the "
-                        f"window ({window})")
+        if prefix_on and self._tp is not None:
+            raise ValueError("prefix_cache under tensor parallelism "
+                             "is not supported yet")
+        # (the per-request "window must never activate" checks for
+        # prefix_cache and spec_k live in validate_request: sliding would
+        # make page content position-dependent / change what verify
+        # queries attend mid-stream)
 
         # Speculative decoding (EngineConfig.spec_k): greedy-exact by
         # construction, so it composes only with configurations whose
@@ -443,16 +473,6 @@ class InferenceEngine:
             if self._tp is not None:
                 raise ValueError("spec_k under tensor parallelism is not "
                                  "supported yet")
-            # the window must never ACTIVATE: sliding would change what
-            # the verify queries attend vs plain greedy mid-stream (the
-            # non-speculative chunk path keeps window serving)
-            for r in requests:
-                if r.max_new_tokens > 0 and \
-                        min(len(r.prompt), window) + r.max_new_tokens > window:
-                    raise ValueError(
-                        f"spec_k with sliding-window serving is not "
-                        f"supported: request {r.rid} outgrows the "
-                        f"window ({window})")
 
         def requeue_evicted(evicted: List[int], skip_slot: int = -1) -> List[int]:
             preempted = []
@@ -463,7 +483,24 @@ class InferenceEngine:
                     preempted.append(victim)
             return preempted
 
-        while sched.has_work:
+        def finish_slot(slot: int) -> None:
+            req = sched.finish(slot)
+            if on_finish is not None:
+                on_finish(req)
+
+        feed_open = feed is not None
+        while True:
+            if feed_open:
+                # drain asynchronously-arrived requests into the waiting
+                # queue; they join at this iteration's admission wave.
+                # When idle (no work), the feed may block briefly.
+                new_reqs, feed_open = feed(not sched.has_work)
+                for r in new_reqs:
+                    submit_one(r)
+            if not sched.has_work:
+                if feed_open:
+                    continue
+                break
             iteration += 1
             if econf.log_every and iteration % econf.log_every == 0:
                 dt = time.monotonic() - t_start
@@ -591,7 +628,7 @@ class InferenceEngine:
                         req.mark_first_token()
                         if req.done:
                             mgr.free_prompt(slot)
-                            sched.finish(slot)
+                            finish_slot(slot)
 
             def flush_deferred():
                 """Materialize deferred prefill picks (bookkeeping +
@@ -606,7 +643,7 @@ class InferenceEngine:
                     req.mark_first_token()
                     if req.done:
                         mgr.free_prompt(slot)
-                        sched.finish(slot)
+                        finish_slot(slot)
                 progressed = True
                 deferred = None
 
@@ -636,6 +673,13 @@ class InferenceEngine:
             # block is page- rather than slot-bound, chunks shrink so the
             # admission retry comes sooner as pages free up.
             queue_blocked = bool(sched.waiting)
+            # Serving (feed): chains can cover a row's WHOLE remaining
+            # decode in one scheduler iteration, so a request arriving
+            # mid-chain would otherwise wait for the full chain to drain.
+            # Polling (non-blocking) at every link boundary converts an
+            # arrival into queue pressure: the chain breaks at its next
+            # eligible link and the admission wave runs. (The poll is a
+            # lock-free host queue check — nothing touches the device.)
 
             def defer_counts():
                 """One not-yet-appended token per slot with a deferred
@@ -719,10 +763,24 @@ class InferenceEngine:
                     links += 1
                     peak_pages = max(peak_pages,
                                      page.num_pages - mgr.num_free())
-                    if queue_blocked:
-                        # a row may finish ANY link (acceptance is
-                        # data-dependent): materialize per link so its
-                        # slot/pages release promptly for admission
+                    if feed_open:            # serving: arrivals break chains
+                        new_reqs, feed_open = feed(False)
+                        for r in new_reqs:
+                            submit_one(r)
+                        queue_blocked = queue_blocked or bool(sched.waiting)
+                    # acceptance is data-dependent: a row MAY have finished
+                    # once links*S*spec_k covers its remaining budget
+                    may_free = any(
+                        sched.running[s].max_new_tokens - gen_before[s]
+                        <= links * S * Ksp for s in plan)
+                    if queue_blocked or \
+                            ((feed_open or on_finish is not None)
+                             and may_free):
+                        # materialize per link under queue pressure (a row
+                        # may finish ANY link; its slot/pages must release
+                        # promptly for admission) and, when serving, as
+                        # soon as a row may have finished (deliver its
+                        # result instead of riding out the chain)
                         break
                 if pending_spec:
                     progressed = True
@@ -752,7 +810,7 @@ class InferenceEngine:
                     for slot in list(sched.running):
                         if sched.running[slot].done:
                             mgr.free_prompt(slot)
-                            sched.finish(slot)
+                            finish_slot(slot)
                     continue
                 # spec chain could not run (pool pressure / no headroom):
                 # fall through — the plain chunk chain needs fewer pages
@@ -925,6 +983,18 @@ class InferenceEngine:
                     # request's decode pages would never be counted)
                     peak_pages = max(peak_pages,
                                      page.num_pages - mgr.num_free())
+                    if feed_open:            # serving: arrivals break chains
+                        new_reqs, feed_open = feed(False)
+                        for r in new_reqs:
+                            submit_one(r)
+                        queue_blocked = queue_blocked or bool(sched.waiting)
+                    if (feed_open or on_finish is not None) and will_free:
+                        # serving: a stepped row finishes THIS link —
+                        # materialize now so its result is delivered
+                        # (on_finish) instead of riding to the chain's
+                        # natural end. One sync per FINISHING request,
+                        # not per link: solo long streams still chain.
+                        break
                     if queue_blocked and \
                             (will_free or window < page.max_context
                              or sched.free_slots()):
@@ -959,7 +1029,7 @@ class InferenceEngine:
                     for slot in list(sched.running):
                         if sched.running[slot].done:
                             mgr.free_prompt(slot)
-                            sched.finish(slot)
+                            finish_slot(slot)
                     continue
                 # chain could not run (pool pressure): single-token path
                 # below handles eviction/preemption
@@ -1033,7 +1103,7 @@ class InferenceEngine:
                         req.generated.append(tok)
                         if req.done:
                             mgr.free_prompt(slot)
-                            sched.finish(slot)
+                            finish_slot(slot)
 
             if not progressed and not sched.running:
                 raise RuntimeError(

@@ -71,7 +71,10 @@ class Scheduler:
         self.finished: List[Request] = []
 
     def submit(self, req: Request) -> None:
-        req.t_submit = time.monotonic()
+        # a serving front stamps arrival time at enqueue; don't overwrite
+        # it (TTFT must include any time spent queued before admission)
+        if not req.t_submit:
+            req.t_submit = time.monotonic()
         self.waiting.append(req)
 
     def free_slots(self) -> List[int]:

@@ -1,0 +1,136 @@
+"""Asynchronous continuous-serving front over InferenceEngine.
+
+The reference (and InferenceEngine.run with a fixed list) batches a KNOWN
+set of requests; a serving deployment receives requests over time.
+ServingEngine owns a background thread running ONE long-lived
+engine.run() whose `feed` drains a thread-safe queue every scheduler
+iteration — an arriving request joins the running batch at the next
+admission wave (sharing its prefill wave, page pool, and decode chunks
+with in-flight sequences) instead of waiting for a batch boundary.
+
+TPU-first rationale: the device never idles between "batches" — chunk
+chains keep streaming while new prompts queue, and admission waves
+prefill whatever has arrived by the time a slot frees. All serving
+features compose (chunked greedy decode, spec_k, prefix caching, int8).
+
+Usage:
+    srv = ServingEngine(engine)           # spawns the serving thread
+    fut = srv.submit([1, 2, 3], max_new_tokens=32)   # any thread
+    tokens = fut.result()                 # prompt + generated
+    srv.close()                           # drain + join
+
+No reference analogue (its mains decode a fixed prompt set); this is the
+L4 capability a production deployment needs on top of them.
+"""
+
+from __future__ import annotations
+
+import itertools
+import queue
+import threading
+import time
+from concurrent.futures import Future
+from typing import List, Optional, Sequence
+
+from llmc_paged_tpu.engine.scheduler import Request
+from llmc_paged_tpu.sampler import Sampler
+
+# how long the feed blocks waiting for work when the engine is idle; a
+# wake also happens immediately on close()
+_IDLE_POLL_S = 0.02
+
+
+class ServingEngine:
+    def __init__(self, engine, window: Optional[int] = None,
+                 sampler: Optional[Sampler] = None):
+        self._engine = engine
+        self._window = window
+        self._sampler = sampler
+        self._q: "queue.Queue[Optional[Request]]" = queue.Queue()
+        self._futures = {}
+        self._lock = threading.Lock()
+        self._open = True
+        self._rid = itertools.count()
+        self._error: Optional[BaseException] = None
+        self._thread = threading.Thread(target=self._loop,
+                                        name="llmc-serving", daemon=True)
+        self._thread.start()
+
+    # ---- client side (any thread) --------------------------------------
+
+    def submit(self, prompt: Sequence[int], max_new_tokens: int,
+               rid: Optional[int] = None) -> Future:
+        """Enqueue a request; returns a Future resolving to the full token
+        list (prompt + generated). Invalid requests (too long for the
+        pool / incompatible with the serving mode) fail their OWN future
+        here, at submission, never the serving loop."""
+        with self._lock:
+            if not self._open:
+                raise RuntimeError("ServingEngine is closed")
+            if self._error is not None:
+                raise RuntimeError("serving loop died") from self._error
+            req = Request(rid=next(self._rid) if rid is None else rid,
+                          prompt=list(prompt),
+                          max_new_tokens=max_new_tokens)
+            fut: Future = Future()
+            try:
+                self._engine.validate_request(req, self._window)
+            except ValueError as e:
+                fut.set_exception(e)
+                return fut
+            req.t_submit = time.monotonic()    # TTFT includes queue time
+            self._futures[req.rid] = fut
+        self._q.put(req)
+        return fut
+
+    def close(self, wait: bool = True) -> None:
+        """Stop accepting requests; the loop drains everything already
+        submitted, then exits."""
+        with self._lock:
+            if not self._open:
+                return
+            self._open = False
+        self._q.put(None)                      # wake an idle feed
+        if wait:
+            self._thread.join()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+    # ---- engine side (serving thread) -----------------------------------
+
+    def _feed(self, block: bool):
+        out: List[Request] = []
+        try:
+            while True:
+                item = self._q.get(block=block and not out,
+                                   timeout=_IDLE_POLL_S)
+                if item is not None:
+                    out.append(item)
+                block = False                  # drain the rest non-blocking
+        except queue.Empty:
+            pass
+        with self._lock:
+            still_open = self._open or not self._q.empty() or bool(out)
+        return out, still_open
+
+    def _on_finish(self, req: Request) -> None:
+        fut = self._futures.pop(req.rid, None)
+        if fut is not None:
+            fut.set_result(req.tokens)
+
+    def _loop(self) -> None:
+        try:
+            self._engine.run([], window=self._window, sampler=self._sampler,
+                             feed=self._feed, on_finish=self._on_finish)
+        except BaseException as e:             # fail every pending future
+            with self._lock:
+                self._error = e
+                self._open = False
+                pending = list(self._futures.values())
+                self._futures.clear()
+            for fut in pending:
+                fut.set_exception(e)
