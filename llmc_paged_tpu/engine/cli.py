@@ -72,6 +72,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="content-addressed prefix caching: full prompt "
                         "pages shared across sequences, suffix-only "
                         "prefill. Requires no --window, no --mesh-model")
+    p.add_argument("--serve", type=int, default=0, metavar="PORT",
+                   help="serve over HTTP on 127.0.0.1:PORT instead of "
+                        "decoding --data prompts: POST /generate "
+                        '{"prompt": [ids], "max_new_tokens": N}; '
+                        "concurrent connections batch continuously")
     p.add_argument("--device-sampling", action="store_true",
                    help="sample on device inside decode chunks (fast "
                         "non-greedy serving; not bit-parity with the C "
@@ -125,6 +130,12 @@ def main(argv=None) -> int:
                          if args.mesh_model else None)
     engine = InferenceEngine(params, cfg, econf,
                              use_kernel=not args.no_kernel)
+
+    if args.serve:
+        from llmc_paged_tpu.engine.http_server import serve_http
+        serve_http(engine, port=args.serve, tokenizer=tok,
+                   window=args.window)
+        return 0
 
     if args.profile:
         import jax

@@ -1,0 +1,120 @@
+"""Minimal HTTP serving front (stdlib-only) over ServingEngine.
+
+Production deployments talk to an endpoint, not a Python API. This is
+the thinnest honest version: ThreadingHTTPServer gives one handler
+thread per connection; each handler submits to the SHARED ServingEngine
+and blocks on its Future — so concurrent HTTP requests batch together
+in the engine (continuous batching across connections), which is the
+whole point. No streaming, no auth; binds 127.0.0.1 by default.
+
+API (JSON over POST/GET):
+  POST /generate  {"prompt": [int token ids], "max_new_tokens": N}
+      -> {"rid": n, "tokens": [prompt+generated], "generated": [...],
+          "text": "..."}   (text only when a tokenizer is loaded)
+  GET  /health    -> {"status": "ok", "pending": n}
+
+Prompts are TOKEN IDS: the GPT-2 tokenizer artifact is decode-only
+(length-prefixed byte table, train_gpt2.py:353-367 — the reference's
+prompts likewise arrive pre-tokenized from the data .bin). `text` in
+responses is decoded when a tokenizer is provided.
+
+CLI: `python -m llmc_paged_tpu.engine.cli ... --serve PORT`.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+from llmc_paged_tpu.engine.server import ServingEngine
+
+
+def make_handler(serving: ServingEngine, tokenizer=None):
+    class Handler(BaseHTTPRequestHandler):
+        # quiet by default; the engine has its own structured logging
+        def log_message(self, fmt, *args):
+            pass
+
+        def _reply(self, code: int, payload: dict) -> None:
+            body = json.dumps(payload).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path != "/health":
+                return self._reply(404, {"error": "unknown path"})
+            with serving._lock:
+                pending = len(serving._futures)
+            self._reply(200, {"status": "ok", "pending": pending})
+
+        def do_POST(self):
+            if self.path != "/generate":
+                return self._reply(404, {"error": "unknown path"})
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                req = json.loads(self.rfile.read(n) or b"{}")
+                prompt = req["prompt"]
+                max_new = int(req.get("max_new_tokens", 16))
+                if not (isinstance(prompt, list)
+                        and all(isinstance(t, int) for t in prompt)):
+                    raise ValueError("prompt must be a list of token ids")
+            except (KeyError, ValueError, json.JSONDecodeError) as e:
+                return self._reply(400, {"error": str(e)})
+            try:
+                fut = serving.submit(prompt, max_new)
+                tokens = fut.result()
+            except (ValueError, RuntimeError) as e:
+                # invalid request (too long for the pool, ...) or loop down
+                return self._reply(400, {"error": str(e)})
+            out = {"tokens": tokens, "generated": tokens[len(prompt):]}
+            if tokenizer is not None:
+                out["text"] = tokenizer.decode_string(out["generated"])
+            self._reply(200, out)
+
+    return Handler
+
+
+class HttpServingFront:
+    """Owns the HTTP server thread; the caller owns the ServingEngine."""
+
+    def __init__(self, serving: ServingEngine, host: str = "127.0.0.1",
+                 port: int = 0, tokenizer=None):
+        self._httpd = ThreadingHTTPServer(
+            (host, port), make_handler(serving, tokenizer))
+        self.host, self.port = self._httpd.server_address[:2]
+        self._thread = threading.Thread(target=self._httpd.serve_forever,
+                                        name="llmc-http", daemon=True)
+        self._thread.start()
+
+    def close(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        self._thread.join()
+
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        self.close()
+
+
+def serve_http(engine, host: str = "127.0.0.1", port: int = 8000,
+               tokenizer=None, window: Optional[int] = None):
+    """Blocking entry point (the CLI --serve path): run the engine's
+    serving loop with an HTTP front until interrupted."""
+    serving = ServingEngine(engine, window=window)
+    front = HttpServingFront(serving, host, port, tokenizer)
+    print(f"serving on http://{front.host}:{front.port} "
+          f"(POST /generate, GET /health)", flush=True)
+    try:
+        serving._thread.join()              # until interrupted
+    except KeyboardInterrupt:
+        pass
+    finally:
+        front.close()
+        serving.close(wait=False)

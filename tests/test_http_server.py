@@ -1,0 +1,92 @@
+"""HTTP serving front tests (engine/http_server): concurrent POSTs batch
+through one shared ServingEngine and return exactly the batch-run tokens.
+"""
+
+import json
+import threading
+import urllib.error
+import urllib.request
+
+import numpy as np
+
+import jax
+
+from llmc_paged_tpu.config import EngineConfig, GPT2Config, PageConfig
+from llmc_paged_tpu.engine.engine import InferenceEngine
+from llmc_paged_tpu.engine.http_server import HttpServingFront
+from llmc_paged_tpu.engine.scheduler import Request
+from llmc_paged_tpu.engine.server import ServingEngine
+from llmc_paged_tpu.models import gpt2
+from llmc_paged_tpu.tokenizer import Tokenizer, byte_fallback_table
+
+
+def _post(url, payload, timeout=120):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    with urllib.request.urlopen(req, timeout=timeout) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_http_generate_concurrent_matches_batch():
+    cfg = GPT2Config.tiny(max_seq_len=128, vocab_size=128, num_layers=2,
+                          num_heads=4, channels=32)
+    params = jax.tree.map(
+        np.asarray, gpt2.init_params(cfg, jax.random.PRNGKey(0)))
+    page = PageConfig(page_size=8, num_pages=48, max_seqs=8,
+                      pages_per_seq=10)
+    econf = EngineConfig(cache_mode="paged", page=page, greedy=True,
+                         max_batch=3, decode_chunk=4)
+    rng = np.random.default_rng(2)
+    prompts = [rng.integers(0, 128, int(n)).tolist() for n in (5, 8, 4, 7)]
+
+    batch_eng = InferenceEngine(params, cfg, econf)
+    done = batch_eng.run([Request(rid=i, prompt=list(p), max_new_tokens=6)
+                          for i, p in enumerate(prompts)])
+    expect = {i: r.tokens for i, r in
+              ((r.rid, r) for r in done)}
+
+    eng = InferenceEngine(params, cfg, econf)
+    tok = Tokenizer(byte_fallback_table(128))
+    with ServingEngine(eng) as srv, \
+            HttpServingFront(srv, port=0, tokenizer=tok) as front:
+        url = f"http://{front.host}:{front.port}"
+
+        # health endpoint
+        with urllib.request.urlopen(f"{url}/health", timeout=30) as r:
+            assert json.loads(r.read())["status"] == "ok"
+
+        # concurrent POSTs — they share the engine's admission waves
+        results = {}
+
+        def call(i):
+            status, out = _post(f"{url}/generate",
+                                {"prompt": prompts[i], "max_new_tokens": 6})
+            assert status == 200
+            results[i] = out
+
+        threads = [threading.Thread(target=call, args=(i,))
+                   for i in range(len(prompts))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert {i: r["tokens"] for i, r in results.items()} == expect
+        for i, r in results.items():
+            assert r["generated"] == expect[i][len(prompts[i]):]
+            assert isinstance(r["text"], str)
+
+        # bad requests: malformed body and an impossible request both get
+        # a 400 with the cause, never a dead loop
+        for payload in ({"prompt": "not ids"},
+                        {"prompt": [1, 2], "max_new_tokens": 10_000}):
+            try:
+                status, out = _post(f"{url}/generate", payload)
+            except urllib.error.HTTPError as e:
+                status, out = e.code, json.loads(e.read())
+            assert status == 400 and "error" in out
+
+        # the loop survived: one more good request
+        status, out = _post(f"{url}/generate",
+                            {"prompt": prompts[0], "max_new_tokens": 6})
+        assert status == 200 and out["tokens"] == expect[0]
