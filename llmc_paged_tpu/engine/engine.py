@@ -310,18 +310,18 @@ class InferenceEngine:
     def _paged_state(self):
         page = self.econf.page
         if page.prefix_cache:
-            # the prefix-caching manager is Python-only (its refcount /
-            # content-hash extension is host metadata, never a hot path)
-            # and PERSISTS across runs — cached pages outlive their owners
-            from llmc_paged_tpu.kv.manager import PrefixCachingBlockManager
+            # the prefix-caching manager (native C++ twin when buildable,
+            # Python model otherwise — equivalence-tested) PERSISTS across
+            # runs: cached pages outlive their owners
             mgr = self._prefix_mgr
             # the manager's cached-page metadata is only valid over the
             # SAME device pool buffers; if the pool cache was lost (first
             # run, or an aborted run dropped it) start the cache over
             if mgr is None or self._pool_cache is None:
-                mgr = PrefixCachingBlockManager(
+                mgr = make_block_manager(
                     page.num_pages, page.page_size,
-                    max(page.max_seqs, self.econf.max_batch))
+                    max(page.max_seqs, self.econf.max_batch),
+                    native=self.native_manager, prefix=True)
                 self._prefix_mgr = mgr
             else:
                 # drop any live sequences a previous run left behind;

@@ -404,7 +404,7 @@ class PrefixCachingBlockManager(BlockManager):
         victim = self._find_lru()
         if victim == -1:
             return []
-        prompt = next(iter(self.holders[victim]))
+        prompt = min(self.holders[victim])   # single holder by _find_lru
         self.free_prompt(prompt)
         return [prompt]
 
@@ -439,7 +439,9 @@ class PrefixCachingBlockManager(BlockManager):
             else:
                 self.pages[pid] = PageMeta()
         elif self.pages[pid].prompt_id == prompt_id:
-            self.pages[pid].prompt_id = next(iter(hs))
+            # deterministic choice (min) so the native C++ twin, whose
+            # holder sets are value-ordered, reports identical page metas
+            self.pages[pid].prompt_id = min(hs)
 
     def free_prompt(self, prompt_id: int) -> None:
         for pid in self.tables.get(prompt_id, []):

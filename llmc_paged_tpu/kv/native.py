@@ -65,8 +65,27 @@ def _load_lib():
     lib.bm_lru_epoch.argtypes = [p]
     lib.bm_page_meta.restype = i32
     lib.bm_page_meta.argtypes = [p, i32, ip, ip, lp]
+    lib.pm_create.restype = p
+    lib.pm_create.argtypes = [i32, i32, i32]
+    lib.pm_match_prefix.restype = i32
+    lib.pm_match_prefix.argtypes = [p, ip, i32, ip, i32]
+    lib.pm_adopt.restype = i32
+    lib.pm_adopt.argtypes = [p, i32, ip, i32]
+    lib.pm_register_prompt.restype = i32
+    lib.pm_register_prompt.argtypes = [p, i32, ip, i32]
+    lib.pm_num_cached.restype = i32
+    lib.pm_num_cached.argtypes = [p]
+    lib.pm_holders.restype = i32
+    lib.pm_holders.argtypes = [p, i32, ip, i32]
     _lib = lib
     return lib
+
+
+def _int_array(vals) -> "ctypes.Array":
+    arr = (ctypes.c_int32 * len(vals))()
+    for i, v in enumerate(vals):
+        arr[i] = int(v)
+    return arr
 
 
 class NativeBlockManager:
@@ -177,15 +196,80 @@ class NativeBlockManager:
         return segs, ev_list
 
 
+class NativePrefixCachingBlockManager(NativeBlockManager):
+    """Same API as kv.manager.PrefixCachingBlockManager, backed by the
+    C++ PrefixManager (csrc/). All inherited bm_* calls dispatch
+    virtually onto the prefix state machine."""
+
+    def __init__(self, num_pages: int = 100, page_size: int = 32,
+                 max_seqs: int = 100):
+        self._lib = _load_lib()
+        self.num_pages = num_pages
+        self.page_size = page_size
+        self.max_seqs = max_seqs
+        self._h = self._lib.pm_create(num_pages, page_size, max_seqs)
+
+    def match_prefix(self, tokens) -> List[int]:
+        cap = max(1, len(tokens) // self.page_size)
+        out = (ctypes.c_int32 * cap)()
+        n = self._lib.pm_match_prefix(self._h, _int_array(tokens),
+                                      len(tokens), out, cap)
+        assert n >= 0
+        return list(out[:n])
+
+    def adopt(self, prompt_id: int, page_ids: List[int]) -> None:
+        rc = self._lib.pm_adopt(self._h, prompt_id,
+                                _int_array(page_ids), len(page_ids))
+        if rc != 0:
+            raise ValueError(
+                f"adopt({prompt_id}, {page_ids}): invalid prompt, "
+                "non-empty table, or non-cached page")
+
+    def register_prompt(self, prompt_id: int, tokens) -> int:
+        n = self._lib.pm_register_prompt(self._h, prompt_id,
+                                         _int_array(tokens), len(tokens))
+        if n < 0:
+            raise ValueError(f"invalid prompt id {prompt_id}")
+        return n
+
+    def num_cached(self) -> int:
+        return self._lib.pm_num_cached(self._h)
+
+    def holders(self, page: int) -> List[int]:
+        out = (ctypes.c_int32 * self.max_seqs)()
+        n = self._lib.pm_holders(self._h, page, out, self.max_seqs)
+        assert n >= 0
+        return list(out[:n])
+
+    def release_below(self, prompt_id: int, start_pos: int) -> int:
+        raise RuntimeError("prefix caching is incompatible with "
+                           "sliding-window page reclamation (the engine "
+                           "forbids combining them)")
+
+    def truncate_to(self, prompt_id: int, new_len: int) -> int:
+        n = self._lib.bm_truncate_to(self._h, prompt_id, new_len)
+        if n < 0:
+            raise ValueError(
+                f"truncate_to({new_len}): invalid prompt/length or "
+                "shared/cached target page")
+        return n
+
+
 def make_block_manager(num_pages: int = 100, page_size: int = 32,
-                       max_seqs: int = 100, native: Optional[bool] = None):
+                       max_seqs: int = 100, native: Optional[bool] = None,
+                       prefix: bool = False):
     """Factory: native C++ manager if buildable (or native=True), else the
-    pure-Python reference model (native=False forces it)."""
+    pure-Python reference model (native=False forces it). prefix=True
+    selects the prefix-caching state machine (PageConfig.prefix_cache)."""
+    from llmc_paged_tpu.kv.manager import PrefixCachingBlockManager
+    py_cls = PrefixCachingBlockManager if prefix else BlockManager
+    nat_cls = NativePrefixCachingBlockManager if prefix \
+        else NativeBlockManager
     if native is False:
-        return BlockManager(num_pages, page_size, max_seqs)
+        return py_cls(num_pages, page_size, max_seqs)
     try:
-        return NativeBlockManager(num_pages, page_size, max_seqs)
+        return nat_cls(num_pages, page_size, max_seqs)
     except ImportError:
         if native:
             raise
-        return BlockManager(num_pages, page_size, max_seqs)
+        return py_cls(num_pages, page_size, max_seqs)

@@ -120,6 +120,119 @@ def test_manager_guards():
     assert mgr.seq_len(1) == 6
 
 
+def test_manager_python_cpp_randomized_equivalence():
+    """Model-checking the prefix state machine: random admit/append/
+    truncate/free traces with REAL token content (templates force prefix
+    collisions) drive the Python model and the native C++ twin; full
+    metadata state — tables, page metas, holder sets, cache occupancy,
+    match results — must stay identical at every step."""
+    import random
+
+    from llmc_paged_tpu.kv.native import make_block_manager
+
+    try:
+        native = make_block_manager(8, 4, 4, native=True, prefix=True)
+    except ImportError:
+        pytest.skip("no C++ toolchain")
+    py = PrefixCachingBlockManager(8, 4, 4)
+    rng = random.Random(99)
+    templates = [[rng.randrange(50) for _ in range(24)] for _ in range(3)]
+    toks = {p: [] for p in range(4)}
+
+    def both(fn_name, *args, raises=False):
+        outs = []
+        for m in (py, native):
+            try:
+                outs.append(("ok", getattr(m, fn_name)(*args)))
+            except (ValueError, RuntimeError) as e:
+                outs.append(("err", type(e).__name__ if raises else str(e)))
+        if raises:
+            assert outs[0][0] == outs[1][0], (fn_name, args, outs)
+        else:
+            assert outs[0] == outs[1] or \
+                (outs[0][0] == outs[1][0] == "err"), (fn_name, args, outs)
+        return outs[0]
+
+    for step in range(600):
+        op = rng.random()
+        prompt = rng.randrange(4)
+        if op < 0.35 and not py.block_table(prompt):
+            # admit: template prefix (prefix collisions!) + random tail
+            content = list(templates[rng.randrange(3)][
+                : rng.randrange(4, 24)]) + \
+                [rng.randrange(50) for _ in range(rng.randrange(0, 5))]
+            hit_a = py.match_prefix(content)
+            hit_b = native.match_prefix(content)
+            assert hit_a == hit_b, step
+            hit = hit_a[: max(0, (len(content) - 1) // 4)]
+            if hit:
+                py.adopt(prompt, hit)
+                native.adopt(prompt, hit)
+            n_suffix = len(content) - len(hit) * 4
+            segs_a, ev_a = py.append_tokens(prompt, n_suffix)
+            segs_b, ev_b = native.append_tokens(prompt, n_suffix)
+            assert segs_a == segs_b and ev_a == ev_b, step
+            if not segs_a:
+                py.free_prompt(prompt)
+                native.free_prompt(prompt)
+                toks[prompt] = []
+            else:
+                for v in set(ev_a):
+                    if v != prompt:
+                        toks[v] = []
+                toks[prompt] = content
+                assert py.register_prompt(prompt, content) == \
+                    native.register_prompt(prompt, content), step
+        elif op < 0.55 and py.block_table(prompt):
+            n = rng.randrange(1, 6)
+            segs_a, ev_a = py.append_tokens(prompt, n)
+            segs_b, ev_b = native.append_tokens(prompt, n)
+            assert segs_a == segs_b and ev_a == ev_b, step
+            if not segs_a:
+                py.free_prompt(prompt)
+                native.free_prompt(prompt)
+                toks[prompt] = []
+            else:
+                for v in set(ev_a):
+                    if v != prompt:
+                        toks[v] = []
+                toks[prompt].extend(rng.randrange(50) for _ in range(n))
+        elif op < 0.7:
+            cur = py.seq_len(prompt)
+            new_len = rng.randrange(cur + 1)
+            out = both("truncate_to", prompt, new_len, raises=True)
+            if out[0] == "ok":
+                toks[prompt] = toks[prompt][:new_len]
+        elif op < 0.8:
+            pa, ev_a = py.request_block(prompt)
+            pb, ev_b = native.request_block(prompt)
+            assert pa == pb and ev_a == ev_b, step
+            for v in set(ev_a):
+                if v != prompt:
+                    toks[v] = []
+        else:
+            py.free_prompt(prompt)
+            native.free_prompt(prompt)
+            toks[prompt] = []
+
+        # full-state comparison
+        assert py.lru_epoch == native.lru_epoch, step
+        assert py.num_free() == native.num_free(), step
+        assert py.num_cached() == native.num_cached(), step
+        for pr in range(4):
+            assert py.block_table(pr) == native.block_table(pr), step
+        for pg in range(8):
+            meta = native.page_meta(pg)
+            mine = py.pages[pg]
+            assert meta == (mine.prompt_id, mine.filled,
+                            mine.lru_counter), step
+            assert sorted(py.holders[pg]) == native.holders(pg), step
+        for t in templates:
+            assert py.match_prefix(t) == native.match_prefix(t), step
+    assert py.num_cached() + sum(
+        1 for pr in range(4) if py.block_table(pr)) > 0
+
+
 # --------------------------- model function -----------------------------
 
 @pytest.mark.parametrize("use_kernel,ps,kv_dtype",
