@@ -133,6 +133,12 @@ class EngineConfig:
     # full-context attention (no --window), single-device (no mesh_shape).
     spec_k: int = 0
     spec_ngram: int = 3                # drafting n-gram length
+    # Streaming delivery (run(on_tokens=...)): while a request marked
+    # stream=True is running, decode chains materialize at least every
+    # N links so watchers see tokens at a bounded interval. Each flush
+    # costs one host sync (~60ms on a relay-tunneled chip), so the knob
+    # trades inter-flush latency against decode throughput.
+    stream_links: int = 4
     seed: int = 1337                   # xorshift seed (paged_infer.c:975)
     mesh_shape: Optional[dict] = None  # e.g. {"data": 1, "model": 4}
     # Validate every device-bound index (block tables, page/slot coords,

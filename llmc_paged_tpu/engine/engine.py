@@ -391,7 +391,7 @@ class InferenceEngine:
 
     def run(self, requests: List[Request], window: Optional[int] = None,
             sampler: Optional[Sampler] = None, feed=None,
-            on_finish=None) -> List[Request]:
+            on_finish=None, on_tokens=None) -> List[Request]:
         """Continuous batching over the paged pool. Returns the finished
         requests (same objects, with .generated/.ttft/.preemptions filled).
 
@@ -404,7 +404,16 @@ class InferenceEngine:
         closed and all work drained. ``on_finish``: optional callback
         invoked with each Request the moment it finishes (not at loop
         exit). With a feed, stats wall_s includes idle waits — per-request
-        latency lives on the Request (ttft, t_done - t_submit)."""
+        latency lives on the Request (ttft, t_done - t_submit).
+
+        ``on_tokens``: optional callback ``on_tokens(req, new_tokens)``
+        invoked at every materialization with the tokens appended since
+        the last call (streaming delivery). Tokens only exist host-side
+        at chain materializations, so granularity is chain links; while a
+        request marked ``req.stream = True`` is running, chains cap at
+        EngineConfig.stream_links links per materialization to bound the
+        flush interval (each flush costs one host sync — that tradeoff is
+        what the knob expresses)."""
         cfg, econf = self.cfg, self.econf
         page = econf.page
         window = _check_window(window, cfg)
@@ -483,8 +492,20 @@ class InferenceEngine:
                     preempted.append(victim)
             return preempted
 
+        def notify_tokens(req: Request) -> None:
+            """Flush tokens appended since the last flush (watermark on
+            the request, so it survives preemption/re-admission)."""
+            if on_tokens is None:
+                return
+            n = len(req.generated)
+            sent = getattr(req, "_stream_sent", 0)
+            if n > sent:
+                on_tokens(req, req.generated[sent:n])
+                req._stream_sent = n
+
         def finish_slot(slot: int) -> None:
             req = sched.finish(slot)
+            notify_tokens(req)
             if on_finish is not None:
                 on_finish(req)
 
@@ -626,6 +647,7 @@ class InferenceEngine:
                     for i, (slot, req) in enumerate(group):
                         req.generated.append(first_toks[i])
                         req.mark_first_token()
+                        notify_tokens(req)
                         if req.done:
                             mgr.free_prompt(slot)
                             finish_slot(slot)
@@ -641,6 +663,7 @@ class InferenceEngine:
                 for i, (slot, req) in enumerate(deferred[1]):
                     req.generated.append(int(picks[i]))
                     req.mark_first_token()
+                    notify_tokens(req)
                     if req.done:
                         mgr.free_prompt(slot)
                         finish_slot(slot)
@@ -673,6 +696,12 @@ class InferenceEngine:
             # block is page- rather than slot-bound, chunks shrink so the
             # admission retry comes sooner as pages free up.
             queue_blocked = bool(sched.waiting)
+            # streaming consumers bound the flush interval: cap chains at
+            # stream_links links while any watched request runs
+            stream_cap = (econf.stream_links
+                          if on_tokens is not None and any(
+                              r.stream for r in sched.running.values())
+                          else 0)
             # Serving (feed): chains can cover a row's WHOLE remaining
             # decode in one scheduler iteration, so a request arriving
             # mid-chain would otherwise wait for the full chain to drain.
@@ -773,6 +802,8 @@ class InferenceEngine:
                     may_free = any(
                         sched.running[s].max_new_tokens - gen_before[s]
                         <= links * S * Ksp for s in plan)
+                    if stream_cap and links >= stream_cap:
+                        break
                     if queue_blocked or \
                             ((feed_open or on_finish is not None)
                              and may_free):
@@ -807,6 +838,7 @@ class InferenceEngine:
                         if len(req.generated) > req.max_new_tokens:
                             del req.generated[req.max_new_tokens:]  # overshoot
                         decode_tokens += len(req.generated) - gen_before[slot]
+                        notify_tokens(req)
                     for slot in list(sched.running):
                         if sched.running[slot].done:
                             mgr.free_prompt(slot)
@@ -988,6 +1020,8 @@ class InferenceEngine:
                         for r in new_reqs:
                             submit_one(r)
                         queue_blocked = queue_blocked or bool(sched.waiting)
+                    if stream_cap and len(pending) >= stream_cap:
+                        break
                     if (feed_open or on_finish is not None) and will_free:
                         # serving: a stepped row finishes THIS link —
                         # materialize now so its result is delivered
@@ -1026,6 +1060,8 @@ class InferenceEngine:
                             req.generated.extend(int(t)
                                                  for t in picks[:keep, slot])
                             decode_tokens += keep
+                    for slot in {s for _, st in pending for s, _ in st}:
+                        notify_tokens(sched.running[slot])
                     for slot in list(sched.running):
                         if sched.running[slot].done:
                             mgr.free_prompt(slot)
@@ -1101,6 +1137,7 @@ class InferenceEngine:
                     for slot, tok in zip(stepped, row_toks):
                         req = sched.running[slot]
                         req.generated.append(tok)
+                        notify_tokens(req)
                         if req.done:
                             mgr.free_prompt(slot)
                             finish_slot(slot)

@@ -65,6 +65,8 @@ def make_handler(serving: ServingEngine, tokenizer=None):
                     raise ValueError("prompt must be a list of token ids")
             except (KeyError, ValueError, json.JSONDecodeError) as e:
                 return self._reply(400, {"error": str(e)})
+            if req.get("stream"):
+                return self._stream(prompt, max_new)
             try:
                 fut = serving.submit(prompt, max_new)
                 tokens = fut.result()
@@ -75,6 +77,33 @@ def make_handler(serving: ServingEngine, tokenizer=None):
             if tokenizer is not None:
                 out["text"] = tokenizer.decode_string(out["generated"])
             self._reply(200, out)
+
+        def _stream(self, prompt, max_new):
+            """Newline-delimited JSON, close-delimited (HTTP/1.0-style):
+            one {"tokens": [...]} line per engine flush, then a final
+            {"done": true, ...} line. Flush granularity is decode-chain
+            links (EngineConfig.stream_links)."""
+            try:
+                it = serving.submit_stream(prompt, max_new)
+            except (ValueError, RuntimeError) as e:
+                return self._reply(400, {"error": str(e)})
+            self.send_response(200)
+            self.send_header("Content-Type", "application/x-ndjson")
+            self.send_header("Connection", "close")
+            self.end_headers()
+            generated = []
+            try:
+                for batch in it:
+                    generated.extend(batch)
+                    line = {"tokens": batch}
+                    if tokenizer is not None:
+                        line["text"] = tokenizer.decode_string(batch)
+                    self.wfile.write((json.dumps(line) + "\n").encode())
+                    self.wfile.flush()
+                self.wfile.write((json.dumps(
+                    {"done": True, "generated": generated}) + "\n").encode())
+            except (BrokenPipeError, ConnectionResetError):
+                pass    # client went away; the engine still finishes
 
     return Handler
 

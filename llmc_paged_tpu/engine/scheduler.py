@@ -35,6 +35,10 @@ class Request:
     max_new_tokens: int
     generated: List[int] = dataclasses.field(default_factory=list)
     state: State = State.WAITING
+    # streaming consumer attached (run(on_tokens=...)): decode chains cap
+    # at EngineConfig.stream_links while this request runs, bounding the
+    # interval between token flushes
+    stream: bool = False
     slot: Optional[int] = None
     preemptions: int = 0
     t_submit: float = 0.0

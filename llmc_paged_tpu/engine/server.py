@@ -41,6 +41,8 @@ _IDLE_POLL_S = 0.02
 
 
 class ServingEngine:
+    _DONE = object()    # stream-queue terminal sentinel
+
     def __init__(self, engine, window: Optional[int] = None,
                  sampler: Optional[Sampler] = None):
         self._engine = engine
@@ -48,6 +50,7 @@ class ServingEngine:
         self._sampler = sampler
         self._q: "queue.Queue[Optional[Request]]" = queue.Queue()
         self._futures = {}
+        self._streams = {}                 # rid -> token-batch queue
         self._lock = threading.Lock()
         self._open = True
         self._rid = itertools.count()
@@ -83,6 +86,36 @@ class ServingEngine:
         self._q.put(req)
         return fut
 
+    def submit_stream(self, prompt: Sequence[int], max_new_tokens: int,
+                      rid: Optional[int] = None):
+        """Streaming twin of submit(): returns an iterator yielding token
+        BATCHES (lists) as the engine materializes them — granularity is
+        decode-chain links, bounded by EngineConfig.stream_links while any
+        stream runs. Invalid requests raise here, synchronously."""
+        with self._lock:
+            if not self._open:
+                raise RuntimeError("ServingEngine is closed")
+            if self._error is not None:
+                raise RuntimeError("serving loop died") from self._error
+            req = Request(rid=next(self._rid) if rid is None else rid,
+                          prompt=list(prompt),
+                          max_new_tokens=max_new_tokens, stream=True)
+            self._engine.validate_request(req, self._window)
+            req.t_submit = time.monotonic()
+            q: "queue.Queue" = queue.Queue()
+            self._streams[req.rid] = q
+        self._q.put(req)
+
+        def _iter():
+            while True:
+                item = q.get()
+                if item is self._DONE:
+                    return
+                if isinstance(item, BaseException):
+                    raise item
+                yield item
+        return _iter()
+
     def close(self, wait: bool = True) -> None:
         """Stop accepting requests; the loop drains everything already
         submitted, then exits."""
@@ -117,20 +150,33 @@ class ServingEngine:
             still_open = self._open or not self._q.empty() or bool(out)
         return out, still_open
 
+    def _on_tokens(self, req: Request, new_tokens) -> None:
+        sq = self._streams.get(req.rid)
+        if sq is not None:
+            sq.put(list(new_tokens))
+
     def _on_finish(self, req: Request) -> None:
         fut = self._futures.pop(req.rid, None)
         if fut is not None:
             fut.set_result(req.tokens)
+        sq = self._streams.pop(req.rid, None)
+        if sq is not None:
+            sq.put(self._DONE)
 
     def _loop(self) -> None:
         try:
             self._engine.run([], window=self._window, sampler=self._sampler,
-                             feed=self._feed, on_finish=self._on_finish)
-        except BaseException as e:             # fail every pending future
+                             feed=self._feed, on_finish=self._on_finish,
+                             on_tokens=self._on_tokens)
+        except BaseException as e:     # fail every pending future/stream
             with self._lock:
                 self._error = e
                 self._open = False
                 pending = list(self._futures.values())
                 self._futures.clear()
+                streams = list(self._streams.values())
+                self._streams.clear()
             for fut in pending:
                 fut.set_exception(e)
+            for sq in streams:
+                sq.put(e)

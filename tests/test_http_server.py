@@ -90,3 +90,19 @@ def test_http_generate_concurrent_matches_batch():
         status, out = _post(f"{url}/generate",
                             {"prompt": prompts[0], "max_new_tokens": 6})
         assert status == 200 and out["tokens"] == expect[0]
+
+        # streaming: newline-delimited JSON batches concatenating to the
+        # same tokens, with incremental decoded text
+        sreq = urllib.request.Request(
+            f"{url}/generate",
+            data=json.dumps({"prompt": prompts[0], "max_new_tokens": 6,
+                             "stream": True}).encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        with urllib.request.urlopen(sreq, timeout=120) as r:
+            assert r.headers["Content-Type"] == "application/x-ndjson"
+            lines = [json.loads(l) for l in r.read().splitlines()]
+        assert lines[-1]["done"] is True
+        streamed = [t for l in lines[:-1] for t in l["tokens"]]
+        assert streamed == expect[0][len(prompts[0]):]
+        assert streamed == lines[-1]["generated"]
+        assert all(isinstance(l["text"], str) for l in lines[:-1])

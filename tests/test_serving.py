@@ -140,6 +140,36 @@ def test_serving_with_prefix_cache_and_spec():
     assert eng.stats["prefix_hit_pages"] > 0
 
 
+def test_serving_stream_tokens():
+    """submit_stream yields token batches that concatenate to exactly the
+    batch-run stream, in MULTIPLE flushes (stream_links bounds the chain),
+    interleaved with a concurrent non-stream request."""
+    cfg, params, page = _setup()
+    econf = EngineConfig(cache_mode="paged", page=page, greedy=True,
+                         max_batch=4, decode_chunk=2, stream_links=2)
+    prompts = _prompts(2)
+    eng_b = InferenceEngine(params, cfg, econf)
+    done = eng_b.run([Request(rid=i, prompt=list(p), max_new_tokens=24)
+                      for i, p in enumerate(prompts)])
+    expect = {r.rid: r.tokens for r in done}
+
+    eng = InferenceEngine(params, cfg, econf)
+    with ServingEngine(eng) as srv:
+        it = srv.submit_stream(prompts[0], 24, rid=0)
+        fut = srv.submit(prompts[1], 24, rid=1)
+        batches = list(it)
+        got = list(prompts[0]) + [t for b in batches for t in b]
+        assert got == expect[0]
+        assert len(batches) >= 3, batches   # bounded chains -> many flushes
+        assert fut.result(timeout=120) == expect[1]
+
+    # invalid stream requests raise synchronously
+    eng2 = InferenceEngine(params, cfg, econf)
+    with ServingEngine(eng2) as srv:
+        with pytest.raises(ValueError, match="max_context"):
+            srv.submit_stream(list(range(60)), 10_000)
+
+
 def test_ttft_includes_queue_time():
     """t_submit stamped at enqueue survives Scheduler.submit — TTFT for a
     served request includes the time it queued before admission."""
