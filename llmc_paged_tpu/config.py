@@ -139,6 +139,11 @@ class EngineConfig:
     # costs one host sync (~60ms on a relay-tunneled chip), so the knob
     # trades inter-flush latency against decode throughput.
     stream_links: int = 4
+    # Default stop ids for requests that don't set their own
+    # (Request.stop_tokens): generation ends after the first of these
+    # appears (kept as the last token). () = run to max_new_tokens, the
+    # reference's fixed-length behavior (paged_infer.c:1055).
+    stop_tokens: tuple = ()
     seed: int = 1337                   # xorshift seed (paged_infer.c:975)
     mesh_shape: Optional[dict] = None  # e.g. {"data": 1, "model": 4}
     # Validate every device-bound index (block tables, page/slot coords,

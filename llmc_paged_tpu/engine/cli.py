@@ -72,6 +72,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="content-addressed prefix caching: full prompt "
                         "pages shared across sequences, suffix-only "
                         "prefill. Requires no --window, no --mesh-model")
+    p.add_argument("--stop-token", type=int, action="append", default=[],
+                   metavar="ID",
+                   help="stop generation after this token id appears "
+                        "(kept as the last token; repeatable). Default: "
+                        "run to --max-new, the reference's fixed-length "
+                        "behavior")
     p.add_argument("--serve", type=int, default=0, metavar="PORT",
                    help="serve over HTTP on 127.0.0.1:PORT instead of "
                         "decoding --data prompts: POST /generate "
@@ -125,6 +131,7 @@ def main(argv=None) -> int:
                          temperature=args.temperature,
                          device_sampling=args.device_sampling,
                          spec_k=args.spec_k, spec_ngram=args.spec_ngram,
+                         stop_tokens=tuple(args.stop_token),
                          log_every=args.log_every,
                          mesh_shape={"model": args.mesh_model}
                          if args.mesh_model else None)

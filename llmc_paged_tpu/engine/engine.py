@@ -253,6 +253,7 @@ class InferenceEngine:
         `window` tokens each step (phase-2 slide, infer.c:104-127)."""
         window = _check_window(window, self.cfg)
         sampler = sampler or self._default_sampler()
+        stops = self.econf.stop_tokens
         toks = list(prompt)
         for _ in range(max_new_tokens):
             ctx = toks[-window:]
@@ -266,6 +267,8 @@ class InferenceEngine:
             logits = gpt2.forward(self.params, jnp.asarray(padded[None]),
                                   self.cfg)
             toks.append(_pick_token(sampler, logits[0, n - 1]))
+            if stops and toks[-1] in stops:
+                break
         return toks
 
     # -- mode "dense": contiguous KV cache (cached_infer.c) -----------------
@@ -288,12 +291,15 @@ class InferenceEngine:
         base = max(0, len(prompt) - window)
         total = len(prompt) - base + max_new_tokens
         sampler = sampler or self._default_sampler()
+        stops = self.econf.stop_tokens
         cache = gpt2.init_cache(cfg, 1, total)
         toks = list(prompt)
         logits, cache = gpt2.prefill(
             self.params, jnp.asarray([toks[base:]], jnp.int32), cache, cfg)
         toks.append(_pick_token(sampler, logits[0, -1]))
         for _ in range(max_new_tokens - 1):
+            if stops and toks[-1] in stops:
+                break
             pos = len(toks) - 1 - base
             wpe_pos = min(pos, window - 1)
             start = max(0, pos + 1 - window)
@@ -492,6 +498,28 @@ class InferenceEngine:
                     preempted.append(victim)
             return preempted
 
+        def apply_stop(req: Request) -> int:
+            """Scan newly materialized tokens for the request's stop ids
+            (watermark on the request — each token scanned once, across
+            preemptions); on a hit, keep the stop token, discard the
+            chain overshoot past it, and mark the request stopped.
+            Returns the discarded count (callers correct decode_tokens).
+            Runs BEFORE notify_tokens, so streams never see post-stop
+            tokens."""
+            stops = (req.stop_tokens if req.stop_tokens is not None
+                     else econf.stop_tokens)
+            if not stops or req.stopped:
+                return 0
+            gen = req.generated
+            for k in range(getattr(req, "_stop_scanned", 0), len(gen)):
+                if gen[k] in stops:
+                    discarded = len(gen) - (k + 1)
+                    del gen[k + 1:]
+                    req.stopped = True
+                    return discarded
+            req._stop_scanned = len(gen)
+            return 0
+
         def notify_tokens(req: Request) -> None:
             """Flush tokens appended since the last flush (watermark on
             the request, so it survives preemption/re-admission)."""
@@ -647,6 +675,7 @@ class InferenceEngine:
                     for i, (slot, req) in enumerate(group):
                         req.generated.append(first_toks[i])
                         req.mark_first_token()
+                        apply_stop(req)
                         notify_tokens(req)
                         if req.done:
                             mgr.free_prompt(slot)
@@ -663,6 +692,7 @@ class InferenceEngine:
                 for i, (slot, req) in enumerate(deferred[1]):
                     req.generated.append(int(picks[i]))
                     req.mark_first_token()
+                    apply_stop(req)
                     notify_tokens(req)
                     if req.done:
                         mgr.free_prompt(slot)
@@ -837,6 +867,7 @@ class InferenceEngine:
                         mgr.truncate_to(slot, pre + committed[slot])
                         if len(req.generated) > req.max_new_tokens:
                             del req.generated[req.max_new_tokens:]  # overshoot
+                        apply_stop(req)
                         decode_tokens += len(req.generated) - gen_before[slot]
                         notify_tokens(req)
                     for slot in list(sched.running):
@@ -1056,12 +1087,21 @@ class InferenceEngine:
                         jnp.stack([t for t, _ in pending]))
                     for picks, (_, stepped) in zip(all_picks, pending):
                         for slot, keep in stepped:
-                            req = sched.running[slot]
+                            req = sched.running.get(slot)
+                            if req is None or req.stopped:
+                                # finished at flush_deferred (its FIRST
+                                # token hit a stop id): the chain's picks
+                                # for it are overshoot — discard
+                                continue
                             req.generated.extend(int(t)
                                                  for t in picks[:keep, slot])
                             decode_tokens += keep
                     for slot in {s for _, st in pending for s, _ in st}:
-                        notify_tokens(sched.running[slot])
+                        req = sched.running.get(slot)
+                        if req is None:
+                            continue
+                        decode_tokens -= apply_stop(req)
+                        notify_tokens(req)
                     for slot in list(sched.running):
                         if sched.running[slot].done:
                             mgr.free_prompt(slot)
@@ -1137,6 +1177,7 @@ class InferenceEngine:
                     for slot, tok in zip(stepped, row_toks):
                         req = sched.running[slot]
                         req.generated.append(tok)
+                        apply_stop(req)
                         notify_tokens(req)
                         if req.done:
                             mgr.free_prompt(slot)

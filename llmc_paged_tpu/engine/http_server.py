@@ -60,15 +60,20 @@ def make_handler(serving: ServingEngine, tokenizer=None):
                 req = json.loads(self.rfile.read(n) or b"{}")
                 prompt = req["prompt"]
                 max_new = int(req.get("max_new_tokens", 16))
+                stop = req.get("stop_tokens")
                 if not (isinstance(prompt, list)
                         and all(isinstance(t, int) for t in prompt)):
                     raise ValueError("prompt must be a list of token ids")
+                if stop is not None and not (
+                        isinstance(stop, list)
+                        and all(isinstance(t, int) for t in stop)):
+                    raise ValueError("stop_tokens must be a list of ids")
             except (KeyError, ValueError, json.JSONDecodeError) as e:
                 return self._reply(400, {"error": str(e)})
             if req.get("stream"):
-                return self._stream(prompt, max_new)
+                return self._stream(prompt, max_new, stop)
             try:
-                fut = serving.submit(prompt, max_new)
+                fut = serving.submit(prompt, max_new, stop_tokens=stop)
                 tokens = fut.result()
             except (ValueError, RuntimeError) as e:
                 # invalid request (too long for the pool, ...) or loop down
@@ -78,13 +83,14 @@ def make_handler(serving: ServingEngine, tokenizer=None):
                 out["text"] = tokenizer.decode_string(out["generated"])
             self._reply(200, out)
 
-        def _stream(self, prompt, max_new):
+        def _stream(self, prompt, max_new, stop=None):
             """Newline-delimited JSON, close-delimited (HTTP/1.0-style):
             one {"tokens": [...]} line per engine flush, then a final
             {"done": true, ...} line. Flush granularity is decode-chain
             links (EngineConfig.stream_links)."""
             try:
-                it = serving.submit_stream(prompt, max_new)
+                it = serving.submit_stream(prompt, max_new,
+                                           stop_tokens=stop)
             except (ValueError, RuntimeError) as e:
                 return self._reply(400, {"error": str(e)})
             self.send_response(200)

@@ -39,6 +39,12 @@ class Request:
     # at EngineConfig.stream_links while this request runs, bounding the
     # interval between token flushes
     stream: bool = False
+    # generation stops after the first of these token ids appears (the id
+    # is kept as the last generated token); None -> EngineConfig default.
+    # Decode chains overshoot past a stop and the engine discards the
+    # excess at materialization — pages free wholesale at finish.
+    stop_tokens: Optional[List[int]] = None
+    stopped: bool = False
     slot: Optional[int] = None
     preemptions: int = 0
     t_submit: float = 0.0
@@ -61,7 +67,7 @@ class Request:
 
     @property
     def done(self) -> bool:
-        return len(self.generated) >= self.max_new_tokens
+        return self.stopped or len(self.generated) >= self.max_new_tokens
 
 
 class Scheduler:

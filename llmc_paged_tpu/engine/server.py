@@ -62,7 +62,8 @@ class ServingEngine:
     # ---- client side (any thread) --------------------------------------
 
     def submit(self, prompt: Sequence[int], max_new_tokens: int,
-               rid: Optional[int] = None) -> Future:
+               rid: Optional[int] = None,
+               stop_tokens: Optional[Sequence[int]] = None) -> Future:
         """Enqueue a request; returns a Future resolving to the full token
         list (prompt + generated). Invalid requests (too long for the
         pool / incompatible with the serving mode) fail their OWN future
@@ -74,7 +75,9 @@ class ServingEngine:
                 raise RuntimeError("serving loop died") from self._error
             req = Request(rid=next(self._rid) if rid is None else rid,
                           prompt=list(prompt),
-                          max_new_tokens=max_new_tokens)
+                          max_new_tokens=max_new_tokens,
+                          stop_tokens=(None if stop_tokens is None
+                                       else list(stop_tokens)))
             fut: Future = Future()
             try:
                 self._engine.validate_request(req, self._window)
@@ -87,7 +90,8 @@ class ServingEngine:
         return fut
 
     def submit_stream(self, prompt: Sequence[int], max_new_tokens: int,
-                      rid: Optional[int] = None):
+                      rid: Optional[int] = None,
+                      stop_tokens: Optional[Sequence[int]] = None):
         """Streaming twin of submit(): returns an iterator yielding token
         BATCHES (lists) as the engine materializes them — granularity is
         decode-chain links, bounded by EngineConfig.stream_links while any
@@ -99,7 +103,9 @@ class ServingEngine:
                 raise RuntimeError("serving loop died") from self._error
             req = Request(rid=next(self._rid) if rid is None else rid,
                           prompt=list(prompt),
-                          max_new_tokens=max_new_tokens, stream=True)
+                          max_new_tokens=max_new_tokens, stream=True,
+                          stop_tokens=(None if stop_tokens is None
+                                       else list(stop_tokens)))
             self._engine.validate_request(req, self._window)
             req.t_submit = time.monotonic()
             q: "queue.Queue" = queue.Queue()
