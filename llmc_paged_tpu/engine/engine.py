@@ -427,6 +427,12 @@ class InferenceEngine:
         sched = Scheduler(econf.max_batch)
 
         def submit_one(r: Request) -> None:
+            if r.cancelled:        # cancelled before it ever reached us
+                r.state = State.DONE
+                sched.finished.append(r)
+                if on_finish is not None:
+                    on_finish(r)
+                return
             self.validate_request(r, window)
             if r.max_new_tokens <= 0:
                 r.state = State.DONE
@@ -523,7 +529,7 @@ class InferenceEngine:
         def notify_tokens(req: Request) -> None:
             """Flush tokens appended since the last flush (watermark on
             the request, so it survives preemption/re-admission)."""
-            if on_tokens is None:
+            if on_tokens is None or req.cancelled:
                 return
             n = len(req.generated)
             sent = getattr(req, "_stream_sent", 0)
@@ -537,6 +543,25 @@ class InferenceEngine:
             if on_finish is not None:
                 on_finish(req)
 
+        def sweep_cancelled() -> None:
+            """Retire requests whose `cancelled` flag was set since the
+            last iteration. Safe point: no chain is in flight at the
+            iteration top, so a running row's pages free wholesale here
+            exactly like a finished row's (in-order device execution makes
+            the reused pages safe, same argument as preemption). A cancel
+            landing MID-chain is noticed by the done-sweep at that chain's
+            materialization instead."""
+            for req in [r for r in sched.waiting if r.cancelled]:
+                sched.waiting.remove(req)
+                req.state = State.DONE
+                sched.finished.append(req)
+                if on_finish is not None:
+                    on_finish(req)
+            for slot, req in list(sched.running.items()):
+                if req.cancelled:
+                    mgr.free_prompt(slot)
+                    finish_slot(slot)
+
         feed_open = feed is not None
         while True:
             if feed_open:
@@ -546,6 +571,7 @@ class InferenceEngine:
                 new_reqs, feed_open = feed(not sched.has_work)
                 for r in new_reqs:
                     submit_one(r)
+            sweep_cancelled()
             if not sched.has_work:
                 if feed_open:
                     continue

@@ -8,10 +8,15 @@ in the engine (continuous batching across connections), which is the
 whole point. No streaming, no auth; binds 127.0.0.1 by default.
 
 API (JSON over POST/GET):
-  POST /generate  {"prompt": [int token ids], "max_new_tokens": N}
-      -> {"rid": n, "tokens": [prompt+generated], "generated": [...],
+  POST /generate  {"prompt": [int token ids], "max_new_tokens": N,
+                   "stop_tokens": [ids]?, "stream": bool?}
+      -> {"tokens": [prompt+generated], "generated": [...],
           "text": "..."}   (text only when a tokenizer is loaded)
   GET  /health    -> {"status": "ok", "pending": n}
+
+A client that disconnects mid-stream CANCELS its request (the handler
+sees the broken pipe at the next flush and calls StreamHandle.cancel),
+so abandoned streams release their slot and pages promptly.
 
 Prompts are TOKEN IDS: the GPT-2 tokenizer artifact is decode-only
 (length-prefixed byte table, train_gpt2.py:353-367 — the reference's
@@ -109,7 +114,12 @@ def make_handler(serving: ServingEngine, tokenizer=None):
                 self.wfile.write((json.dumps(
                     {"done": True, "generated": generated}) + "\n").encode())
             except (BrokenPipeError, ConnectionResetError):
-                pass    # client went away; the engine still finishes
+                # client went away mid-stream: abort the request so its
+                # slot and pages free now instead of decoding the rest of
+                # max_new_tokens for nobody
+                it.cancel()
+                for _ in it:     # drain so the engine's flushes never block
+                    pass
 
     return Handler
 

@@ -45,6 +45,14 @@ class Request:
     # excess at materialization — pages free wholesale at finish.
     stop_tokens: Optional[List[int]] = None
     stopped: bool = False
+    # abort flag, settable from ANY thread (a plain bool write is atomic
+    # under the GIL): the engine notices at its next host-side poll point
+    # (iteration top for queued/idle rows, chain materialization for rows
+    # mid-decode), frees the slot+pages wholesale, and finishes the
+    # request WITHOUT delivering further tokens. ServingEngine.cancel()
+    # resolves the future with CancelledError; partial tokens already
+    # streamed stay delivered.
+    cancelled: bool = False
     slot: Optional[int] = None
     preemptions: int = 0
     t_submit: float = 0.0
@@ -67,7 +75,8 @@ class Request:
 
     @property
     def done(self) -> bool:
-        return self.stopped or len(self.generated) >= self.max_new_tokens
+        return (self.cancelled or self.stopped
+                or len(self.generated) >= self.max_new_tokens)
 
 
 class Scheduler:

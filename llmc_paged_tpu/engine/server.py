@@ -29,7 +29,7 @@ import itertools
 import queue
 import threading
 import time
-from concurrent.futures import Future
+from concurrent.futures import CancelledError, Future
 from typing import List, Optional, Sequence
 
 from llmc_paged_tpu.engine.scheduler import Request
@@ -38,6 +38,31 @@ from llmc_paged_tpu.sampler import Sampler
 # how long the feed blocks waiting for work when the engine is idle; a
 # wake also happens immediately on close()
 _IDLE_POLL_S = 0.02
+
+
+class StreamHandle:
+    """Iterator over token batches plus a cancellation handle: abandoning
+    the stream should not leave the request decoding to max_new_tokens —
+    call .cancel() (the HTTP front does so on client disconnect)."""
+
+    def __init__(self, serving: "ServingEngine", rid: int, q: "queue.Queue"):
+        self.rid = rid
+        self._serving = serving
+        self._q = q
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is ServingEngine._DONE:
+            raise StopIteration
+        if isinstance(item, BaseException):
+            raise item
+        return item
+
+    def cancel(self) -> bool:
+        return self._serving.cancel(self.rid)
 
 
 class ServingEngine:
@@ -51,6 +76,7 @@ class ServingEngine:
         self._q: "queue.Queue[Optional[Request]]" = queue.Queue()
         self._futures = {}
         self._streams = {}                 # rid -> token-batch queue
+        self._requests = {}                # rid -> live Request (for cancel)
         self._lock = threading.Lock()
         self._open = True
         self._rid = itertools.count()
@@ -79,6 +105,7 @@ class ServingEngine:
                           stop_tokens=(None if stop_tokens is None
                                        else list(stop_tokens)))
             fut: Future = Future()
+            fut.rid = req.rid                  # handle for cancel(rid)
             try:
                 self._engine.validate_request(req, self._window)
             except ValueError as e:
@@ -86,6 +113,7 @@ class ServingEngine:
                 return fut
             req.t_submit = time.monotonic()    # TTFT includes queue time
             self._futures[req.rid] = fut
+            self._requests[req.rid] = req
         self._q.put(req)
         return fut
 
@@ -110,17 +138,24 @@ class ServingEngine:
             req.t_submit = time.monotonic()
             q: "queue.Queue" = queue.Queue()
             self._streams[req.rid] = q
+            self._requests[req.rid] = req
         self._q.put(req)
+        return StreamHandle(self, req.rid, q)
 
-        def _iter():
-            while True:
-                item = q.get()
-                if item is self._DONE:
-                    return
-                if isinstance(item, BaseException):
-                    raise item
-                yield item
-        return _iter()
+    def cancel(self, rid: int) -> bool:
+        """Abort a live request from any thread. The engine notices at its
+        next host-side poll point (iteration top, or the current chain's
+        materialization), frees the slot and pages, and finishes the
+        request: its Future raises CancelledError; its stream ends (tokens
+        already streamed stay delivered). Returns False when the request
+        already finished (its result stands) or is unknown. Racing a
+        natural finish is benign — one of the two outcomes lands."""
+        with self._lock:
+            req = self._requests.get(rid)
+            if req is None:
+                return False
+            req.cancelled = True
+        return True
 
     def close(self, wait: bool = True) -> None:
         """Stop accepting requests; the loop drains everything already
@@ -162,9 +197,14 @@ class ServingEngine:
             sq.put(list(new_tokens))
 
     def _on_finish(self, req: Request) -> None:
+        with self._lock:
+            self._requests.pop(req.rid, None)
         fut = self._futures.pop(req.rid, None)
         if fut is not None:
-            fut.set_result(req.tokens)
+            if req.cancelled:
+                fut.set_exception(CancelledError())
+            else:
+                fut.set_result(req.tokens)
         sq = self._streams.pop(req.rid, None)
         if sq is not None:
             sq.put(self._DONE)
@@ -182,6 +222,7 @@ class ServingEngine:
                 self._futures.clear()
                 streams = list(self._streams.values())
                 self._streams.clear()
+                self._requests.clear()
             for fut in pending:
                 fut.set_exception(e)
             for sq in streams:
