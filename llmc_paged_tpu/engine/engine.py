@@ -183,6 +183,12 @@ class InferenceEngine:
         self.use_kernel = use_kernel
         self.native_manager = native_manager
         self.stats: Dict[str, float] = {}
+        # Live snapshot for long-lived serving runs: self.stats is only
+        # written when run() RETURNS, which a serving loop never does.
+        # Rebuilt (whole-dict swap, so concurrent readers never see a
+        # partial update) at every scheduler iteration — host-side
+        # bookkeeping only, nothing touches the device.
+        self.live_stats: Dict[str, float] = {}
         # device page pool kept across run() calls: allocating + zeroing
         # hundreds of MB of per-layer buffers per run costs real wall time
         # on a 1.5B pool, and stale contents are never read (block tables
@@ -539,6 +545,10 @@ class InferenceEngine:
 
         def finish_slot(slot: int) -> None:
             req = sched.finish(slot)
+            # refresh the live snapshot BEFORE the callbacks resolve the
+            # request's future — a client reading /stats right after its
+            # result must already see this finish counted
+            update_live_stats()
             notify_tokens(req)
             if on_finish is not None:
                 on_finish(req)
@@ -562,6 +572,24 @@ class InferenceEngine:
                     mgr.free_prompt(slot)
                     finish_slot(slot)
 
+        def update_live_stats() -> None:
+            """Whole-dict swap so readers on other threads (ServingEngine
+            .stats(), HTTP GET /stats) never see a partial update."""
+            dt = time.monotonic() - t_start
+            self.live_stats = {
+                "running": len(sched.running),
+                "waiting": len(sched.waiting),
+                "finished_total": len(sched.finished),
+                "decode_tokens": decode_tokens,
+                "decode_tok_per_s": decode_tokens / dt if dt > 0 else 0.0,
+                "pages_free": mgr.num_free(),
+                "peak_pages_used": peak_pages,
+                "preemptions": sum(r.preemptions for r in sched.finished)
+                + sum(r.preemptions for r in sched.running.values())
+                + sum(r.preemptions for r in sched.waiting),
+                "uptime_s": dt,
+            }
+
         feed_open = feed is not None
         while True:
             if feed_open:
@@ -572,6 +600,7 @@ class InferenceEngine:
                 for r in new_reqs:
                     submit_one(r)
             sweep_cancelled()
+            update_live_stats()
             if not sched.has_work:
                 if feed_open:
                     continue
@@ -1215,6 +1244,7 @@ class InferenceEngine:
                     "request (need a larger page pool or shorter prompts)")
 
         self._pool_cache = pool     # reuse the device buffers next run
+        update_live_stats()
         dt = time.monotonic() - t_start
         self.stats = {
             "wall_s": dt,

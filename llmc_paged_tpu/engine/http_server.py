@@ -13,6 +13,9 @@ API (JSON over POST/GET):
       -> {"tokens": [prompt+generated], "generated": [...],
           "text": "..."}   (text only when a tokenizer is loaded)
   GET  /health    -> {"status": "ok", "pending": n}
+  GET  /stats     -> live serving snapshot (running/waiting/finished,
+                     decode tok/s, pages free, preemptions, uptime,
+                     pending futures / open streams)
 
 A client that disconnects mid-stream CANCELS its request (the handler
 sees the broken pipe at the next flush and calls StreamHandle.cancel),
@@ -51,6 +54,8 @@ def make_handler(serving: ServingEngine, tokenizer=None):
             self.wfile.write(body)
 
         def do_GET(self):
+            if self.path == "/stats":
+                return self._reply(200, serving.stats())
             if self.path != "/health":
                 return self._reply(404, {"error": "unknown path"})
             with serving._lock:

@@ -157,6 +157,17 @@ class ServingEngine:
             req.cancelled = True
         return True
 
+    def stats(self) -> dict:
+        """Live serving snapshot: the engine's per-iteration counters
+        (running/waiting/finished, decode tok/s, pages free, preemptions,
+        uptime) plus this front's pending request count. Safe from any
+        thread — the engine swaps the whole dict atomically."""
+        out = dict(self._engine.live_stats)
+        with self._lock:
+            out["pending_futures"] = len(self._futures)
+            out["open_streams"] = len(self._streams)
+        return out
+
     def close(self, wait: bool = True) -> None:
         """Stop accepting requests; the loop drains everything already
         submitted, then exits."""

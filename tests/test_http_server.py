@@ -106,3 +106,11 @@ def test_http_generate_concurrent_matches_batch():
         assert streamed == expect[0][len(prompts[0]):]
         assert streamed == lines[-1]["generated"]
         assert all(isinstance(l["text"], str) for l in lines[:-1])
+
+        # live metrics: the per-iteration engine snapshot over HTTP
+        with urllib.request.urlopen(f"{url}/stats", timeout=30) as r:
+            stats = json.loads(r.read())
+        assert stats["finished_total"] >= len(prompts) + 2
+        assert stats["decode_tokens"] > 0 and stats["uptime_s"] > 0
+        assert 0 <= stats["pages_free"] <= page.num_pages
+        assert stats["running"] == 0 and stats["pending_futures"] == 0
