@@ -10,6 +10,7 @@ also samples host-side from the device softmax, train_gpt2.cu:1238-1239).
 
 from __future__ import annotations
 
+import collections
 import time
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -374,6 +375,12 @@ class InferenceEngine:
         econf = self.econf
         page = econf.page
         window = _check_window(window, self.cfg)
+        if not req.prompt:
+            # an empty prompt has no last token to decode from; worse, at
+            # admission append_tokens(slot, 0) returns no segments, which
+            # run() reads as pool exhaustion — the request would head the
+            # queue forever and eventually stall the loop
+            raise ValueError(f"request {req.rid} has an empty prompt")
         if req.max_new_tokens <= 0:
             return
         # prompts longer than the window are truncated to their trailing
@@ -413,7 +420,10 @@ class InferenceEngine:
         wave (true continuous serving; engine/server.ServingEngine is the
         threaded front). With ``block=True`` (engine idle) the feed may
         wait briefly for work. The loop exits when the feed reports
-        closed and all work drained. ``on_finish``: optional callback
+        closed and all work drained. With a feed, finished Requests are
+        NOT retained (the return value is empty): a long-lived serving
+        loop must not grow with request count — results are delivered
+        through ``on_finish``. ``on_finish``: optional callback
         invoked with each Request the moment it finishes (not at loop
         exit). With a feed, stats wall_s includes idle waits — per-request
         latency lives on the Request (ttft, t_done - t_submit).
@@ -431,11 +441,33 @@ class InferenceEngine:
         window = _check_window(window, cfg)
         sampler = sampler or self._default_sampler()
         sched = Scheduler(econf.max_batch)
+        # Long-lived serving must not grow with request count: finished
+        # Requests are dropped after delivery (the caller holds them via
+        # their Future) and the aggregates below replace whole-history
+        # scans. Batch runs (no feed) keep the full list — run() returns
+        # it — and at their sizes the aggregates are exact.
+        retain_finished = feed is None
+        n_finished = 0
+        ttfts: "collections.deque" = collections.deque(maxlen=1024)
+
+        def record_finished(r: Request) -> None:
+            """Aggregate bookkeeping for every finish path; drops the
+            Request from sched.finished under serving (it was appended
+            by the caller/Scheduler.finish immediately before)."""
+            nonlocal n_finished
+            n_finished += 1
+            if r.t_done is None:
+                r.t_done = time.monotonic()
+            if r.ttft is not None:
+                ttfts.append(r.ttft)
+            if not retain_finished:
+                sched.finished.pop()
 
         def submit_one(r: Request) -> None:
             if r.cancelled:        # cancelled before it ever reached us
                 r.state = State.DONE
                 sched.finished.append(r)
+                record_finished(r)
                 if on_finish is not None:
                     on_finish(r)
                 return
@@ -443,6 +475,7 @@ class InferenceEngine:
             if r.max_new_tokens <= 0:
                 r.state = State.DONE
                 sched.finished.append(r)
+                record_finished(r)
                 if on_finish is not None:
                     on_finish(r)
                 return
@@ -545,6 +578,7 @@ class InferenceEngine:
 
         def finish_slot(slot: int) -> None:
             req = sched.finish(slot)
+            record_finished(req)
             # refresh the live snapshot BEFORE the callbacks resolve the
             # request's future — a client reading /stats right after its
             # result must already see this finish counted
@@ -565,6 +599,7 @@ class InferenceEngine:
                 sched.waiting.remove(req)
                 req.state = State.DONE
                 sched.finished.append(req)
+                record_finished(req)
                 if on_finish is not None:
                     on_finish(req)
             for slot, req in list(sched.running.items()):
@@ -574,19 +609,19 @@ class InferenceEngine:
 
         def update_live_stats() -> None:
             """Whole-dict swap so readers on other threads (ServingEngine
-            .stats(), HTTP GET /stats) never see a partial update."""
+            .stats(), HTTP GET /stats) never see a partial update. O(1):
+            counters only — a long-lived serving loop runs this every
+            iteration, so it must not scan request history."""
             dt = time.monotonic() - t_start
             self.live_stats = {
                 "running": len(sched.running),
                 "waiting": len(sched.waiting),
-                "finished_total": len(sched.finished),
+                "finished_total": n_finished,
                 "decode_tokens": decode_tokens,
                 "decode_tok_per_s": decode_tokens / dt if dt > 0 else 0.0,
                 "pages_free": mgr.num_free(),
                 "peak_pages_used": peak_pages,
-                "preemptions": sum(r.preemptions for r in sched.finished)
-                + sum(r.preemptions for r in sched.running.values())
-                + sum(r.preemptions for r in sched.waiting),
+                "preemptions": sched.preempt_count,
                 "uptime_s": dt,
             }
 
@@ -611,7 +646,7 @@ class InferenceEngine:
                 print(f'{{"iter": {iteration}, '
                       f'"running": {len(sched.running)}, '
                       f'"waiting": {len(sched.waiting)}, '
-                      f'"finished": {len(sched.finished)}, '
+                      f'"finished": {n_finished}, '
                       f'"pages_free": {mgr.num_free()}, '
                       f'"decode_tokens": {decode_tokens}, '
                       f'"tok_per_s": {decode_tokens / dt if dt else 0:.1f}}}',
@@ -782,11 +817,24 @@ class InferenceEngine:
             # admission retry comes sooner as pages free up.
             queue_blocked = bool(sched.waiting)
             # streaming consumers bound the flush interval: cap chains at
-            # stream_links links while any watched request runs
+            # stream_links links while any watched request runs. Stop
+            # tokens get the same bound: a stop is only DETECTED at
+            # materialization, so an unbounded chain would decode the
+            # row's whole remaining budget past an early stop — capping
+            # trades one sync per stream_links links for bounded overshoot
+            # (stops are opt-in; requests without them keep full chains)
             stream_cap = (econf.stream_links
-                          if on_tokens is not None and any(
-                              r.stream for r in sched.running.values())
+                          if any((r.stream and on_tokens is not None)
+                                 or (r.stop_tokens if r.stop_tokens
+                                     is not None else econf.stop_tokens)
+                                 for r in sched.running.values())
                           else 0)
+
+            def cancel_pending() -> bool:
+                """A running row was cancelled (from another thread):
+                break the chain at this link so the materialization
+                done-sweep retires it now, not at chain end."""
+                return any(r.cancelled for r in sched.running.values())
             # Serving (feed): chains can cover a row's WHOLE remaining
             # decode in one scheduler iteration, so a request arriving
             # mid-chain would otherwise wait for the full chain to drain.
@@ -882,12 +930,15 @@ class InferenceEngine:
                         for r in new_reqs:
                             submit_one(r)
                         queue_blocked = queue_blocked or bool(sched.waiting)
+                    update_live_stats()      # per-link snapshot (see below)
                     # acceptance is data-dependent: a row MAY have finished
                     # once links*S*spec_k covers its remaining budget
                     may_free = any(
                         sched.running[s].max_new_tokens - gen_before[s]
                         <= links * S * Ksp for s in plan)
                     if stream_cap and links >= stream_cap:
+                        break
+                    if cancel_pending():
                         break
                     if queue_blocked or \
                             ((feed_open or on_finish is not None)
@@ -1106,7 +1157,13 @@ class InferenceEngine:
                         for r in new_reqs:
                             submit_one(r)
                         queue_blocked = queue_blocked or bool(sched.waiting)
+                    # per-link snapshot: a long chain is ONE scheduler
+                    # iteration, so without this /stats would freeze for
+                    # its whole duration (pages_free tracks link progress)
+                    update_live_stats()
                     if stream_cap and len(pending) >= stream_cap:
+                        break
+                    if cancel_pending():
                         break
                     if (feed_open or on_finish is not None) and will_free:
                         # serving: a stepped row finishes THIS link —
@@ -1251,9 +1308,10 @@ class InferenceEngine:
             "decode_tokens": decode_tokens,
             "decode_tok_per_s": decode_tokens / dt if dt > 0 else 0.0,
             "peak_pages_used": peak_pages,
-            "preemptions": sum(r.preemptions for r in sched.finished),
-            "p50_ttft_s": float(np.median([r.ttft for r in sched.finished
-                                           if r.ttft is not None] or [0.0])),
+            "preemptions": sched.preempt_count,
+            # last 1024 finishes — exact for batch runs, a recent-window
+            # median for long-lived serving (full history is not retained)
+            "p50_ttft_s": float(np.median(ttfts)) if ttfts else 0.0,
         }
         if use_spec:
             self.stats["spec_steps"] = spec_stats["steps"]

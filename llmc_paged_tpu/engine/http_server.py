@@ -78,7 +78,12 @@ def make_handler(serving: ServingEngine, tokenizer=None):
                         isinstance(stop, list)
                         and all(isinstance(t, int) for t in stop)):
                     raise ValueError("stop_tokens must be a list of ids")
-            except (KeyError, ValueError, json.JSONDecodeError) as e:
+            except (KeyError, TypeError, ValueError,
+                    json.JSONDecodeError) as e:
+                # TypeError covers type-malformed JSON (body '[1,2]' →
+                # req["prompt"]; "max_new_tokens": null → int(None)) —
+                # without it the handler thread dies and the client sees
+                # a reset instead of the 400
                 return self._reply(400, {"error": str(e)})
             if req.get("stream"):
                 return self._stream(prompt, max_new, stop)

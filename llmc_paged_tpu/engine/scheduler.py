@@ -88,6 +88,9 @@ class Scheduler:
         self.waiting: List[Request] = []
         self.running: Dict[int, Request] = {}   # slot -> request
         self.finished: List[Request] = []
+        # cumulative counter (preemptions of every request, ever): the
+        # live-stats path must not scan per-request fields each iteration
+        self.preempt_count = 0
 
     def submit(self, req: Request) -> None:
         # a serving front stamps arrival time at enqueue; don't overwrite
@@ -114,6 +117,7 @@ class Scheduler:
         req.state = State.WAITING
         req.slot = None
         req.preemptions += 1
+        self.preempt_count += 1
         self.waiting.insert(0, req)
         return req
 

@@ -114,7 +114,11 @@ class ServingEngine:
             req.t_submit = time.monotonic()    # TTFT includes queue time
             self._futures[req.rid] = fut
             self._requests[req.rid] = req
-        self._q.put(req)
+            # enqueue INSIDE the lock: close() flips _open under the same
+            # lock, so a request admitted here is in the queue before the
+            # feed can observe closed+empty and exit (put never blocks —
+            # the queue is unbounded)
+            self._q.put(req)
         return fut
 
     def submit_stream(self, prompt: Sequence[int], max_new_tokens: int,
@@ -139,7 +143,7 @@ class ServingEngine:
             q: "queue.Queue" = queue.Queue()
             self._streams[req.rid] = q
             self._requests[req.rid] = req
-        self._q.put(req)
+            self._q.put(req)       # inside the lock — see submit()
         return StreamHandle(self, req.rid, q)
 
     def cancel(self, rid: int) -> bool:

@@ -137,6 +137,59 @@ def test_engine_level_cancel_via_on_tokens():
         assert done[rid].tokens == full[rid]
 
 
+def test_cancel_mid_chain_nonstream_is_bounded():
+    """A cancelled NON-streaming solo request must not decode its whole
+    remaining budget: chains check the cancel flag at every link
+    boundary and break, so the done-sweep retires the row within a link
+    of the cancel landing."""
+    cfg, params, page = _setup(page_size=8, num_pages=420, max_seqs=2,
+                               pages_per_seq=400)
+    econf = EngineConfig(cache_mode="paged", page=page, greedy=True,
+                         max_batch=1, decode_chunk=2)
+    eng = InferenceEngine(params, cfg, econf)
+    with ServingEngine(eng) as srv:
+        fut = srv.submit(_prompts(1)[0], 3000)
+        # live stats refresh at every chain link; pages_free dropping well
+        # below the prompt's own pages means the chain is mid-flight
+        deadline = time.monotonic() + 120
+        while (eng.live_stats.get("pages_free", 10**9) > page.num_pages - 8
+               and time.monotonic() < deadline):
+            time.sleep(0.01)
+        assert srv.cancel(fut.rid) is True
+        with pytest.raises(CancelledError):
+            fut.result(timeout=300)
+        assert eng.live_stats["decode_tokens"] < 3000
+
+
+def test_precancelled_request_finishes_with_t_done():
+    """A request cancelled before the engine ever saw it is retired at
+    submission: DONE state, t_done stamped (latency math stays sane)."""
+    cfg, params, page = _setup()
+    econf = EngineConfig(cache_mode="paged", page=page, greedy=True,
+                         max_batch=2, decode_chunk=4)
+    eng = InferenceEngine(params, cfg, econf)
+    req = Request(rid=0, prompt=[1, 2, 3], max_new_tokens=5)
+    req.cancelled = True
+    done = eng.run([req])
+    assert done[0] is req and req.state is State.DONE
+    assert req.t_done is not None and req.generated == []
+
+
+def test_empty_prompt_fails_future_not_loop():
+    """An empty prompt fails ITS future at submission (it has no last
+    token to decode from and would stall admission); the loop survives."""
+    cfg, params, page = _setup()
+    econf = EngineConfig(cache_mode="paged", page=page, greedy=True,
+                         max_batch=2, decode_chunk=4)
+    eng = InferenceEngine(params, cfg, econf)
+    with ServingEngine(eng) as srv:
+        bad = srv.submit([], 8)
+        with pytest.raises(ValueError, match="empty prompt"):
+            bad.result(timeout=10)
+        ok = srv.submit(_prompts(1)[0], 5)
+        assert len(ok.result(timeout=120)) > 0
+
+
 def test_http_disconnect_cancels_stream():
     """A raw socket that POSTs a stream request and disconnects after the
     first line cancels it: the slot frees (max_batch=1) and the next HTTP

@@ -77,9 +77,15 @@ def test_http_generate_concurrent_matches_batch():
             assert isinstance(r["text"], str)
 
         # bad requests: malformed body and an impossible request both get
-        # a 400 with the cause, never a dead loop
+        # a 400 with the cause, never a dead loop or a dropped connection
+        # (TYPE-malformed bodies used to raise uncaught TypeError; an
+        # empty prompt used to stall the whole serving loop)
         for payload in ({"prompt": "not ids"},
-                        {"prompt": [1, 2], "max_new_tokens": 10_000}):
+                        {"prompt": [1, 2], "max_new_tokens": 10_000},
+                        [1, 2, 3],                       # non-dict body
+                        "x",                             # non-dict body
+                        {"prompt": [1], "max_new_tokens": None},
+                        {"prompt": []}):                 # empty prompt
             try:
                 status, out = _post(f"{url}/generate", payload)
             except urllib.error.HTTPError as e:
