@@ -108,6 +108,45 @@ def _sample_rows_topk(sampler: Sampler, logits, n: int) -> List[int]:
     return out
 
 
+def _effective(sampler: Sampler, req: Request) -> Tuple[bool,
+                                                        Optional[int],
+                                                        float]:
+    """Resolve a request's sampling overrides against the engine sampler:
+    (greedy, top_k, temperature). temperature 0 means greedy (the Sampler
+    idiom); invalid values were rejected by validate_request."""
+    g = sampler.greedy if req.greedy is None else req.greedy
+    tk = sampler.top_k if req.top_k is None else req.top_k
+    tmp = sampler.temperature if req.temperature is None else req.temperature
+    if tmp == 0:
+        g, tmp = True, 1.0
+    return g, tk, tmp
+
+
+def _has_overrides(req: Request) -> bool:
+    return (req.greedy is not None or req.top_k is not None
+            or req.temperature is not None)
+
+
+def _sample_rows_per_request(sampler: Sampler, logits,
+                             reqs: List[Request]) -> List[int]:
+    """Per-row transforms for mixed sampling batches (some request set
+    greedy/top_k/temperature overrides): each stochastic row draws from
+    the SHARED engine RNG stream in row order (the stream semantics of
+    _sample_rows); greedy rows consume nothing. Ships full rows — the
+    top-k prefix-ship fast path only applies to uniform batches."""
+    from llmc_paged_tpu.sampler import topk_probs
+
+    rows = np.asarray(logits)
+    out = []
+    for i, req in enumerate(reqs):
+        g, tk, tmp = _effective(sampler, req)
+        if g:
+            out.append(int(np.argmax(rows[i])))
+        else:
+            out.append(sampler.sample(topk_probs(rows[i], tk, tmp)))
+    return out
+
+
 def _pick_token(sampler: Sampler, logits_row) -> int:
     """Sample one token from a (V,) logits row. Greedy takes the argmax on
     device and ships 4 bytes; the parity sampler needs the full softmax on
@@ -381,6 +420,23 @@ class InferenceEngine:
             # run() reads as pool exhaustion — the request would head the
             # queue forever and eventually stall the loop
             raise ValueError(f"request {req.rid} has an empty prompt")
+        if req.temperature is not None and req.temperature < 0:
+            raise ValueError(f"request {req.rid}: temperature must be "
+                             f">= 0, got {req.temperature}")
+        if req.top_k is not None and req.top_k < 1:
+            raise ValueError(f"request {req.rid}: top_k must be >= 1, "
+                             f"got {req.top_k}")
+        if _has_overrides(req):
+            if self._tp is not None:
+                raise ValueError(
+                    f"request {req.rid}: per-request sampling overrides "
+                    "under tensor parallelism are not supported yet")
+            if econf.spec_k >= 2 and not _effective(
+                    self._default_sampler(), req)[0]:
+                raise ValueError(
+                    f"request {req.rid}: spec_k requires greedy decoding; "
+                    "a non-greedy per-request override cannot be "
+                    "speculatively verified")
         if req.max_new_tokens <= 0:
             return
         # prompts longer than the window are truncated to their trailing
@@ -503,8 +559,12 @@ class InferenceEngine:
         # position; 0 everywhere when prefix caching is off
         cached: Dict[int, int] = {}
         link_no = 0
-        sample_key = (None if sampler.greedy or not econf.device_sampling
-                      else jax.random.PRNGKey(econf.seed))
+        # device-sampling key: exists whenever device sampling is on —
+        # per-chain logic passes rng=None for all-greedy batches (keeping
+        # the pure-greedy trace and token stream identical) and the key
+        # otherwise (uniform engine sampling, or per-request overrides)
+        sample_key = (jax.random.PRNGKey(econf.seed)
+                      if econf.device_sampling else None)
 
         # Prefix caching (PageConfig.prefix_cache): content-addressed
         # sharing of full prompt pages + suffix-only prefill
@@ -751,7 +811,8 @@ class InferenceEngine:
                     for slot, req in group:
                         prefix_stats["registered"] += \
                             mgr.register_prompt(slot, req.tokens)
-                if sampler.greedy:
+                group_reqs = [r for _, r in group]
+                if all(_effective(sampler, r)[0] for r in group_reqs):
                     # DEFER the host materialization: pick on device and
                     # let the first chunk chain launch before the ~60ms
                     # result download — the download then overlaps chain
@@ -759,9 +820,13 @@ class InferenceEngine:
                     deferred = (jnp.argmax(logits[: len(group)], axis=-1)
                                 .astype(jnp.int32), list(group))
                 else:
-                    first_toks = _sample_rows(sampler,
-                                              logits[: len(group)],
-                                              len(group))
+                    if any(_has_overrides(r) for r in group_reqs):
+                        first_toks = _sample_rows_per_request(
+                            sampler, logits[: len(group)], group_reqs)
+                    else:
+                        first_toks = _sample_rows(sampler,
+                                                  logits[: len(group)],
+                                                  len(group))
                     for i, (slot, req) in enumerate(group):
                         req.generated.append(first_toks[i])
                         req.mark_first_token()
@@ -805,7 +870,15 @@ class InferenceEngine:
             # ---- chunked greedy decode (one device round trip per K
             # tokens; page coordinates reserved K ahead) -----------------
             chunk = 1
-            chainable = sampler.greedy or econf.device_sampling
+            # per-request overrides: a batch whose every running row is
+            # EFFECTIVELY greedy chains exactly like a greedy engine; any
+            # stochastic row needs device sampling to chain (the host
+            # parity stream can't feed back device-side)
+            all_greedy = all(_effective(sampler, r)[0]
+                             for r in sched.running.values())
+            row_overrides = any(_has_overrides(r)
+                                for r in sched.running.values())
+            chainable = all_greedy or econf.device_sampling
             # Chunk even while requests wait: once the admission pass above
             # has run, anything still waiting is blocked on slots or pages
             # either way, so single-token stepping (one ~60ms sync each on
@@ -1002,6 +1075,35 @@ class InferenceEngine:
                     if cap >= cand > 1:
                         chunk = cand
                         break
+            # per-chain sampling mode: all-greedy chains keep the argmax
+            # trace (rng None / zeros — token streams bit-identical to a
+            # greedy engine); uniform stochastic batches keep the scalar
+            # static args; only batches with per-request overrides build
+            # the (B,)-array transform
+            chain_rng = sample_key is not None and not all_greedy
+            samp_arrays = None
+            if chain_rng and row_overrides:
+                tarr = np.ones(B, np.float32)
+                karr = np.zeros(B, np.int32)
+                garr = np.zeros(B, bool)
+                kmax = 0
+                for slot2, r2 in sched.running.items():
+                    g2, tk2, tmp2 = _effective(sampler, r2)
+                    garr[slot2] = g2
+                    tarr[slot2] = tmp2 if not g2 else 1.0
+                    if not g2 and tk2:
+                        k2 = min(tk2, cfg.vocab_size)
+                        karr[slot2] = k2
+                        kmax = max(kmax, k2)
+                # power-of-two cap bounds recompiles as row mixes change;
+                # clamped below V so the static filter branch stays live
+                # (logits are (B, V): a cap >= V would disable top-k for
+                # EVERY row, not just the huge-k ones)
+                kcap = (min(1 << (kmax - 1).bit_length(),
+                            cfg.vocab_size - 1) if kmax else None)
+                karr = np.minimum(karr, kcap or 0)
+                samp_arrays = (jnp.asarray(tarr), jnp.asarray(karr),
+                               jnp.asarray(garr), kcap)
             if chunk > 1 and sched.running:
                 # Async chunk chain: greedy tokens feed back device-side
                 # inside each chunk AND between chunks (the next chunk's
@@ -1119,13 +1221,27 @@ class InferenceEngine:
                         # per-link sampling key (every shard draws the
                         # same token from the replicated logits)
                         rng = (jnp.zeros(2, jnp.uint32)
-                               if sample_key is None else
+                               if not chain_rng else
                                jax.random.fold_in(sample_key, link_no))
                         toks_out, pool = fn(
                             self._tp["params"], link_first,
                             jnp.asarray(pos0), jnp.asarray(pgs),
                             jnp.asarray(sls), jnp.asarray(tables), pool,
                             rng)
+                    elif samp_arrays is not None:
+                        # per-request transform: (B,) temperature/top-k/
+                        # greedy arrays, static power-of-two top-k cap
+                        tarr_d, karr_d, garr_d, kcap = samp_arrays
+                        toks_out, pool = gpt2_paged.decode_chunk_paged(
+                            self.params, link_first, jnp.asarray(pos0),
+                            jnp.asarray(pgs), jnp.asarray(sls),
+                            jnp.asarray(tables), pool, cfg,
+                            num_steps=chunk, window=window,
+                            use_kernel=self.use_kernel,
+                            rng_key=jax.random.fold_in(sample_key, link_no),
+                            top_k=kcap, temperature=tarr_d,
+                            k_arr=(karr_d if kcap else None),
+                            greedy_rows=garr_d)
                     else:
                         toks_out, pool = gpt2_paged.decode_chunk_paged(
                             self.params, link_first, jnp.asarray(pos0),
@@ -1133,13 +1249,12 @@ class InferenceEngine:
                             jnp.asarray(tables), pool, cfg,
                             num_steps=chunk, window=window,
                             use_kernel=self.use_kernel,
-                            rng_key=(None if sample_key is None else
+                            rng_key=(None if not chain_rng else
                                      jax.random.fold_in(sample_key,
                                                         link_no)),
-                            top_k=(sampler.top_k if sample_key is not None
-                                   else None),
+                            top_k=(sampler.top_k if chain_rng else None),
                             temperature=(sampler.temperature
-                                         if sample_key is not None else 1.0))
+                                         if chain_rng else 1.0))
                     first_dev = toks_out[-1]
                     pending.append((toks_out, stepped))
                     # materialize the deferred prefill picks now that the
@@ -1284,8 +1399,15 @@ class InferenceEngine:
                     decode_tokens += len(stepped)
                     # rows gathered in `stepped` order so the parity RNG
                     # stream is consumed per stepped row, in order
-                    row_toks = _sample_rows(
-                        sampler, logits[jnp.asarray(stepped)], len(stepped))
+                    step_reqs = [sched.running[s] for s in stepped]
+                    if any(_has_overrides(r) for r in step_reqs):
+                        row_toks = _sample_rows_per_request(
+                            sampler, logits[jnp.asarray(stepped)],
+                            step_reqs)
+                    else:
+                        row_toks = _sample_rows(
+                            sampler, logits[jnp.asarray(stepped)],
+                            len(stepped))
                     for slot, tok in zip(stepped, row_toks):
                         req = sched.running[slot]
                         req.generated.append(tok)

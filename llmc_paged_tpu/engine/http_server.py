@@ -9,7 +9,8 @@ whole point. No streaming, no auth; binds 127.0.0.1 by default.
 
 API (JSON over POST/GET):
   POST /generate  {"prompt": [int token ids], "max_new_tokens": N,
-                   "stop_tokens": [ids]?, "stream": bool?}
+                   "stop_tokens": [ids]?, "stream": bool?,
+                   "temperature": f?, "top_k": n?, "greedy": bool?}
       -> {"tokens": [prompt+generated], "generated": [...],
           "text": "..."}   (text only when a tokenizer is loaded)
   GET  /health    -> {"status": "ok", "pending": n}
@@ -78,6 +79,16 @@ def make_handler(serving: ServingEngine, tokenizer=None):
                         isinstance(stop, list)
                         and all(isinstance(t, int) for t in stop)):
                     raise ValueError("stop_tokens must be a list of ids")
+                # per-request sampling overrides (None = engine default)
+                temp = req.get("temperature")
+                temp = None if temp is None else float(temp)
+                top_k = req.get("top_k")
+                top_k = None if top_k is None else int(top_k)
+                greedy = req.get("greedy")
+                if greedy is not None and not isinstance(greedy, bool):
+                    raise ValueError("greedy must be a boolean")
+                samp = {"temperature": temp, "top_k": top_k,
+                        "greedy": greedy}
             except (KeyError, TypeError, ValueError,
                     json.JSONDecodeError) as e:
                 # TypeError covers type-malformed JSON (body '[1,2]' →
@@ -86,9 +97,10 @@ def make_handler(serving: ServingEngine, tokenizer=None):
                 # a reset instead of the 400
                 return self._reply(400, {"error": str(e)})
             if req.get("stream"):
-                return self._stream(prompt, max_new, stop)
+                return self._stream(prompt, max_new, stop, samp)
             try:
-                fut = serving.submit(prompt, max_new, stop_tokens=stop)
+                fut = serving.submit(prompt, max_new, stop_tokens=stop,
+                                     **samp)
                 tokens = fut.result()
             except (ValueError, RuntimeError) as e:
                 # invalid request (too long for the pool, ...) or loop down
@@ -98,14 +110,15 @@ def make_handler(serving: ServingEngine, tokenizer=None):
                 out["text"] = tokenizer.decode_string(out["generated"])
             self._reply(200, out)
 
-        def _stream(self, prompt, max_new, stop=None):
+        def _stream(self, prompt, max_new, stop=None, samp=None):
             """Newline-delimited JSON, close-delimited (HTTP/1.0-style):
             one {"tokens": [...]} line per engine flush, then a final
             {"done": true, ...} line. Flush granularity is decode-chain
             links (EngineConfig.stream_links)."""
             try:
                 it = serving.submit_stream(prompt, max_new,
-                                           stop_tokens=stop)
+                                           stop_tokens=stop,
+                                           **(samp or {}))
             except (ValueError, RuntimeError) as e:
                 return self._reply(400, {"error": str(e)})
             self.send_response(200)

@@ -45,6 +45,15 @@ class Request:
     # excess at materialization — pages free wholesale at finish.
     stop_tokens: Optional[List[int]] = None
     stopped: bool = False
+    # per-request sampling overrides; None -> the engine Sampler's value.
+    # greedy rows take the argmax; stochastic rows draw from the shared
+    # engine RNG stream (host parity sampler) or the device categorical
+    # (EngineConfig.device_sampling) with this row's transform. temperature
+    # 0 means greedy (the Sampler idiom). Not supported under tensor
+    # parallelism or spec_k-incompatible combinations (validate_request).
+    temperature: Optional[float] = None
+    top_k: Optional[int] = None
+    greedy: Optional[bool] = None
     # abort flag, settable from ANY thread (a plain bool write is atomic
     # under the GIL): the engine notices at its next host-side poll point
     # (iteration top for queued/idle rows, chain materialization for rows

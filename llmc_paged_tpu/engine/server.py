@@ -89,11 +89,16 @@ class ServingEngine:
 
     def submit(self, prompt: Sequence[int], max_new_tokens: int,
                rid: Optional[int] = None,
-               stop_tokens: Optional[Sequence[int]] = None) -> Future:
+               stop_tokens: Optional[Sequence[int]] = None,
+               temperature: Optional[float] = None,
+               top_k: Optional[int] = None,
+               greedy: Optional[bool] = None) -> Future:
         """Enqueue a request; returns a Future resolving to the full token
         list (prompt + generated). Invalid requests (too long for the
         pool / incompatible with the serving mode) fail their OWN future
-        here, at submission, never the serving loop."""
+        here, at submission, never the serving loop. temperature/top_k/
+        greedy override the engine sampler for THIS request (None keeps
+        the engine default)."""
         with self._lock:
             if not self._open:
                 raise RuntimeError("ServingEngine is closed")
@@ -103,7 +108,9 @@ class ServingEngine:
                           prompt=list(prompt),
                           max_new_tokens=max_new_tokens,
                           stop_tokens=(None if stop_tokens is None
-                                       else list(stop_tokens)))
+                                       else list(stop_tokens)),
+                          temperature=temperature, top_k=top_k,
+                          greedy=greedy)
             fut: Future = Future()
             fut.rid = req.rid                  # handle for cancel(rid)
             try:
@@ -123,7 +130,10 @@ class ServingEngine:
 
     def submit_stream(self, prompt: Sequence[int], max_new_tokens: int,
                       rid: Optional[int] = None,
-                      stop_tokens: Optional[Sequence[int]] = None):
+                      stop_tokens: Optional[Sequence[int]] = None,
+                      temperature: Optional[float] = None,
+                      top_k: Optional[int] = None,
+                      greedy: Optional[bool] = None):
         """Streaming twin of submit(): returns an iterator yielding token
         BATCHES (lists) as the engine materializes them — granularity is
         decode-chain links, bounded by EngineConfig.stream_links while any
@@ -137,7 +147,9 @@ class ServingEngine:
                           prompt=list(prompt),
                           max_new_tokens=max_new_tokens, stream=True,
                           stop_tokens=(None if stop_tokens is None
-                                       else list(stop_tokens)))
+                                       else list(stop_tokens)),
+                          temperature=temperature, top_k=top_k,
+                          greedy=greedy)
             self._engine.validate_request(req, self._window)
             req.t_submit = time.monotonic()
             q: "queue.Queue" = queue.Queue()

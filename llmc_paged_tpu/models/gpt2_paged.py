@@ -193,7 +193,9 @@ def decode_chunk_paged(params: gpt2.Params, first_tokens: jax.Array,
                        use_kernel: bool = True,
                        rng_key: jax.Array | None = None,
                        top_k: int | None = None,
-                       temperature: float | jax.Array = 1.0
+                       temperature: float | jax.Array = 1.0,
+                       k_arr: jax.Array | None = None,
+                       greedy_rows: jax.Array | None = None
                        ) -> Tuple[jax.Array, PagePool]:
     """K-step decode entirely on device (one host round trip).
 
@@ -217,7 +219,15 @@ def decode_chunk_paged(params: gpt2.Params, first_tokens: jax.Array,
     on-device sampling with temperature/top-k (train_gpt2.py:197-222
     transform) via jax.random.categorical, one fold_in per sub-step.
     Device sampling trades the host parity sampler's bit-exact xorshift
-    stream for chunked throughput (EngineConfig.device_sampling)."""
+    stream for chunked throughput (EngineConfig.device_sampling).
+
+    Per-request sampling (engine Request.temperature/top_k/greedy):
+    ``temperature`` may be a (B,) array; ``k_arr`` (B,) int32 gives each
+    row's top-k (0 = no filter) with the STATIC ``top_k`` acting as the
+    compile-time cap (rows clamp to it); ``greedy_rows`` (B,) bool takes
+    those rows' argmax instead of the categorical draw. Uniform batches
+    keep the scalar/static arguments — identical trace, identical
+    tokens."""
     if rng_key is not None and isinstance(temperature, (int, float)) \
             and temperature == 0:
         # Sampler.__init__ rewrites temperature 0 to greedy before the
@@ -231,12 +241,26 @@ def decode_chunk_paged(params: gpt2.Params, first_tokens: jax.Array,
     def pick(logits, j):
         if rng_key is None:
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        lg = logits / temperature
+        temp = jnp.asarray(temperature)
+        lg = logits / (temp[:, None] if temp.ndim == 1 else temp)
         if top_k is not None and 0 < top_k < lg.shape[-1]:
-            kth = jax.lax.top_k(lg, top_k)[0][..., -1:]
-            lg = jnp.where(lg < kth, -jnp.inf, lg)
-        return jax.random.categorical(
+            vals = jax.lax.top_k(lg, top_k)[0]           # (B, top_k)
+            if k_arr is None:
+                kth = vals[..., -1:]
+                lg = jnp.where(lg < kth, -jnp.inf, lg)
+            else:
+                # per-row k (0 = no filter), clamped to the static cap
+                kc = jnp.clip(k_arr, 1, top_k)
+                kth = jnp.take_along_axis(vals, kc[:, None] - 1, axis=-1)
+                lg = jnp.where((k_arr > 0)[:, None] & (lg < kth),
+                               -jnp.inf, lg)
+        samp = jax.random.categorical(
             jax.random.fold_in(rng_key, j), lg, axis=-1).astype(jnp.int32)
+        if greedy_rows is not None:
+            samp = jnp.where(greedy_rows,
+                             jnp.argmax(logits, axis=-1).astype(jnp.int32),
+                             samp)
+        return samp
 
     B = first_tokens.shape[0]
     K = num_steps
