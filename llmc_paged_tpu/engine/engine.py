@@ -133,17 +133,27 @@ def _sample_rows_per_request(sampler: Sampler, logits,
     greedy/top_k/temperature overrides): each stochastic row draws from
     the SHARED engine RNG stream in row order (the stream semantics of
     _sample_rows); greedy rows consume nothing. Ships full rows — the
-    top-k prefix-ship fast path only applies to uniform batches."""
-    from llmc_paged_tpu.sampler import topk_probs
+    top-k prefix-ship fast path only applies to uniform batches.
 
+    Draws bypass Sampler.sample (its greedy flag would short-circuit an
+    explicit non-greedy override to argmax) and transform-free rows use
+    the same device softmax as the uniform _sample_rows path, so a row
+    WITHOUT overrides samples bit-identically to a uniform batch."""
+    from llmc_paged_tpu.sampler import sample_mult, topk_probs
+
+    eff = [_effective(sampler, r) for r in reqs]
     rows = np.asarray(logits)
+    plain = any(not g and tk is None and tmp == 1.0 for g, tk, tmp in eff)
+    probs = (np.asarray(jax.nn.softmax(logits, axis=-1)) if plain else None)
     out = []
-    for i, req in enumerate(reqs):
-        g, tk, tmp = _effective(sampler, req)
+    for i, (g, tk, tmp) in enumerate(eff):
         if g:
             out.append(int(np.argmax(rows[i])))
+        elif tk is None and tmp == 1.0:
+            out.append(sample_mult(probs[i], sampler.rng.random_f32()))
         else:
-            out.append(sampler.sample(topk_probs(rows[i], tk, tmp)))
+            out.append(sample_mult(topk_probs(rows[i], tk, tmp),
+                                   sampler.rng.random_f32()))
     return out
 
 
@@ -420,9 +430,12 @@ class InferenceEngine:
             # run() reads as pool exhaustion — the request would head the
             # queue forever and eventually stall the loop
             raise ValueError(f"request {req.rid} has an empty prompt")
-        if req.temperature is not None and req.temperature < 0:
+        if req.temperature is not None and not (
+                0 <= req.temperature < float("inf")):
+            # `not (x >= 0)` form also rejects NaN (json.loads accepts the
+            # NaN literal), which would otherwise sample garbage silently
             raise ValueError(f"request {req.rid}: temperature must be "
-                             f">= 0, got {req.temperature}")
+                             f"finite and >= 0, got {req.temperature}")
         if req.top_k is not None and req.top_k < 1:
             raise ValueError(f"request {req.rid}: top_k must be >= 1, "
                              f"got {req.top_k}")
@@ -1091,10 +1104,12 @@ class InferenceEngine:
                     g2, tk2, tmp2 = _effective(sampler, r2)
                     garr[slot2] = g2
                     tarr[slot2] = tmp2 if not g2 else 1.0
-                    if not g2 and tk2:
-                        k2 = min(tk2, cfg.vocab_size)
-                        karr[slot2] = k2
-                        kmax = max(kmax, k2)
+                    if not g2 and tk2 and tk2 < cfg.vocab_size:
+                        # tk2 >= V means 'no filter' (matching the host
+                        # topk_probs bound check), NOT clamp-to-V-1 —
+                        # clamping would mask the row-minimum tokens
+                        karr[slot2] = tk2
+                        kmax = max(kmax, tk2)
                 # power-of-two cap bounds recompiles as row mixes change;
                 # clamped below V so the static filter branch stays live
                 # (logits are (B, V): a cap >= V would disable top-k for

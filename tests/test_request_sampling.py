@@ -111,6 +111,57 @@ def test_temperature_zero_override_means_greedy():
     assert done[0].tokens == full[0]
 
 
+def test_stochastic_override_on_greedy_engine_actually_samples():
+    """greedy=False override on a GREEDY engine must draw from the RNG
+    stream, not silently argmax (Sampler.sample's greedy short-circuit
+    is bypassed)."""
+    cfg, params, page = _setup()
+    prompts = _prompts(1)
+    full = _greedy_reference(cfg, params, page, prompts, 16)
+    econf = EngineConfig(cache_mode="paged", page=page, greedy=True,
+                         max_batch=2, decode_chunk=4)
+    eng = InferenceEngine(params, cfg, econf)
+    done = eng.run([Request(rid=0, prompt=list(prompts[0]),
+                            max_new_tokens=16, greedy=False)])
+    # 16 flat-logit draws over V=128: P(all == argmax) is negligible
+    assert done[0].tokens != full[0]
+    assert len(done[0].generated) == 16
+
+
+def test_mixed_batch_keeps_plain_row_stream_bit_exact():
+    """A no-override stochastic row next to a greedy-override row must
+    sample BIT-IDENTICALLY to running alone (same device softmax, same
+    xorshift stream positions — greedy rows consume no coins)."""
+    cfg, params, page = _setup()
+    prompts = _prompts(2)
+    econf = EngineConfig(cache_mode="paged", page=page, greedy=False,
+                         max_batch=2, decode_chunk=4)
+    solo = InferenceEngine(params, cfg, econf).run(
+        [Request(rid=0, prompt=list(prompts[0]), max_new_tokens=10)])
+    mixed = InferenceEngine(params, cfg, econf).run(
+        [Request(rid=0, prompt=list(prompts[0]), max_new_tokens=10),
+         Request(rid=1, prompt=list(prompts[1]), max_new_tokens=10,
+                 greedy=True)])
+    got = {r.rid: r.tokens for r in mixed}
+    assert got[0] == solo[0].tokens
+
+
+def test_topk_full_vocab_means_no_filter():
+    """top_k >= V is 'keep everything' on BOTH paths (the device chunk
+    must not clamp it to V-1 and mask the row-minimum tokens)."""
+    cfg, params, page = _setup()
+    prompts = _prompts(2)
+    econf = EngineConfig(cache_mode="paged", page=page, greedy=True,
+                         max_batch=2, decode_chunk=4, device_sampling=True)
+    eng = InferenceEngine(params, cfg, econf)
+    done = eng.run([Request(rid=0, prompt=list(prompts[0]),
+                            max_new_tokens=8, greedy=False,
+                            top_k=cfg.vocab_size),
+                    Request(rid=1, prompt=list(prompts[1]),
+                            max_new_tokens=8, greedy=False, top_k=5)])
+    assert all(len(r.generated) == 8 for r in done)
+
+
 def test_override_validation():
     cfg, params, page = _setup()
     econf = EngineConfig(cache_mode="paged", page=page, greedy=True,
@@ -120,6 +171,9 @@ def test_override_validation():
         bad_t = srv.submit([1, 2], 4, temperature=-1.0)
         with pytest.raises(ValueError, match="temperature"):
             bad_t.result(timeout=10)
+        bad_nan = srv.submit([1, 2], 4, temperature=float("nan"))
+        with pytest.raises(ValueError, match="temperature"):
+            bad_nan.result(timeout=10)
         bad_k = srv.submit([1, 2], 4, top_k=0)
         with pytest.raises(ValueError, match="top_k"):
             bad_k.result(timeout=10)
