@@ -10,7 +10,8 @@ whole point. No streaming, no auth; binds 127.0.0.1 by default.
 API (JSON over POST/GET):
   POST /generate  {"prompt": [int token ids], "max_new_tokens": N,
                    "stop_tokens": [ids]?, "stream": bool?,
-                   "temperature": f?, "top_k": n?, "greedy": bool?}
+                   "temperature": f?, "top_k": n?, "greedy": bool?,
+                   "priority": int? (higher admits sooner)}
       -> {"tokens": [prompt+generated], "generated": [...],
           "text": "..."}   (text only when a tokenizer is loaded)
   GET  /health    -> {"status": "ok", "pending": n}
@@ -88,7 +89,8 @@ def make_handler(serving: ServingEngine, tokenizer=None):
                 if greedy is not None and not isinstance(greedy, bool):
                     raise ValueError("greedy must be a boolean")
                 samp = {"temperature": temp, "top_k": top_k,
-                        "greedy": greedy}
+                        "greedy": greedy,
+                        "priority": int(req.get("priority", 0))}
             except (KeyError, TypeError, ValueError,
                     json.JSONDecodeError) as e:
                 # TypeError covers type-malformed JSON (body '[1,2]' →

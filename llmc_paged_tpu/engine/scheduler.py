@@ -54,6 +54,11 @@ class Request:
     temperature: Optional[float] = None
     top_k: Optional[int] = None
     greedy: Optional[bool] = None
+    # admission priority: higher admits sooner; FIFO within a class
+    # (strict priority — sustained high-priority load can starve lower
+    # classes by design). Preemption victims stay LRU (block manager
+    # policy), independent of priority.
+    priority: int = 0
     # abort flag, settable from ANY thread (a plain bool write is atomic
     # under the GIL): the engine notices at its next host-side poll point
     # (iteration top for queued/idle rows, chain materialization for rows
@@ -112,7 +117,14 @@ class Scheduler:
         return [s for s in range(self.max_batch) if s not in self.running]
 
     def pop_next_waiting(self) -> Optional[Request]:
-        return self.waiting.pop(0) if self.waiting else None
+        """Earliest request of the highest waiting priority class (strict
+        priority, FIFO within a class; a preempted request re-queued at
+        the FRONT keeps seniority within its class)."""
+        if not self.waiting:
+            return None
+        best = max(range(len(self.waiting)),
+                   key=lambda i: (self.waiting[i].priority, -i))
+        return self.waiting.pop(best)
 
     def admit(self, req: Request, slot: int) -> None:
         req.state = State.RUNNING

@@ -92,7 +92,8 @@ class ServingEngine:
                stop_tokens: Optional[Sequence[int]] = None,
                temperature: Optional[float] = None,
                top_k: Optional[int] = None,
-               greedy: Optional[bool] = None) -> Future:
+               greedy: Optional[bool] = None,
+               priority: int = 0) -> Future:
         """Enqueue a request; returns a Future resolving to the full token
         list (prompt + generated). Invalid requests (too long for the
         pool / incompatible with the serving mode) fail their OWN future
@@ -110,7 +111,7 @@ class ServingEngine:
                           stop_tokens=(None if stop_tokens is None
                                        else list(stop_tokens)),
                           temperature=temperature, top_k=top_k,
-                          greedy=greedy)
+                          greedy=greedy, priority=priority)
             fut: Future = Future()
             fut.rid = req.rid                  # handle for cancel(rid)
             try:
@@ -133,7 +134,8 @@ class ServingEngine:
                       stop_tokens: Optional[Sequence[int]] = None,
                       temperature: Optional[float] = None,
                       top_k: Optional[int] = None,
-                      greedy: Optional[bool] = None):
+                      greedy: Optional[bool] = None,
+                      priority: int = 0):
         """Streaming twin of submit(): returns an iterator yielding token
         BATCHES (lists) as the engine materializes them — granularity is
         decode-chain links, bounded by EngineConfig.stream_links while any
@@ -149,7 +151,7 @@ class ServingEngine:
                           stop_tokens=(None if stop_tokens is None
                                        else list(stop_tokens)),
                           temperature=temperature, top_k=top_k,
-                          greedy=greedy)
+                          greedy=greedy, priority=priority)
             self._engine.validate_request(req, self._window)
             req.t_submit = time.monotonic()
             q: "queue.Queue" = queue.Queue()
