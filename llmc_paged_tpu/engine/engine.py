@@ -157,6 +157,16 @@ def _sample_rows_per_request(sampler: Sampler, logits,
     return out
 
 
+def _row_logprob(row: np.ndarray, tok: int) -> float:
+    """Chosen token's logprob under the raw softmax of one (V,) logits
+    row — the host twin of the device chunk's logsumexp gather."""
+    row = np.asarray(row, np.float32)
+    m = float(row.max())
+    return float(row[tok] - m
+                 - np.log(np.exp(row - m, dtype=np.float32)
+                          .sum(dtype=np.float32)))
+
+
 def _pick_token(sampler: Sampler, logits_row) -> int:
     """Sample one token from a (V,) logits row. Greedy takes the argmax on
     device and ships 4 bytes; the parity sampler needs the full softmax on
@@ -439,6 +449,19 @@ class InferenceEngine:
         if req.top_k is not None and req.top_k < 1:
             raise ValueError(f"request {req.rid}: top_k must be >= 1, "
                              f"got {req.top_k}")
+        if req.logprobs:
+            if self._tp is not None:
+                raise ValueError(
+                    f"request {req.rid}: logprobs under tensor "
+                    "parallelism are not supported yet")
+            if econf.spec_k >= 2:
+                raise ValueError(
+                    f"request {req.rid}: logprobs under speculative "
+                    "decoding are not supported (acceptance-variable "
+                    "verify steps)")
+            if econf.cache_mode != "paged":
+                raise ValueError(
+                    f"request {req.rid}: logprobs require paged serving")
         if _has_overrides(req):
             if self._tp is not None:
                 raise ValueError(
@@ -633,6 +656,7 @@ class InferenceEngine:
                 if gen[k] in stops:
                     discarded = len(gen) - (k + 1)
                     del gen[k + 1:]
+                    del req.logprob_values[k + 1:]
                     req.stopped = True
                     return discarded
             req._stop_scanned = len(gen)
@@ -825,13 +849,21 @@ class InferenceEngine:
                         prefix_stats["registered"] += \
                             mgr.register_prompt(slot, req.tokens)
                 group_reqs = [r for _, r in group]
+                group_lp = any(r.logprobs for r in group_reqs)
                 if all(_effective(sampler, r)[0] for r in group_reqs):
                     # DEFER the host materialization: pick on device and
                     # let the first chunk chain launch before the ~60ms
                     # result download — the download then overlaps chain
                     # execution instead of idling the device
-                    deferred = (jnp.argmax(logits[: len(group)], axis=-1)
-                                .astype(jnp.int32), list(group))
+                    lg = logits[: len(group)]
+                    picks_d = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+                    lps_d = None
+                    if group_lp:
+                        lgf = lg.astype(jnp.float32)
+                        lps_d = (jnp.take_along_axis(
+                            lgf, picks_d[:, None], axis=-1)[:, 0]
+                            - jax.scipy.special.logsumexp(lgf, axis=-1))
+                    deferred = (picks_d, lps_d, list(group))
                 else:
                     if any(_has_overrides(r) for r in group_reqs):
                         first_toks = _sample_rows_per_request(
@@ -840,8 +872,13 @@ class InferenceEngine:
                         first_toks = _sample_rows(sampler,
                                                   logits[: len(group)],
                                                   len(group))
+                    lrows = (np.asarray(logits[: len(group)])
+                             if group_lp else None)
                     for i, (slot, req) in enumerate(group):
                         req.generated.append(first_toks[i])
+                        if req.logprobs:
+                            req.logprob_values.append(
+                                _row_logprob(lrows[i], first_toks[i]))
                         req.mark_first_token()
                         apply_stop(req)
                         notify_tokens(req)
@@ -857,8 +894,12 @@ class InferenceEngine:
                 if deferred is None:
                     return
                 picks = np.asarray(deferred[0])
-                for i, (slot, req) in enumerate(deferred[1]):
+                lps = (None if deferred[1] is None
+                       else np.asarray(deferred[1]))
+                for i, (slot, req) in enumerate(deferred[2]):
                     req.generated.append(int(picks[i]))
+                    if req.logprobs and lps is not None:
+                        req.logprob_values.append(float(lps[i]))
                     req.mark_first_token()
                     apply_stop(req)
                     notify_tokens(req)
@@ -933,7 +974,7 @@ class InferenceEngine:
                 """One not-yet-appended token per slot with a deferred
                 prefill pick (recomputed per chain link — flush_deferred
                 moves the token into req.generated mid-chain)."""
-                return ({s: 1 for s, _ in deferred[1]} if deferred else {})
+                return ({s: 1 for s, _ in deferred[2]} if deferred else {})
 
             # ---- speculative chunk chain (EngineConfig.spec_k) ----------
             # Like the greedy chain below, but each device step VERIFIES
@@ -1094,6 +1135,7 @@ class InferenceEngine:
             # static args; only batches with per-request overrides build
             # the (B,)-array transform
             chain_rng = sample_key is not None and not all_greedy
+            want_lp = any(r.logprobs for r in sched.running.values())
             samp_arrays = None
             if chain_rng and row_overrides:
                 tarr = np.ones(B, np.float32)
@@ -1141,7 +1183,7 @@ class InferenceEngine:
                     for slot, req in sched.running.items():
                         rem = req.max_new_tokens - len(req.generated) \
                             - dct.get(slot, 0) \
-                            - sum(k for _, ks in pending
+                            - sum(k for _, _, ks in pending
                                   for s2, k in ks if s2 == slot)
                         if rem <= 0:
                             continue
@@ -1178,7 +1220,7 @@ class InferenceEngine:
                         req = sched.running[slot]
                         # tokens already produced by earlier links of THIS
                         # chain (req.tokens/generated don't grow mid-chain)
-                        pend_ct = sum(k for _, ks in pending
+                        pend_ct = sum(k for _, _, ks in pending
                                       for s2, k in ks if s2 == slot)
                         segs, evicted = mgr.append_tokens(slot, chunk)
                         if evicted:
@@ -1215,7 +1257,7 @@ class InferenceEngine:
                         link_first = jnp.asarray(first)
                         if deferred is not None:
                             dslots = jnp.asarray(
-                                [s for s, _ in deferred[1]], jnp.int32)
+                                [s for s, _ in deferred[2]], jnp.int32)
                             link_first = link_first.at[dslots].set(
                                 deferred[0])
                     link_no += 1
@@ -1243,11 +1285,12 @@ class InferenceEngine:
                             jnp.asarray(pos0), jnp.asarray(pgs),
                             jnp.asarray(sls), jnp.asarray(tables), pool,
                             rng)
+                        lp_out = None   # logprobs+TP rejected at submit
                     elif samp_arrays is not None:
                         # per-request transform: (B,) temperature/top-k/
                         # greedy arrays, static power-of-two top-k cap
                         tarr_d, karr_d, garr_d, kcap = samp_arrays
-                        toks_out, pool = gpt2_paged.decode_chunk_paged(
+                        res = gpt2_paged.decode_chunk_paged(
                             self.params, link_first, jnp.asarray(pos0),
                             jnp.asarray(pgs), jnp.asarray(sls),
                             jnp.asarray(tables), pool, cfg,
@@ -1256,9 +1299,13 @@ class InferenceEngine:
                             rng_key=jax.random.fold_in(sample_key, link_no),
                             top_k=kcap, temperature=tarr_d,
                             k_arr=(karr_d if kcap else None),
-                            greedy_rows=garr_d)
+                            greedy_rows=garr_d,
+                            want_logprobs=want_lp)
+                        toks_out, lp_out, pool = (res if want_lp
+                                                  else (*res[:1], None,
+                                                        res[1]))
                     else:
-                        toks_out, pool = gpt2_paged.decode_chunk_paged(
+                        res = gpt2_paged.decode_chunk_paged(
                             self.params, link_first, jnp.asarray(pos0),
                             jnp.asarray(pgs), jnp.asarray(sls),
                             jnp.asarray(tables), pool, cfg,
@@ -1269,9 +1316,13 @@ class InferenceEngine:
                                                         link_no)),
                             top_k=(sampler.top_k if chain_rng else None),
                             temperature=(sampler.temperature
-                                         if chain_rng else 1.0))
+                                         if chain_rng else 1.0),
+                            want_logprobs=want_lp)
+                        toks_out, lp_out, pool = (res if want_lp
+                                                  else (*res[:1], None,
+                                                        res[1]))
                     first_dev = toks_out[-1]
-                    pending.append((toks_out, stepped))
+                    pending.append((toks_out, lp_out, stepped))
                     # materialize the deferred prefill picks now that the
                     # first link is queued: the fetch waits behind at most
                     # one chunk, keeping TTFT bounded while the download
@@ -1326,8 +1377,12 @@ class InferenceEngine:
                     flush_deferred()
                     # one device→host transfer for the whole chain
                     all_picks = np.asarray(
-                        jnp.stack([t for t, _ in pending]))
-                    for picks, (_, stepped) in zip(all_picks, pending):
+                        jnp.stack([t for t, _, _ in pending]))
+                    all_lps = (np.asarray(jnp.stack(
+                        [l for _, l, _ in pending]))
+                        if pending[0][1] is not None else None)
+                    for li, (picks, (_, _, stepped)) in enumerate(
+                            zip(all_picks, pending)):
                         for slot, keep in stepped:
                             req = sched.running.get(slot)
                             if req is None or req.stopped:
@@ -1337,8 +1392,12 @@ class InferenceEngine:
                                 continue
                             req.generated.extend(int(t)
                                                  for t in picks[:keep, slot])
+                            if req.logprobs and all_lps is not None:
+                                req.logprob_values.extend(
+                                    float(v)
+                                    for v in all_lps[li, :keep, slot])
                             decode_tokens += keep
-                    for slot in {s for _, st in pending for s, _ in st}:
+                    for slot in {s for _, _, st in pending for s, _ in st}:
                         req = sched.running.get(slot)
                         if req is None:
                             continue
@@ -1415,17 +1474,22 @@ class InferenceEngine:
                     # rows gathered in `stepped` order so the parity RNG
                     # stream is consumed per stepped row, in order
                     step_reqs = [sched.running[s] for s in stepped]
+                    step_logits = logits[jnp.asarray(stepped)]
                     if any(_has_overrides(r) for r in step_reqs):
                         row_toks = _sample_rows_per_request(
-                            sampler, logits[jnp.asarray(stepped)],
-                            step_reqs)
+                            sampler, step_logits, step_reqs)
                     else:
                         row_toks = _sample_rows(
-                            sampler, logits[jnp.asarray(stepped)],
-                            len(stepped))
-                    for slot, tok in zip(stepped, row_toks):
+                            sampler, step_logits, len(stepped))
+                    lrows = (np.asarray(step_logits)
+                             if any(r.logprobs for r in step_reqs)
+                             else None)
+                    for i, (slot, tok) in enumerate(zip(stepped, row_toks)):
                         req = sched.running[slot]
                         req.generated.append(tok)
+                        if req.logprobs:
+                            req.logprob_values.append(
+                                _row_logprob(lrows[i], tok))
                         apply_stop(req)
                         notify_tokens(req)
                         if req.done:

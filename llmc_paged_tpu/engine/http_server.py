@@ -90,7 +90,8 @@ def make_handler(serving: ServingEngine, tokenizer=None):
                     raise ValueError("greedy must be a boolean")
                 samp = {"temperature": temp, "top_k": top_k,
                         "greedy": greedy,
-                        "priority": int(req.get("priority", 0))}
+                        "priority": int(req.get("priority", 0)),
+                        "logprobs": bool(req.get("logprobs", False))}
             except (KeyError, TypeError, ValueError,
                     json.JSONDecodeError) as e:
                 # TypeError covers type-malformed JSON (body '[1,2]' →
@@ -108,6 +109,8 @@ def make_handler(serving: ServingEngine, tokenizer=None):
                 # invalid request (too long for the pool, ...) or loop down
                 return self._reply(400, {"error": str(e)})
             out = {"tokens": tokens, "generated": tokens[len(prompt):]}
+            if samp["logprobs"]:
+                out["logprobs"] = fut.request.logprob_values
             if tokenizer is not None:
                 out["text"] = tokenizer.decode_string(out["generated"])
             self._reply(200, out)
@@ -136,8 +139,10 @@ def make_handler(serving: ServingEngine, tokenizer=None):
                         line["text"] = tokenizer.decode_string(batch)
                     self.wfile.write((json.dumps(line) + "\n").encode())
                     self.wfile.flush()
-                self.wfile.write((json.dumps(
-                    {"done": True, "generated": generated}) + "\n").encode())
+                final = {"done": True, "generated": generated}
+                if samp and samp.get("logprobs"):
+                    final["logprobs"] = it.request.logprob_values
+                self.wfile.write((json.dumps(final) + "\n").encode())
             except (BrokenPipeError, ConnectionResetError):
                 # client went away mid-stream: abort the request so its
                 # slot and pages free now instead of decoding the rest of

@@ -59,6 +59,12 @@ class Request:
     # classes by design). Preemption victims stay LRU (block manager
     # policy), independent of priority.
     priority: int = 0
+    # when True, logprob_values[i] is the chosen token generated[i]'s
+    # log-probability under the model's RAW softmax (temperature/top-k
+    # independent — the model's own confidence, not the sampling
+    # distribution's). Paged serving only; not under spec_k or TP.
+    logprobs: bool = False
+    logprob_values: List[float] = dataclasses.field(default_factory=list)
     # abort flag, settable from ANY thread (a plain bool write is atomic
     # under the GIL): the engine notices at its next host-side poll point
     # (iteration top for queued/idle rows, chain materialization for rows

@@ -93,7 +93,7 @@ class ServingEngine:
                temperature: Optional[float] = None,
                top_k: Optional[int] = None,
                greedy: Optional[bool] = None,
-               priority: int = 0) -> Future:
+               priority: int = 0, logprobs: bool = False) -> Future:
         """Enqueue a request; returns a Future resolving to the full token
         list (prompt + generated). Invalid requests (too long for the
         pool / incompatible with the serving mode) fail their OWN future
@@ -111,9 +111,11 @@ class ServingEngine:
                           stop_tokens=(None if stop_tokens is None
                                        else list(stop_tokens)),
                           temperature=temperature, top_k=top_k,
-                          greedy=greedy, priority=priority)
+                          greedy=greedy, priority=priority,
+                          logprobs=logprobs)
             fut: Future = Future()
             fut.rid = req.rid                  # handle for cancel(rid)
+            fut.request = req   # carries logprob_values after completion
             try:
                 self._engine.validate_request(req, self._window)
             except ValueError as e:
@@ -135,7 +137,7 @@ class ServingEngine:
                       temperature: Optional[float] = None,
                       top_k: Optional[int] = None,
                       greedy: Optional[bool] = None,
-                      priority: int = 0):
+                      priority: int = 0, logprobs: bool = False):
         """Streaming twin of submit(): returns an iterator yielding token
         BATCHES (lists) as the engine materializes them — granularity is
         decode-chain links, bounded by EngineConfig.stream_links while any
@@ -151,14 +153,17 @@ class ServingEngine:
                           stop_tokens=(None if stop_tokens is None
                                        else list(stop_tokens)),
                           temperature=temperature, top_k=top_k,
-                          greedy=greedy, priority=priority)
+                          greedy=greedy, priority=priority,
+                          logprobs=logprobs)
             self._engine.validate_request(req, self._window)
             req.t_submit = time.monotonic()
             q: "queue.Queue" = queue.Queue()
             self._streams[req.rid] = q
             self._requests[req.rid] = req
             self._q.put(req)       # inside the lock — see submit()
-        return StreamHandle(self, req.rid, q)
+        handle = StreamHandle(self, req.rid, q)
+        handle.request = req    # carries logprob_values after completion
+        return handle
 
     def cancel(self, rid: int) -> bool:
         """Abort a live request from any thread. The engine notices at its

@@ -183,7 +183,7 @@ def _chunk_attention(q, pool_l, tail_k, tail_v, block_tables, lengths_pool,
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "use_kernel", "num_steps",
-                                    "window", "top_k"),
+                                    "window", "top_k", "want_logprobs"),
                    donate_argnums=(6,))
 def decode_chunk_paged(params: gpt2.Params, first_tokens: jax.Array,
                        positions0: jax.Array, pages: jax.Array,
@@ -195,7 +195,8 @@ def decode_chunk_paged(params: gpt2.Params, first_tokens: jax.Array,
                        top_k: int | None = None,
                        temperature: float | jax.Array = 1.0,
                        k_arr: jax.Array | None = None,
-                       greedy_rows: jax.Array | None = None
+                       greedy_rows: jax.Array | None = None,
+                       want_logprobs: bool = False
                        ) -> Tuple[jax.Array, PagePool]:
     """K-step decode entirely on device (one host round trip).
 
@@ -227,7 +228,8 @@ def decode_chunk_paged(params: gpt2.Params, first_tokens: jax.Array,
     compile-time cap (rows clamp to it); ``greedy_rows`` (B,) bool takes
     those rows' argmax instead of the categorical draw. Uniform batches
     keep the scalar/static arguments — identical trace, identical
-    tokens."""
+    tokens. With ``want_logprobs`` returns (tokens, (K, B) f32
+    raw-softmax logprobs of the chosen tokens, pool) instead."""
     if rng_key is not None and isinstance(temperature, (int, float)) \
             and temperature == 0:
         # Sampler.__init__ rewrites temperature 0 to greedy before the
@@ -305,11 +307,22 @@ def decode_chunk_paged(params: gpt2.Params, first_tokens: jax.Array,
             x = gpt2._block(x, lp, cfg, attend)
         logits = gpt2._logits(x, params, cfg)
         nxt = pick(logits, j)
+        if want_logprobs:
+            # chosen token's logprob under the RAW softmax (the model's
+            # own confidence — independent of the sampling transform)
+            lse = jax.scipy.special.logsumexp(
+                logits.astype(jnp.float32), axis=-1)
+            lp = (jnp.take_along_axis(
+                logits.astype(jnp.float32), nxt[:, None], axis=-1)[:, 0]
+                - lse)
+            return (nxt, tks, tvs, j + 1), (nxt, lp)
         return (nxt, tks, tvs, j + 1), nxt
 
     (_, tks, tvs, _), out = jax.lax.scan(
         step, (first_tokens, tk0, tv0, jnp.int32(0)), None,
         length=num_steps)
+    if want_logprobs:
+        out, logps = out
 
     # commit the chunk's K/V: ONE scatter per layer (int8 pools quantize
     # here, once, instead of per sub-step)
@@ -325,6 +338,8 @@ def decode_chunk_paged(params: gpt2.Params, first_tokens: jax.Array,
             pool_l = write_layer_kv(*pool.layer(i), rows_k, rows_v,
                                     fpages, fslots)
         pool = pool.with_layer(i, pool_l)
+    if want_logprobs:
+        return out, logps, pool
     return out, pool
 
 

@@ -1,0 +1,152 @@
+"""Per-token logprobs (Request.logprobs): the chosen token's
+log-probability under the model's RAW softmax, computed on-device inside
+the chunk scan (greedy/device-sampling chains), at the deferred prefill
+pick, and on the host for the parity-sampler single-token path. Values
+are checked against an independent dense forward recompute. No reference
+analogue (its binaries print text only); OpenAI-style serving surface.
+"""
+
+import json
+import urllib.request
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from llmc_paged_tpu.config import EngineConfig, GPT2Config, PageConfig
+from llmc_paged_tpu.engine.engine import InferenceEngine
+from llmc_paged_tpu.engine.http_server import HttpServingFront
+from llmc_paged_tpu.engine.scheduler import Request
+from llmc_paged_tpu.engine.server import ServingEngine
+from llmc_paged_tpu.models import gpt2
+
+
+def _setup(seed=0):
+    cfg = GPT2Config.tiny(max_seq_len=128, vocab_size=128, num_layers=2,
+                          num_heads=4, channels=32)
+    params = jax.tree.map(
+        np.asarray, gpt2.init_params(cfg, jax.random.PRNGKey(seed)))
+    page = PageConfig(page_size=8, num_pages=48, max_seqs=8, pages_per_seq=10)
+    return cfg, params, page
+
+
+def _prompts(n, lo=3, hi=12, seed=7):
+    rng = np.random.default_rng(seed)
+    return [rng.integers(0, 128, int(ln)).tolist()
+            for ln in rng.integers(lo, hi, n)]
+
+
+def _dense_logprobs(cfg, params, tokens, n_prompt):
+    """Independent oracle: full forward over the final sequence; logprob
+    of tokens[i] under the softmax at position i-1."""
+    dev = gpt2.to_device(params, cfg)
+    logits = np.asarray(gpt2.forward(dev, jnp.asarray([tokens]), cfg))[0]
+    out = []
+    for i in range(n_prompt, len(tokens)):
+        row = logits[i - 1].astype(np.float64)
+        row = row - row.max()
+        out.append(row[tokens[i]] - np.log(np.exp(row).sum()))
+    return np.array(out)
+
+
+def test_greedy_chunk_logprobs_match_dense_forward():
+    cfg, params, page = _setup()
+    prompts = _prompts(3)
+    econf = EngineConfig(cache_mode="paged", page=page, greedy=True,
+                         max_batch=4, decode_chunk=4)
+    eng = InferenceEngine(params, cfg, econf)
+    done = eng.run([Request(rid=i, prompt=list(p), max_new_tokens=10,
+                            logprobs=True)
+                    for i, p in enumerate(prompts)])
+    for r in done:
+        assert len(r.logprob_values) == len(r.generated) == 10
+        oracle = _dense_logprobs(cfg, params, r.tokens, len(r.prompt))
+        np.testing.assert_allclose(r.logprob_values, oracle, atol=2e-3)
+        assert all(v <= 0.0 for v in r.logprob_values)
+
+
+def test_mixed_logprobs_rows_dont_perturb_others():
+    """Only the requesting row records logprobs; tokens of all rows are
+    identical to a run without any logprobs request."""
+    cfg, params, page = _setup()
+    prompts = _prompts(3)
+    econf = EngineConfig(cache_mode="paged", page=page, greedy=True,
+                         max_batch=4, decode_chunk=4)
+    base = InferenceEngine(params, cfg, econf).run(
+        [Request(rid=i, prompt=list(p), max_new_tokens=8)
+         for i, p in enumerate(prompts)])
+    expect = {r.rid: r.tokens for r in base}
+    done = InferenceEngine(params, cfg, econf).run(
+        [Request(rid=i, prompt=list(p), max_new_tokens=8,
+                 logprobs=(i == 1))
+         for i, p in enumerate(prompts)])
+    for r in done:
+        assert r.tokens == expect[r.rid]
+        assert len(r.logprob_values) == (8 if r.rid == 1 else 0)
+
+
+def test_logprobs_align_with_stop_tokens():
+    cfg, params, page = _setup()
+    prompts = _prompts(1)
+    econf = EngineConfig(cache_mode="paged", page=page, greedy=True,
+                         max_batch=2, decode_chunk=4)
+    base = InferenceEngine(params, cfg, econf).run(
+        [Request(rid=0, prompt=list(prompts[0]), max_new_tokens=12)])
+    stop_id = base[0].generated[3]
+    done = InferenceEngine(params, cfg, econf).run(
+        [Request(rid=0, prompt=list(prompts[0]), max_new_tokens=12,
+                 logprobs=True, stop_tokens=[int(stop_id)])])
+    r = done[0]
+    assert r.generated[-1] == stop_id
+    assert len(r.logprob_values) == len(r.generated) < 12
+
+
+def test_parity_sampler_logprobs_match_dense_forward():
+    """Single-token host path (stochastic xorshift sampler): logprobs of
+    the SAMPLED tokens against the dense oracle."""
+    cfg, params, page = _setup()
+    prompts = _prompts(2)
+    econf = EngineConfig(cache_mode="paged", page=page, greedy=False,
+                         max_batch=2, decode_chunk=4)
+    eng = InferenceEngine(params, cfg, econf)
+    done = eng.run([Request(rid=i, prompt=list(p), max_new_tokens=6,
+                            logprobs=True)
+                    for i, p in enumerate(prompts)])
+    for r in done:
+        assert len(r.logprob_values) == 6
+        oracle = _dense_logprobs(cfg, params, r.tokens, len(r.prompt))
+        np.testing.assert_allclose(r.logprob_values, oracle, atol=2e-3)
+
+
+def test_logprobs_validation():
+    cfg, params, page = _setup()
+    eng_spec = InferenceEngine(params, cfg, EngineConfig(
+        cache_mode="paged", page=page, greedy=True, spec_k=3))
+    with pytest.raises(ValueError, match="speculative"):
+        eng_spec.validate_request(Request(rid=0, prompt=[1],
+                                          max_new_tokens=4, logprobs=True))
+    eng_dense = InferenceEngine(params, cfg, EngineConfig(
+        cache_mode="dense", page=page, greedy=True))
+    with pytest.raises(ValueError, match="paged"):
+        eng_dense.validate_request(Request(rid=0, prompt=[1],
+                                           max_new_tokens=4, logprobs=True))
+
+
+def test_http_logprobs():
+    cfg, params, page = _setup()
+    prompts = _prompts(1)
+    econf = EngineConfig(cache_mode="paged", page=page, greedy=True,
+                         max_batch=2, decode_chunk=4)
+    eng = InferenceEngine(params, cfg, econf)
+    with ServingEngine(eng) as srv, HttpServingFront(srv, port=0) as front:
+        req = urllib.request.Request(
+            f"http://{front.host}:{front.port}/generate",
+            data=json.dumps({"prompt": prompts[0], "max_new_tokens": 6,
+                             "logprobs": True}).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.loads(r.read())
+    assert len(out["logprobs"]) == len(out["generated"]) == 6
+    assert all(v <= 0.0 for v in out["logprobs"])
