@@ -78,6 +78,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(kept as the last token; repeatable). Default: "
                         "run to --max-new, the reference's fixed-length "
                         "behavior")
+    p.add_argument("--max-pending", type=int, default=0, metavar="N",
+                   help="backpressure: reject submissions (HTTP 503) "
+                        "while N live requests are in flight; 0 = "
+                        "unbounded")
     p.add_argument("--serve", type=int, default=0, metavar="PORT",
                    help="serve over HTTP on 127.0.0.1:PORT instead of "
                         "decoding --data prompts: POST /generate "
@@ -141,6 +145,7 @@ def main(argv=None) -> int:
     if args.serve:
         from llmc_paged_tpu.engine.http_server import serve_http
         serve_http(engine, port=args.serve, tokenizer=tok,
+                   max_pending=args.max_pending or None,
                    window=args.window)
         return 0
 

@@ -38,7 +38,7 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
-from llmc_paged_tpu.engine.server import ServingEngine
+from llmc_paged_tpu.engine.server import QueueFull, ServingEngine
 
 
 def make_handler(serving: ServingEngine, tokenizer=None):
@@ -105,6 +105,15 @@ def make_handler(serving: ServingEngine, tokenizer=None):
                 fut = serving.submit(prompt, max_new, stop_tokens=stop,
                                      **samp)
                 tokens = fut.result()
+            except QueueFull as e:
+                self.send_response(503)
+                body = json.dumps({"error": str(e)}).encode()
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header("Retry-After", "1")
+                self.end_headers()
+                self.wfile.write(body)
+                return
             except (ValueError, RuntimeError) as e:
                 # invalid request (too long for the pool, ...) or loop down
                 return self._reply(400, {"error": str(e)})
@@ -124,6 +133,8 @@ def make_handler(serving: ServingEngine, tokenizer=None):
                 it = serving.submit_stream(prompt, max_new,
                                            stop_tokens=stop,
                                            **(samp or {}))
+            except QueueFull as e:
+                return self._reply(503, {"error": str(e)})
             except (ValueError, RuntimeError) as e:
                 return self._reply(400, {"error": str(e)})
             self.send_response(200)
@@ -179,10 +190,11 @@ class HttpServingFront:
 
 
 def serve_http(engine, host: str = "127.0.0.1", port: int = 8000,
-               tokenizer=None, window: Optional[int] = None):
+               tokenizer=None, window: Optional[int] = None,
+               max_pending: Optional[int] = None):
     """Blocking entry point (the CLI --serve path): run the engine's
     serving loop with an HTTP front until interrupted."""
-    serving = ServingEngine(engine, window=window)
+    serving = ServingEngine(engine, window=window, max_pending=max_pending)
     front = HttpServingFront(serving, host, port, tokenizer)
     print(f"serving on http://{front.host}:{front.port} "
           f"(POST /generate, GET /health)", flush=True)

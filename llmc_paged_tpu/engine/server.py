@@ -40,6 +40,12 @@ from llmc_paged_tpu.sampler import Sampler
 _IDLE_POLL_S = 0.02
 
 
+class QueueFull(RuntimeError):
+    """Raised by submit/submit_stream when max_pending live requests are
+    already in flight — backpressure instead of unbounded queueing (the
+    HTTP front maps this to 503 + Retry-After)."""
+
+
 class StreamHandle:
     """Iterator over token batches plus a cancellation handle: abandoning
     the stream should not leave the request decoding to max_new_tokens —
@@ -69,10 +75,12 @@ class ServingEngine:
     _DONE = object()    # stream-queue terminal sentinel
 
     def __init__(self, engine, window: Optional[int] = None,
-                 sampler: Optional[Sampler] = None):
+                 sampler: Optional[Sampler] = None,
+                 max_pending: Optional[int] = None):
         self._engine = engine
         self._window = window
         self._sampler = sampler
+        self._max_pending = max_pending
         self._q: "queue.Queue[Optional[Request]]" = queue.Queue()
         self._futures = {}
         self._streams = {}                 # rid -> token-batch queue
@@ -105,6 +113,10 @@ class ServingEngine:
                 raise RuntimeError("ServingEngine is closed")
             if self._error is not None:
                 raise RuntimeError("serving loop died") from self._error
+            if self._max_pending is not None and \
+                    len(self._requests) >= self._max_pending:
+                raise QueueFull(f"{len(self._requests)} live requests "
+                                f">= max_pending {self._max_pending}")
             req = Request(rid=next(self._rid) if rid is None else rid,
                           prompt=list(prompt),
                           max_new_tokens=max_new_tokens,
@@ -147,6 +159,10 @@ class ServingEngine:
                 raise RuntimeError("ServingEngine is closed")
             if self._error is not None:
                 raise RuntimeError("serving loop died") from self._error
+            if self._max_pending is not None and \
+                    len(self._requests) >= self._max_pending:
+                raise QueueFull(f"{len(self._requests)} live requests "
+                                f">= max_pending {self._max_pending}")
             req = Request(rid=next(self._rid) if rid is None else rid,
                           prompt=list(prompt),
                           max_new_tokens=max_new_tokens, stream=True,

@@ -170,6 +170,25 @@ def test_serving_stream_tokens():
             srv.submit_stream(list(range(60)), 10_000)
 
 
+def test_serving_backpressure_max_pending():
+    """max_pending bounds LIVE requests: the excess submission raises
+    QueueFull immediately; capacity frees as requests finish."""
+    from llmc_paged_tpu.engine.server import QueueFull
+
+    cfg, params, page = _setup()
+    econf = EngineConfig(cache_mode="paged", page=page, greedy=True,
+                         max_batch=2, decode_chunk=4)
+    eng = InferenceEngine(params, cfg, econf)
+    with ServingEngine(eng, max_pending=2) as srv:
+        futs = [srv.submit(p, 30) for p in _prompts(2)]
+        with pytest.raises(QueueFull, match="max_pending"):
+            srv.submit(_prompts(1, seed=3)[0], 5)
+        for f in futs:
+            assert len(f.result(timeout=300)) > 0
+        ok = srv.submit(_prompts(1, seed=4)[0], 5)   # capacity freed
+        assert len(ok.result(timeout=120)) > 0
+
+
 def test_ttft_includes_queue_time():
     """t_submit stamped at enqueue survives Scheduler.submit — TTFT for a
     served request includes the time it queued before admission."""
