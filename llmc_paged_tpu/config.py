@@ -139,6 +139,11 @@ class EngineConfig:
     # costs one host sync (~60ms on a relay-tunneled chip), so the knob
     # trades inter-flush latency against decode throughput.
     stream_links: int = 4
+    # Allow Request.logprobs: the logprobs chunk executable is a separate
+    # jit variant, so the FIRST logprobs request after a cold start pays
+    # its compile (minutes at 1.5B) while the shared serving loop stalls —
+    # operators can disable the surface entirely (CLI --no-logprobs).
+    serve_logprobs: bool = True
     # Default stop ids for requests that don't set their own
     # (Request.stop_tokens): generation ends after the first of these
     # appears (kept as the last token). () = run to max_new_tokens, the

@@ -78,6 +78,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "(kept as the last token; repeatable). Default: "
                         "run to --max-new, the reference's fixed-length "
                         "behavior")
+    p.add_argument("--no-logprobs", action="store_true",
+                   help="reject logprobs requests (their chunk variant "
+                        "compiles separately — the first one after a "
+                        "cold start stalls serving while it builds)")
     p.add_argument("--max-pending", type=int, default=0, metavar="N",
                    help="backpressure: reject submissions (HTTP 503) "
                         "while N live requests are in flight; 0 = "
@@ -136,6 +140,7 @@ def main(argv=None) -> int:
                          device_sampling=args.device_sampling,
                          spec_k=args.spec_k, spec_ngram=args.spec_ngram,
                          stop_tokens=tuple(args.stop_token),
+                         serve_logprobs=not args.no_logprobs,
                          log_every=args.log_every,
                          mesh_shape={"model": args.mesh_model}
                          if args.mesh_model else None)

@@ -450,6 +450,11 @@ class InferenceEngine:
             raise ValueError(f"request {req.rid}: top_k must be >= 1, "
                              f"got {req.top_k}")
         if req.logprobs:
+            if not econf.serve_logprobs:
+                raise ValueError(
+                    f"request {req.rid}: logprobs are disabled on this "
+                    "engine (EngineConfig.serve_logprobs / CLI "
+                    "--no-logprobs)")
             if self._tp is not None:
                 raise ValueError(
                     f"request {req.rid}: logprobs under tensor "
@@ -893,9 +898,8 @@ class InferenceEngine:
                 nonlocal deferred, progressed
                 if deferred is None:
                     return
-                picks = np.asarray(deferred[0])
-                lps = (None if deferred[1] is None
-                       else np.asarray(deferred[1]))
+                picks, lps = jax.device_get((deferred[0], deferred[1]))
+                picks = np.asarray(picks)
                 for i, (slot, req) in enumerate(deferred[2]):
                     req.generated.append(int(picks[i]))
                     if req.logprobs and lps is not None:
@@ -1173,7 +1177,7 @@ class InferenceEngine:
                 # reading tokens back). On a relay-tunneled chip this turns
                 # ~60ms of sync per chunk into one sync per chain.
                 ps = page.page_size
-                pending: List = []       # (device toks (chunk,B), [(slot, keep)])
+                pending: List = []   # (toks (chunk,B), logprobs|None, [(slot, keep)])
                 first_dev = None         # device (B,) — prev chain link output
                 while True:
                     # rows still needing tokens, without eviction risk
@@ -1376,11 +1380,14 @@ class InferenceEngine:
                     # deferred first tokens precede the chain's picks
                     flush_deferred()
                     # one device→host transfer for the whole chain
-                    all_picks = np.asarray(
-                        jnp.stack([t for t, _, _ in pending]))
-                    all_lps = (np.asarray(jnp.stack(
-                        [l for _, l, _ in pending]))
-                        if pending[0][1] is not None else None)
+                    # (device_get fetches tokens AND logprobs together —
+                    # two sequential np.asarray calls would pay a second
+                    # ~60ms tunnel round trip)
+                    all_picks, all_lps = jax.device_get(
+                        (jnp.stack([t for t, _, _ in pending]),
+                         (jnp.stack([l for _, l, _ in pending])
+                          if pending[0][1] is not None else None)))
+                    all_picks = np.asarray(all_picks)
                     for li, (picks, (_, _, stepped)) in enumerate(
                             zip(all_picks, pending)):
                         for slot, keep in stepped:

@@ -47,11 +47,14 @@ def make_handler(serving: ServingEngine, tokenizer=None):
         def log_message(self, fmt, *args):
             pass
 
-        def _reply(self, code: int, payload: dict) -> None:
+        def _reply(self, code: int, payload: dict,
+                   headers: dict | None = None) -> None:
             body = json.dumps(payload).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
+            for k, v in (headers or {}).items():
+                self.send_header(k, v)
             self.end_headers()
             self.wfile.write(body)
 
@@ -88,10 +91,14 @@ def make_handler(serving: ServingEngine, tokenizer=None):
                 greedy = req.get("greedy")
                 if greedy is not None and not isinstance(greedy, bool):
                     raise ValueError("greedy must be a boolean")
+                pr = req.get("priority", 0)
+                if not isinstance(pr, int) or isinstance(pr, bool):
+                    raise ValueError("priority must be an integer")
+                lp = req.get("logprobs", False)
+                if not isinstance(lp, bool):
+                    raise ValueError("logprobs must be a boolean")
                 samp = {"temperature": temp, "top_k": top_k,
-                        "greedy": greedy,
-                        "priority": int(req.get("priority", 0)),
-                        "logprobs": bool(req.get("logprobs", False))}
+                        "greedy": greedy, "priority": pr, "logprobs": lp}
             except (KeyError, TypeError, ValueError,
                     json.JSONDecodeError) as e:
                 # TypeError covers type-malformed JSON (body '[1,2]' →
@@ -106,14 +113,8 @@ def make_handler(serving: ServingEngine, tokenizer=None):
                                      **samp)
                 tokens = fut.result()
             except QueueFull as e:
-                self.send_response(503)
-                body = json.dumps({"error": str(e)}).encode()
-                self.send_header("Content-Type", "application/json")
-                self.send_header("Content-Length", str(len(body)))
-                self.send_header("Retry-After", "1")
-                self.end_headers()
-                self.wfile.write(body)
-                return
+                return self._reply(503, {"error": str(e)},
+                                   headers={"Retry-After": "1"})
             except (ValueError, RuntimeError) as e:
                 # invalid request (too long for the pool, ...) or loop down
                 return self._reply(400, {"error": str(e)})
@@ -134,7 +135,8 @@ def make_handler(serving: ServingEngine, tokenizer=None):
                                            stop_tokens=stop,
                                            **(samp or {}))
             except QueueFull as e:
-                return self._reply(503, {"error": str(e)})
+                return self._reply(503, {"error": str(e)},
+                                   headers={"Retry-After": "1"})
             except (ValueError, RuntimeError) as e:
                 return self._reply(400, {"error": str(e)})
             self.send_response(200)

@@ -85,7 +85,9 @@ def test_http_generate_concurrent_matches_batch():
                         [1, 2, 3],                       # non-dict body
                         "x",                             # non-dict body
                         {"prompt": [1], "max_new_tokens": None},
-                        {"prompt": []}):                 # empty prompt
+                        {"prompt": []},                  # empty prompt
+                        {"prompt": [1], "logprobs": "false"},  # not bool
+                        {"prompt": [1], "priority": 1.5}):     # not int
             try:
                 status, out = _post(f"{url}/generate", payload)
             except urllib.error.HTTPError as e:

@@ -134,6 +134,18 @@ def test_logprobs_validation():
                                            max_new_tokens=4, logprobs=True))
 
 
+def test_logprobs_operator_gate():
+    """serve_logprobs=False rejects the request at submission — operators
+    can fence off the separate jit variant (minutes of cold compile at
+    1.5B would stall the shared serving loop)."""
+    cfg, params, page = _setup()
+    eng = InferenceEngine(params, cfg, EngineConfig(
+        cache_mode="paged", page=page, greedy=True, serve_logprobs=False))
+    with pytest.raises(ValueError, match="disabled"):
+        eng.validate_request(Request(rid=0, prompt=[1], max_new_tokens=4,
+                                     logprobs=True))
+
+
 def test_http_logprobs():
     cfg, params, page = _setup()
     prompts = _prompts(1)

@@ -66,8 +66,14 @@ def test_serving_high_priority_overtakes_queue():
     rng = np.random.default_rng(6)
     order = []
     with ServingEngine(eng) as srv:
-        first = srv.submit(rng.integers(0, 128, 6).tolist(), 40)
-        time.sleep(0.5)                      # occupies the slot
+        first = srv.submit(rng.integers(0, 128, 6).tolist(), 60)
+        # wait for admission (not a fixed sleep — the tiny model can
+        # finish a short budget faster than a sleep on a fast machine),
+        # then enqueue both contenders immediately
+        deadline = time.monotonic() + 120
+        while (eng.live_stats.get("running", 0) < 1
+               and time.monotonic() < deadline):
+            time.sleep(0.005)
         low = srv.submit(rng.integers(0, 128, 6).tolist(), 4)
         low.add_done_callback(lambda f: order.append("low"))
         high = srv.submit(rng.integers(0, 128, 6).tolist(), 4, priority=3)
