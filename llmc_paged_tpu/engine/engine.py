@@ -590,6 +590,15 @@ class InferenceEngine:
         decode_tokens = 0
         peak_pages = 0
         iteration = 0
+        # host-side wall-time breakdown (stats["t_*"]): where the engine
+        # loop spends its time between device results. Dispatch buckets
+        # measure HOST time to build+enqueue programs (device execution
+        # is async); materialize measures the blocking device→host
+        # fetches — on a relay-tunneled chip that bucket IS the ~60ms
+        # sync cost, so these four numbers localize any engine-vs-device
+        # throughput gap (VERDICT r2 #2's instrument).
+        tacc = {"prefill_dispatch": 0.0, "chain_dispatch": 0.0,
+                "materialize": 0.0}
         # per-slot count of prompt tokens DROPPED at admission (prompt
         # longer than the window attends only to its trailing `window`
         # tokens, exactly like mode "none"); cache positions are relative
@@ -800,6 +809,7 @@ class InferenceEngine:
             # measured 1.6k vs 3.7k tok/s when bucket-split on a tunneled
             # chip (pass last_pos=None for the reference's full-T logits).
             if admitted:
+                t_pf0 = time.monotonic()
                 group = admitted
                 Tb = _bucket(max(len(req.tokens) - bases[slot]
                                  - cached.get(slot, 0)
@@ -890,6 +900,7 @@ class InferenceEngine:
                         if req.done:
                             mgr.free_prompt(slot)
                             finish_slot(slot)
+                tacc["prefill_dispatch"] += time.monotonic() - t_pf0
 
             def flush_deferred():
                 """Materialize deferred prefill picks (bookkeeping +
@@ -898,8 +909,10 @@ class InferenceEngine:
                 nonlocal deferred, progressed
                 if deferred is None:
                     return
+                t_m0 = time.monotonic()
                 picks, lps = jax.device_get((deferred[0], deferred[1]))
                 picks = np.asarray(picks)
+                tacc["materialize"] += time.monotonic() - t_m0
                 for i, (slot, req) in enumerate(deferred[2]):
                     req.generated.append(int(picks[i]))
                     if req.logprobs and lps is not None:
@@ -994,6 +1007,7 @@ class InferenceEngine:
                 TK = S * Ksp
                 ps = page.page_size
                 pending_spec: List = []      # (out dev, counts dev, plan)
+                t_cd0 = time.monotonic()
                 links = 0
                 hist_d = first_d = pos0_d = None
                 pre_len: Dict[int, int] = {}
@@ -1080,13 +1094,16 @@ class InferenceEngine:
                         # soon as a row may have finished (deliver its
                         # result instead of riding out the chain)
                         break
+                tacc["chain_dispatch"] += time.monotonic() - t_cd0
                 if pending_spec:
                     progressed = True
+                    t_m0 = time.monotonic()
                     # one device→host transfer for the whole chain
                     all_out = np.asarray(
                         jnp.stack([o for o, _, _ in pending_spec]))
                     all_cnt = np.asarray(
                         jnp.stack([c for _, c, _ in pending_spec]))
+                    tacc["materialize"] += time.monotonic() - t_m0
                     committed = {s: 0 for s in pre_len}
                     for li, (_, _, plan) in enumerate(pending_spec):
                         for slot in plan:
@@ -1179,6 +1196,7 @@ class InferenceEngine:
                 ps = page.page_size
                 pending: List = []   # (toks (chunk,B), logprobs|None, [(slot, keep)])
                 first_dev = None         # device (B,) — prev chain link output
+                t_cd0 = time.monotonic()
                 while True:
                     # rows still needing tokens, without eviction risk
                     dct = defer_counts()
@@ -1375,10 +1393,12 @@ class InferenceEngine:
                         # flush_deferred above) — keep the one-link bound
                         # there so admission gets its retry.
                         break
+                tacc["chain_dispatch"] += time.monotonic() - t_cd0
                 if pending:
                     progressed = True
                     # deferred first tokens precede the chain's picks
                     flush_deferred()
+                    t_m0 = time.monotonic()
                     # one device→host transfer for the whole chain
                     # (device_get fetches tokens AND logprobs together —
                     # two sequential np.asarray calls would pay a second
@@ -1388,6 +1408,7 @@ class InferenceEngine:
                          (jnp.stack([l for _, l, _ in pending])
                           if pending[0][1] is not None else None)))
                     all_picks = np.asarray(all_picks)
+                    tacc["materialize"] += time.monotonic() - t_m0
                     for li, (picks, (_, _, stepped)) in enumerate(
                             zip(all_picks, pending)):
                         for slot, keep in stepped:
@@ -1482,6 +1503,7 @@ class InferenceEngine:
                     # stream is consumed per stepped row, in order
                     step_reqs = [sched.running[s] for s in stepped]
                     step_logits = logits[jnp.asarray(stepped)]
+                    t_m0 = time.monotonic()
                     if any(_has_overrides(r) for r in step_reqs):
                         row_toks = _sample_rows_per_request(
                             sampler, step_logits, step_reqs)
@@ -1491,6 +1513,7 @@ class InferenceEngine:
                     lrows = (np.asarray(step_logits)
                              if any(r.logprobs for r in step_reqs)
                              else None)
+                    tacc["materialize"] += time.monotonic() - t_m0
                     for i, (slot, tok) in enumerate(zip(stepped, row_toks)):
                         req = sched.running[slot]
                         req.generated.append(tok)
@@ -1520,6 +1543,11 @@ class InferenceEngine:
             # last 1024 finishes — exact for batch runs, a recent-window
             # median for long-lived serving (full history is not retained)
             "p50_ttft_s": float(np.median(ttfts)) if ttfts else 0.0,
+            # host wall-time breakdown (see tacc comment above): the
+            # remainder vs wall_s is scheduler/manager bookkeeping + idle
+            "t_prefill_dispatch_s": round(tacc["prefill_dispatch"], 4),
+            "t_chain_dispatch_s": round(tacc["chain_dispatch"], 4),
+            "t_materialize_s": round(tacc["materialize"], 4),
         }
         if use_spec:
             self.stats["spec_steps"] = spec_stats["steps"]
