@@ -78,6 +78,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(kept as the last token; repeatable). Default: "
                         "run to --max-new, the reference's fixed-length "
                         "behavior")
+    p.add_argument("--warmup", action="store_true",
+                   help="with --serve: pre-compile the serving "
+                        "executables (incl. the logprobs chunk variant) "
+                        "BEFORE binding the port, so no tenant pays a "
+                        "cold compile mid-service")
     p.add_argument("--no-logprobs", action="store_true",
                    help="reject logprobs requests (their chunk variant "
                         "compiles separately — the first one after a "
@@ -149,6 +154,9 @@ def main(argv=None) -> int:
 
     if args.serve:
         from llmc_paged_tpu.engine.http_server import serve_http
+        if args.warmup:
+            t = engine.warmup(window=args.window)
+            print(f"warmup: {t}", flush=True)
         serve_http(engine, port=args.serve, tokenizer=tok,
                    max_pending=args.max_pending or None,
                    window=args.window)

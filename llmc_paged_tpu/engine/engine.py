@@ -1566,6 +1566,36 @@ class InferenceEngine:
             self.stats["prefix_cached_pages"] = mgr.num_cached()
         return sched.finished
 
+    def warmup(self, window: Optional[int] = None) -> Dict[str, float]:
+        """Pre-compile the paged serving executables by running tiny
+        throwaway requests through every path this engine's config can
+        reach: the smallest prefill bucket + the decode-chunk chain (and
+        its logprobs variant when serve_logprobs) + the single-token
+        step for parity-sampler engines. A cold 1.5B chunk compile takes
+        minutes — paying it BEFORE the server binds its port keeps the
+        first tenant (and, for the logprobs variant, every tenant
+        sharing the loop with the first logprobs request) from stalling
+        on it. Returns {stage: seconds}. The pool and compile caches
+        persist, so warmed requests cost nothing afterwards."""
+        if self.econf.cache_mode != "paged":
+            return {}
+        timings: Dict[str, float] = {}
+        prompt = list(range(1, 9))      # bucket 16, any ids work
+        new = max(2, min(self.econf.decode_chunk + 2,
+                         self.econf.page.max_context - len(prompt)))
+
+        def one(tag: str, **kw) -> None:
+            t0 = time.monotonic()
+            self.run([Request(rid=-1, prompt=list(prompt),
+                              max_new_tokens=new, **kw)], window=window)
+            timings[tag] = round(time.monotonic() - t0, 3)
+
+        one("default")                  # prefill bucket + chunk/step path
+        if self.econf.serve_logprobs and self._tp is None \
+                and self.econf.spec_k < 2:
+            one("logprobs", logprobs=True)
+        return timings
+
     # -- dispatch ------------------------------------------------------------
 
     def generate(self, prompt: Sequence[int], max_new_tokens: int,

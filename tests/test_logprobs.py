@@ -146,6 +146,29 @@ def test_logprobs_operator_gate():
                                      logprobs=True))
 
 
+def test_warmup_precompiles_serving_paths():
+    """warmup() runs the default and logprobs executables; a subsequent
+    logprobs request reuses them (tokens identical to a cold engine's)."""
+    cfg, params, page = _setup()
+    prompts = _prompts(1)
+    econf = EngineConfig(cache_mode="paged", page=page, greedy=True,
+                         max_batch=2, decode_chunk=4)
+    cold = InferenceEngine(params, cfg, econf).run(
+        [Request(rid=0, prompt=list(prompts[0]), max_new_tokens=8,
+                 logprobs=True)])[0]
+    eng = InferenceEngine(params, cfg, econf)
+    t = eng.warmup()
+    assert set(t) == {"default", "logprobs"} and all(
+        v > 0 for v in t.values())
+    warm = eng.run([Request(rid=0, prompt=list(prompts[0]),
+                            max_new_tokens=8, logprobs=True)])[0]
+    assert warm.tokens == cold.tokens
+    assert warm.logprob_values == cold.logprob_values
+    # warmup is inert for non-paged engines
+    assert InferenceEngine(params, cfg, EngineConfig(
+        cache_mode="dense", page=page, greedy=True)).warmup() == {}
+
+
 def test_http_logprobs():
     cfg, params, page = _setup()
     prompts = _prompts(1)
