@@ -167,6 +167,20 @@ def _row_logprob(row: np.ndarray, tok: int) -> float:
                           .sum(dtype=np.float32)))
 
 
+@jax.jit
+def _prefill_plp_extract(full, xs, valid, last):
+    """From full-T prefill logits (B, T, V): the last-position logits
+    (B, V) for the first pick, and each next token's RAW-softmax logprob
+    (B, T-1) — tok_lp[b, t] scores xs[b, t+1] given xs[b, :t+1]."""
+    lg = full.astype(jnp.float32)
+    lse = jax.scipy.special.logsumexp(lg[:, :-1], axis=-1)
+    tok_lp = jnp.take_along_axis(lg[:, :-1], xs[:, 1:, None],
+                                 axis=-1)[..., 0] - lse
+    tok_lp = jnp.where(valid[:, 1:], tok_lp, 0.0)
+    last_logits = full[jnp.arange(full.shape[0]), last]
+    return last_logits, tok_lp
+
+
 def _pick_token(sampler: Sampler, logits_row) -> int:
     """Sample one token from a (V,) logits row. Greedy takes the argmax on
     device and ships 4 bytes; the parity sampler needs the full softmax on
@@ -467,6 +481,30 @@ class InferenceEngine:
             if econf.cache_mode != "paged":
                 raise ValueError(
                     f"request {req.rid}: logprobs require paged serving")
+        if req.prompt_logprobs:
+            if not econf.serve_logprobs:
+                raise ValueError(
+                    f"request {req.rid}: logprobs are disabled on this "
+                    "engine (EngineConfig.serve_logprobs / CLI "
+                    "--no-logprobs)")
+            if self._tp is not None:
+                raise ValueError(
+                    f"request {req.rid}: prompt_logprobs under tensor "
+                    "parallelism are not supported yet")
+            if econf.cache_mode != "paged":
+                raise ValueError(f"request {req.rid}: prompt_logprobs "
+                                 "require paged serving")
+            if page.prefix_cache:
+                raise ValueError(
+                    f"request {req.rid}: prompt_logprobs with prefix "
+                    "caching are not supported (adopted prefix pages "
+                    "skip their prefill, so those positions' logits "
+                    "never exist)")
+            if len(req.prompt) > window:
+                raise ValueError(
+                    f"request {req.rid}: prompt_logprobs need the whole "
+                    f"prompt attended — prompt {len(req.prompt)} > "
+                    f"window {window}")
         if _has_overrides(req):
             if self._tp is not None:
                 raise ValueError(
@@ -849,10 +887,33 @@ class InferenceEngine:
                         last_pos=jnp.asarray(last),
                         use_kernel=self.use_kernel)      # (Bg, V)
                 else:
-                    logits, pool = gpt2_paged.prefill_paged(
-                        self._prefill_params or self.params,
-                        jnp.asarray(xs), pg, sl, pool, cfg,
-                        last_pos=jnp.asarray(last))      # (Bg, V)
+                    plp_rows = [
+                        (i, req) for i, (slot, req) in enumerate(group)
+                        if req.prompt_logprobs
+                        and not req.prompt_logprob_values
+                        and not req.generated]
+                    if plp_rows:
+                        # echo/scoring rows ride the reference's parity
+                        # path: full (B,T,V) logits (paged_infer.c:727),
+                        # next-token logprobs extracted on device, ONE
+                        # blocking (Bg,T-1) fetch for the wave
+                        full, pool = gpt2_paged.prefill_paged(
+                            self._prefill_params or self.params,
+                            jnp.asarray(xs), pg, sl, pool, cfg,
+                            last_pos=None)               # (Bg, T, V)
+                        logits, plp_d = _prefill_plp_extract(
+                            full, jnp.asarray(xs), jnp.asarray(valid),
+                            jnp.asarray(last))
+                        plp = np.asarray(plp_d)
+                        for i, req in plp_rows:
+                            req.prompt_logprob_values = [
+                                float(v)
+                                for v in plp[i, : len(req.prompt) - 1]]
+                    else:
+                        logits, pool = gpt2_paged.prefill_paged(
+                            self._prefill_params or self.params,
+                            jnp.asarray(xs), pg, sl, pool, cfg,
+                            last_pos=jnp.asarray(last))  # (Bg, V)
                 if prefix_on:
                     # publish this wave's full prompt pages for future
                     # admissions — only NOW, after the program that writes
@@ -1591,9 +1652,11 @@ class InferenceEngine:
             timings[tag] = round(time.monotonic() - t0, 3)
 
         one("default")                  # prefill bucket + chunk/step path
-        if self.econf.serve_logprobs and self._tp is None \
-                and self.econf.spec_k < 2:
-            one("logprobs", logprobs=True)
+        if self.econf.serve_logprobs and self._tp is None:
+            if self.econf.spec_k < 2:
+                one("logprobs", logprobs=True)
+            if not self.econf.page.prefix_cache:
+                one("prompt_logprobs", prompt_logprobs=True)
         return timings
 
     # -- dispatch ------------------------------------------------------------

@@ -97,8 +97,12 @@ def make_handler(serving: ServingEngine, tokenizer=None):
                 lp = req.get("logprobs", False)
                 if not isinstance(lp, bool):
                     raise ValueError("logprobs must be a boolean")
+                plp = req.get("prompt_logprobs", False)
+                if not isinstance(plp, bool):
+                    raise ValueError("prompt_logprobs must be a boolean")
                 samp = {"temperature": temp, "top_k": top_k,
-                        "greedy": greedy, "priority": pr, "logprobs": lp}
+                        "greedy": greedy, "priority": pr, "logprobs": lp,
+                        "prompt_logprobs": plp}
             except (KeyError, TypeError, ValueError,
                     json.JSONDecodeError) as e:
                 # TypeError covers type-malformed JSON (body '[1,2]' →
@@ -121,6 +125,8 @@ def make_handler(serving: ServingEngine, tokenizer=None):
             out = {"tokens": tokens, "generated": tokens[len(prompt):]}
             if samp["logprobs"]:
                 out["logprobs"] = fut.request.logprob_values
+            if samp["prompt_logprobs"]:
+                out["prompt_logprobs"] = fut.request.prompt_logprob_values
             if tokenizer is not None:
                 out["text"] = tokenizer.decode_string(out["generated"])
             self._reply(200, out)

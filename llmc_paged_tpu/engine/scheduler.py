@@ -65,6 +65,15 @@ class Request:
     # distribution's). Paged serving only; not under spec_k or TP.
     logprobs: bool = False
     logprob_values: List[float] = dataclasses.field(default_factory=list)
+    # when True, prompt_logprob_values[i] is prompt[i+1]'s logprob given
+    # prompt[:i+1] (len(prompt)-1 values — echo/scoring mode). Computed
+    # at FIRST admission from the full-T prefill logits (the reference's
+    # parity path, paged_infer.c:727-728); that wave pays the full
+    # (B,T,V) lm_head instead of last-positions-only. Paged only; not
+    # under TP/prefix_cache; prompt must fit the window.
+    prompt_logprobs: bool = False
+    prompt_logprob_values: List[float] = dataclasses.field(
+        default_factory=list)
     # abort flag, settable from ANY thread (a plain bool write is atomic
     # under the GIL): the engine notices at its next host-side poll point
     # (iteration top for queued/idle rows, chain materialization for rows

@@ -101,7 +101,8 @@ class ServingEngine:
                temperature: Optional[float] = None,
                top_k: Optional[int] = None,
                greedy: Optional[bool] = None,
-               priority: int = 0, logprobs: bool = False) -> Future:
+               priority: int = 0, logprobs: bool = False,
+               prompt_logprobs: bool = False) -> Future:
         """Enqueue a request; returns a Future resolving to the full token
         list (prompt + generated). Invalid requests (too long for the
         pool / incompatible with the serving mode) fail their OWN future
@@ -124,7 +125,8 @@ class ServingEngine:
                                        else list(stop_tokens)),
                           temperature=temperature, top_k=top_k,
                           greedy=greedy, priority=priority,
-                          logprobs=logprobs)
+                          logprobs=logprobs,
+                          prompt_logprobs=prompt_logprobs)
             fut: Future = Future()
             fut.rid = req.rid                  # handle for cancel(rid)
             fut.request = req   # carries logprob_values after completion
@@ -149,7 +151,8 @@ class ServingEngine:
                       temperature: Optional[float] = None,
                       top_k: Optional[int] = None,
                       greedy: Optional[bool] = None,
-                      priority: int = 0, logprobs: bool = False):
+                      priority: int = 0, logprobs: bool = False,
+                      prompt_logprobs: bool = False):
         """Streaming twin of submit(): returns an iterator yielding token
         BATCHES (lists) as the engine materializes them — granularity is
         decode-chain links, bounded by EngineConfig.stream_links while any
@@ -170,7 +173,8 @@ class ServingEngine:
                                        else list(stop_tokens)),
                           temperature=temperature, top_k=top_k,
                           greedy=greedy, priority=priority,
-                          logprobs=logprobs)
+                          logprobs=logprobs,
+                          prompt_logprobs=prompt_logprobs)
             self._engine.validate_request(req, self._window)
             req.t_submit = time.monotonic()
             q: "queue.Queue" = queue.Queue()

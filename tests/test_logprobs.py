@@ -146,6 +146,55 @@ def test_logprobs_operator_gate():
                                      logprobs=True))
 
 
+def test_prompt_logprobs_match_dense_forward():
+    """Echo/scoring: prompt_logprob_values[i] scores prompt[i+1] given
+    prompt[:i+1]; checked against a dense forward oracle. Decode tokens
+    and everything else are unchanged next to a non-echo neighbor."""
+    cfg, params, page = _setup()
+    prompts = _prompts(3)
+    econf = EngineConfig(cache_mode="paged", page=page, greedy=True,
+                         max_batch=4, decode_chunk=4)
+    base = InferenceEngine(params, cfg, econf).run(
+        [Request(rid=i, prompt=list(p), max_new_tokens=8)
+         for i, p in enumerate(prompts)])
+    expect = {r.rid: r.tokens for r in base}
+
+    eng = InferenceEngine(params, cfg, econf)
+    done = {r.rid: r for r in eng.run(
+        [Request(rid=i, prompt=list(p), max_new_tokens=8,
+                 prompt_logprobs=(i != 1), logprobs=(i == 0))
+         for i, p in enumerate(prompts)])}
+    for i, p in enumerate(prompts):
+        assert done[i].tokens == expect[i]
+        vals = done[i].prompt_logprob_values
+        if i == 1:
+            assert vals == []
+            continue
+        assert len(vals) == len(p) - 1
+        # oracle over the prompt alone (generated tokens irrelevant)
+        oracle = _dense_logprobs(cfg, params, list(p), 1)
+        np.testing.assert_allclose(vals, oracle, atol=2e-3)
+    assert len(done[0].logprob_values) == 8     # composes with decode lp
+
+
+def test_prompt_logprobs_validation():
+    cfg, params, page = _setup()
+    eng = InferenceEngine(params, cfg, EngineConfig(
+        cache_mode="paged", page=page, greedy=True))
+    with pytest.raises(ValueError, match="window"):
+        eng.validate_request(Request(rid=0, prompt=list(range(1, 30)),
+                                     max_new_tokens=2,
+                                     prompt_logprobs=True), window=16)
+    pc = PageConfig(page_size=8, num_pages=48, max_seqs=8,
+                    pages_per_seq=10, prefix_cache=True)
+    eng2 = InferenceEngine(params, cfg, EngineConfig(
+        cache_mode="paged", page=pc, greedy=True))
+    with pytest.raises(ValueError, match="prefix"):
+        eng2.validate_request(Request(rid=0, prompt=[1, 2],
+                                      max_new_tokens=2,
+                                      prompt_logprobs=True))
+
+
 def test_warmup_precompiles_serving_paths():
     """warmup() runs the default and logprobs executables; a subsequent
     logprobs request reuses them (tokens identical to a cold engine's)."""
@@ -158,7 +207,7 @@ def test_warmup_precompiles_serving_paths():
                  logprobs=True)])[0]
     eng = InferenceEngine(params, cfg, econf)
     t = eng.warmup()
-    assert set(t) == {"default", "logprobs"} and all(
+    assert set(t) == {"default", "logprobs", "prompt_logprobs"} and all(
         v > 0 for v in t.values())
     warm = eng.run([Request(rid=0, prompt=list(prompts[0]),
                             max_new_tokens=8, logprobs=True)])[0]
@@ -179,9 +228,11 @@ def test_http_logprobs():
         req = urllib.request.Request(
             f"http://{front.host}:{front.port}/generate",
             data=json.dumps({"prompt": prompts[0], "max_new_tokens": 6,
-                             "logprobs": True}).encode(),
+                             "logprobs": True,
+                             "prompt_logprobs": True}).encode(),
             headers={"Content-Type": "application/json"})
         with urllib.request.urlopen(req, timeout=120) as r:
             out = json.loads(r.read())
     assert len(out["logprobs"]) == len(out["generated"]) == 6
     assert all(v <= 0.0 for v in out["logprobs"])
+    assert len(out["prompt_logprobs"]) == len(prompts[0]) - 1
