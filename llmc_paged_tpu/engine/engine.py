@@ -127,6 +127,34 @@ def _has_overrides(req: Request) -> bool:
             or req.temperature is not None)
 
 
+def _has_penalties(req: Request) -> bool:
+    return bool(req.frequency_penalty or req.presence_penalty)
+
+
+def _penalized_row(row: np.ndarray, req: Request) -> np.ndarray:
+    """Host twin of the device chunk's penalty subtraction: counts over
+    the FULL context (prompt + generated so far)."""
+    V = row.shape[-1]
+    cnt = np.zeros(V, np.float32)
+    np.add.at(cnt, np.clip(np.asarray(req.tokens), 0, V - 1), 1.0)
+    return (row.astype(np.float32) - req.frequency_penalty * cnt
+            - req.presence_penalty * (cnt > 0))
+
+
+def _unpack_chunk(res, pen: bool, want_lp: bool):
+    """decode_chunk_paged returns (out[, counts][, logps], pool) by
+    flag; normalize to (out, counts|None, logps|None, pool)."""
+    i = 1
+    counts = lp = None
+    if pen:
+        counts = res[i]
+        i += 1
+    if want_lp:
+        lp = res[i]
+        i += 1
+    return res[0], counts, lp, res[-1]
+
+
 def _sample_rows_per_request(sampler: Sampler, logits,
                              reqs: List[Request]) -> List[int]:
     """Per-row transforms for mixed sampling batches (some request set
@@ -143,16 +171,21 @@ def _sample_rows_per_request(sampler: Sampler, logits,
 
     eff = [_effective(sampler, r) for r in reqs]
     rows = np.asarray(logits)
-    plain = any(not g and tk is None and tmp == 1.0 for g, tk, tmp in eff)
+    plain = any(not g and tk is None and tmp == 1.0
+                and not _has_penalties(r)
+                for (g, tk, tmp), r in zip(eff, reqs))
     probs = (np.asarray(jax.nn.softmax(logits, axis=-1)) if plain else None)
     out = []
     for i, (g, tk, tmp) in enumerate(eff):
+        req = reqs[i]
+        row = (rows[i] if not _has_penalties(req)
+               else _penalized_row(rows[i], req))
         if g:
-            out.append(int(np.argmax(rows[i])))
-        elif tk is None and tmp == 1.0:
+            out.append(int(np.argmax(row)))
+        elif tk is None and tmp == 1.0 and not _has_penalties(req):
             out.append(sample_mult(probs[i], sampler.rng.random_f32()))
         else:
-            out.append(sample_mult(topk_probs(rows[i], tk, tmp),
+            out.append(sample_mult(topk_probs(row, tk, tmp),
                                    sampler.rng.random_f32()))
     return out
 
@@ -505,6 +538,21 @@ class InferenceEngine:
                     f"request {req.rid}: prompt_logprobs need the whole "
                     f"prompt attended — prompt {len(req.prompt)} > "
                     f"window {window}")
+        if _has_penalties(req):
+            for name in ("frequency_penalty", "presence_penalty"):
+                v = getattr(req, name)
+                if not (float("-inf") < v < float("inf")):
+                    raise ValueError(f"request {req.rid}: {name} must be "
+                                     f"finite, got {v}")
+            if self._tp is not None:
+                raise ValueError(
+                    f"request {req.rid}: penalties under tensor "
+                    "parallelism are not supported yet")
+            if econf.spec_k >= 2:
+                raise ValueError(
+                    f"request {req.rid}: penalties under speculative "
+                    "decoding are not supported (the penalized pick is "
+                    "not the verified raw argmax)")
         if _has_overrides(req):
             if self._tp is not None:
                 raise ValueError(
@@ -926,7 +974,8 @@ class InferenceEngine:
                             mgr.register_prompt(slot, req.tokens)
                 group_reqs = [r for _, r in group]
                 group_lp = any(r.logprobs for r in group_reqs)
-                if all(_effective(sampler, r)[0] for r in group_reqs):
+                if all(_effective(sampler, r)[0] for r in group_reqs) \
+                        and not any(_has_penalties(r) for r in group_reqs):
                     # DEFER the host materialization: pick on device and
                     # let the first chunk chain launch before the ~60ms
                     # result download — the download then overlaps chain
@@ -941,7 +990,8 @@ class InferenceEngine:
                             - jax.scipy.special.logsumexp(lgf, axis=-1))
                     deferred = (picks_d, lps_d, list(group))
                 else:
-                    if any(_has_overrides(r) for r in group_reqs):
+                    if any(_has_overrides(r) or _has_penalties(r)
+                           for r in group_reqs):
                         first_toks = _sample_rows_per_request(
                             sampler, logits[: len(group)], group_reqs)
                     else:
@@ -1218,6 +1268,22 @@ class InferenceEngine:
             # the (B,)-array transform
             chain_rng = sample_key is not None and not all_greedy
             want_lp = any(r.logprobs for r in sched.running.values())
+            # penalties thread a (B, V) count plane through the chain:
+            # host-built from each row's full context at chain start,
+            # updated device-side per pick, re-derived next iteration
+            pen_arrays = None
+            if any(_has_penalties(r) for r in sched.running.values()):
+                fparr = np.zeros(B, np.float32)
+                pparr = np.zeros(B, np.float32)
+                cnt0 = np.zeros((B, cfg.vocab_size), np.int32)
+                for slot2, r2 in sched.running.items():
+                    fparr[slot2] = r2.frequency_penalty
+                    pparr[slot2] = r2.presence_penalty
+                    np.add.at(cnt0[slot2],
+                              np.clip(np.asarray(r2.tokens), 0,
+                                      cfg.vocab_size - 1), 1)
+                pen_arrays = (jnp.asarray(fparr), jnp.asarray(pparr))
+                pen_counts_dev = jnp.asarray(cnt0)
             samp_arrays = None
             if chain_rng and row_overrides:
                 tarr = np.ones(B, np.float32)
@@ -1369,41 +1435,48 @@ class InferenceEngine:
                             jnp.asarray(sls), jnp.asarray(tables), pool,
                             rng)
                         lp_out = None   # logprobs+TP rejected at submit
-                    elif samp_arrays is not None:
-                        # per-request transform: (B,) temperature/top-k/
-                        # greedy arrays, static power-of-two top-k cap
-                        tarr_d, karr_d, garr_d, kcap = samp_arrays
-                        res = gpt2_paged.decode_chunk_paged(
-                            self.params, link_first, jnp.asarray(pos0),
-                            jnp.asarray(pgs), jnp.asarray(sls),
-                            jnp.asarray(tables), pool, cfg,
-                            num_steps=chunk, window=window,
-                            use_kernel=self.use_kernel,
-                            rng_key=jax.random.fold_in(sample_key, link_no),
-                            top_k=kcap, temperature=tarr_d,
-                            k_arr=(karr_d if kcap else None),
-                            greedy_rows=garr_d,
-                            want_logprobs=want_lp)
-                        toks_out, lp_out, pool = (res if want_lp
-                                                  else (*res[:1], None,
-                                                        res[1]))
                     else:
-                        res = gpt2_paged.decode_chunk_paged(
-                            self.params, link_first, jnp.asarray(pos0),
-                            jnp.asarray(pgs), jnp.asarray(sls),
-                            jnp.asarray(tables), pool, cfg,
-                            num_steps=chunk, window=window,
-                            use_kernel=self.use_kernel,
-                            rng_key=(None if not chain_rng else
-                                     jax.random.fold_in(sample_key,
-                                                        link_no)),
-                            top_k=(sampler.top_k if chain_rng else None),
-                            temperature=(sampler.temperature
-                                         if chain_rng else 1.0),
-                            want_logprobs=want_lp)
-                        toks_out, lp_out, pool = (res if want_lp
-                                                  else (*res[:1], None,
-                                                        res[1]))
+                        pen_kw = {}
+                        if pen_arrays is not None:
+                            pen_kw = dict(pen_counts=pen_counts_dev,
+                                          freq_pen=pen_arrays[0],
+                                          pres_pen=pen_arrays[1])
+                        if samp_arrays is not None:
+                            # per-request transform: (B,) temperature/
+                            # top-k/greedy arrays, static pow-2 top-k cap
+                            tarr_d, karr_d, garr_d, kcap = samp_arrays
+                            res = gpt2_paged.decode_chunk_paged(
+                                self.params, link_first, jnp.asarray(pos0),
+                                jnp.asarray(pgs), jnp.asarray(sls),
+                                jnp.asarray(tables), pool, cfg,
+                                num_steps=chunk, window=window,
+                                use_kernel=self.use_kernel,
+                                rng_key=jax.random.fold_in(sample_key,
+                                                           link_no),
+                                top_k=kcap, temperature=tarr_d,
+                                k_arr=(karr_d if kcap else None),
+                                greedy_rows=garr_d,
+                                want_logprobs=want_lp, **pen_kw)
+                        else:
+                            res = gpt2_paged.decode_chunk_paged(
+                                self.params, link_first, jnp.asarray(pos0),
+                                jnp.asarray(pgs), jnp.asarray(sls),
+                                jnp.asarray(tables), pool, cfg,
+                                num_steps=chunk, window=window,
+                                use_kernel=self.use_kernel,
+                                rng_key=(None if not chain_rng else
+                                         jax.random.fold_in(sample_key,
+                                                            link_no)),
+                                top_k=(sampler.top_k if chain_rng
+                                       else None),
+                                temperature=(sampler.temperature
+                                             if chain_rng else 1.0),
+                                want_logprobs=want_lp, **pen_kw)
+                        toks_out, counts_out, lp_out, pool = \
+                            _unpack_chunk(res, pen_arrays is not None,
+                                          want_lp)
+                        if counts_out is not None:
+                            pen_counts_dev = counts_out
                     first_dev = toks_out[-1]
                     pending.append((toks_out, lp_out, stepped))
                     # materialize the deferred prefill picks now that the
@@ -1565,7 +1638,8 @@ class InferenceEngine:
                     step_reqs = [sched.running[s] for s in stepped]
                     step_logits = logits[jnp.asarray(stepped)]
                     t_m0 = time.monotonic()
-                    if any(_has_overrides(r) for r in step_reqs):
+                    if any(_has_overrides(r) or _has_penalties(r)
+                           for r in step_reqs):
                         row_toks = _sample_rows_per_request(
                             sampler, step_logits, step_reqs)
                     else:

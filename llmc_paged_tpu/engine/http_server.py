@@ -100,9 +100,12 @@ def make_handler(serving: ServingEngine, tokenizer=None):
                 plp = req.get("prompt_logprobs", False)
                 if not isinstance(plp, bool):
                     raise ValueError("prompt_logprobs must be a boolean")
+                fp = float(req.get("frequency_penalty", 0.0))
+                pp = float(req.get("presence_penalty", 0.0))
                 samp = {"temperature": temp, "top_k": top_k,
                         "greedy": greedy, "priority": pr, "logprobs": lp,
-                        "prompt_logprobs": plp}
+                        "prompt_logprobs": plp,
+                        "frequency_penalty": fp, "presence_penalty": pp}
             except (KeyError, TypeError, ValueError,
                     json.JSONDecodeError) as e:
                 # TypeError covers type-malformed JSON (body '[1,2]' →

@@ -74,6 +74,14 @@ class Request:
     prompt_logprobs: bool = False
     prompt_logprob_values: List[float] = dataclasses.field(
         default_factory=list)
+    # repetition control (OpenAI-style subtraction, counts over the FULL
+    # context prompt+generated like HF repetition_penalty): the pick is
+    # argmax/sample of logits - frequency_penalty*count
+    # - presence_penalty*(count > 0). Device chains thread a (B, V)
+    # count plane through the scan; logprob_values stay raw-softmax.
+    # Not under spec_k (penalized argmax != the verified raw argmax).
+    frequency_penalty: float = 0.0
+    presence_penalty: float = 0.0
     # abort flag, settable from ANY thread (a plain bool write is atomic
     # under the GIL): the engine notices at its next host-side poll point
     # (iteration top for queued/idle rows, chain materialization for rows

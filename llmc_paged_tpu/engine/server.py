@@ -102,7 +102,9 @@ class ServingEngine:
                top_k: Optional[int] = None,
                greedy: Optional[bool] = None,
                priority: int = 0, logprobs: bool = False,
-               prompt_logprobs: bool = False) -> Future:
+               prompt_logprobs: bool = False,
+               frequency_penalty: float = 0.0,
+               presence_penalty: float = 0.0) -> Future:
         """Enqueue a request; returns a Future resolving to the full token
         list (prompt + generated). Invalid requests (too long for the
         pool / incompatible with the serving mode) fail their OWN future
@@ -126,7 +128,9 @@ class ServingEngine:
                           temperature=temperature, top_k=top_k,
                           greedy=greedy, priority=priority,
                           logprobs=logprobs,
-                          prompt_logprobs=prompt_logprobs)
+                          prompt_logprobs=prompt_logprobs,
+                          frequency_penalty=frequency_penalty,
+                          presence_penalty=presence_penalty)
             fut: Future = Future()
             fut.rid = req.rid                  # handle for cancel(rid)
             fut.request = req   # carries logprob_values after completion
@@ -152,7 +156,9 @@ class ServingEngine:
                       top_k: Optional[int] = None,
                       greedy: Optional[bool] = None,
                       priority: int = 0, logprobs: bool = False,
-                      prompt_logprobs: bool = False):
+                      prompt_logprobs: bool = False,
+                      frequency_penalty: float = 0.0,
+                      presence_penalty: float = 0.0):
         """Streaming twin of submit(): returns an iterator yielding token
         BATCHES (lists) as the engine materializes them — granularity is
         decode-chain links, bounded by EngineConfig.stream_links while any
@@ -174,7 +180,9 @@ class ServingEngine:
                           temperature=temperature, top_k=top_k,
                           greedy=greedy, priority=priority,
                           logprobs=logprobs,
-                          prompt_logprobs=prompt_logprobs)
+                          prompt_logprobs=prompt_logprobs,
+                          frequency_penalty=frequency_penalty,
+                          presence_penalty=presence_penalty)
             self._engine.validate_request(req, self._window)
             req.t_submit = time.monotonic()
             q: "queue.Queue" = queue.Queue()

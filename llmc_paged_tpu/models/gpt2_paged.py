@@ -196,7 +196,10 @@ def decode_chunk_paged(params: gpt2.Params, first_tokens: jax.Array,
                        temperature: float | jax.Array = 1.0,
                        k_arr: jax.Array | None = None,
                        greedy_rows: jax.Array | None = None,
-                       want_logprobs: bool = False
+                       want_logprobs: bool = False,
+                       pen_counts: jax.Array | None = None,
+                       freq_pen: jax.Array | None = None,
+                       pres_pen: jax.Array | None = None
                        ) -> Tuple[jax.Array, PagePool]:
     """K-step decode entirely on device (one host round trip).
 
@@ -229,7 +232,17 @@ def decode_chunk_paged(params: gpt2.Params, first_tokens: jax.Array,
     those rows' argmax instead of the categorical draw. Uniform batches
     keep the scalar/static arguments — identical trace, identical
     tokens. With ``want_logprobs`` returns (tokens, (K, B) f32
-    raw-softmax logprobs of the chosen tokens, pool) instead."""
+    raw-softmax logprobs of the chosen tokens, pool) instead.
+
+    Penalties (engine Request.frequency_penalty/presence_penalty,
+    OpenAI-style but counting the FULL context like HF's
+    repetition_penalty): ``pen_counts`` (B, V) int32 token counts over
+    prompt+generated (host-built at chain start), updated device-side
+    with each pick; the pick is taken from
+    logits - freq_pen*counts - pres_pen*(counts > 0). Logprobs stay
+    RAW-softmax. When active, the final counts are returned after the
+    tokens (before logprobs/pool) so the next chain link can thread
+    them without a host round trip."""
     if rng_key is not None and isinstance(temperature, (int, float)) \
             and temperature == 0:
         # Sampler.__init__ rewrites temperature 0 to greedy before the
@@ -240,7 +253,11 @@ def decode_chunk_paged(params: gpt2.Params, first_tokens: jax.Array,
     active = positions0 >= 0
     safe_pos0 = jnp.where(active, positions0, 0)
 
-    def pick(logits, j):
+    def pick(logits, counts, j):
+        if pen_counts is not None:
+            logits = (logits.astype(jnp.float32)
+                      - freq_pen[:, None] * counts
+                      - pres_pen[:, None] * (counts > 0))
         if rng_key is None:
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
         temp = jnp.asarray(temperature)
@@ -280,7 +297,7 @@ def decode_chunk_paged(params: gpt2.Params, first_tokens: jax.Array,
     lengths_pool = safe_pos0
 
     def step(carry, _):
-        toks, tks, tvs, j = carry
+        toks, tks, tvs, counts, j = carry
         pos = safe_pos0 + j
         wpe_pos = jnp.minimum(pos, window - 1)
         starts = jnp.maximum(0, pos + 1 - window)
@@ -306,7 +323,9 @@ def decode_chunk_paged(params: gpt2.Params, first_tokens: jax.Array,
 
             x = gpt2._block(x, lp, cfg, attend)
         logits = gpt2._logits(x, params, cfg)
-        nxt = pick(logits, j)
+        nxt = pick(logits, counts, j)
+        if pen_counts is not None:
+            counts = counts.at[jnp.arange(B), nxt].add(1)
         if want_logprobs:
             # chosen token's logprob under the RAW softmax (the model's
             # own confidence — independent of the sampling transform)
@@ -315,11 +334,13 @@ def decode_chunk_paged(params: gpt2.Params, first_tokens: jax.Array,
             lp = (jnp.take_along_axis(
                 logits.astype(jnp.float32), nxt[:, None], axis=-1)[:, 0]
                 - lse)
-            return (nxt, tks, tvs, j + 1), (nxt, lp)
-        return (nxt, tks, tvs, j + 1), nxt
+            return (nxt, tks, tvs, counts, j + 1), (nxt, lp)
+        return (nxt, tks, tvs, counts, j + 1), nxt
 
-    (_, tks, tvs, _), out = jax.lax.scan(
-        step, (first_tokens, tk0, tv0, jnp.int32(0)), None,
+    counts0 = (jnp.zeros((), jnp.int32) if pen_counts is None
+               else pen_counts)
+    (_, tks, tvs, counts_fin, _), out = jax.lax.scan(
+        step, (first_tokens, tk0, tv0, counts0, jnp.int32(0)), None,
         length=num_steps)
     if want_logprobs:
         out, logps = out
@@ -338,9 +359,12 @@ def decode_chunk_paged(params: gpt2.Params, first_tokens: jax.Array,
             pool_l = write_layer_kv(*pool.layer(i), rows_k, rows_v,
                                     fpages, fslots)
         pool = pool.with_layer(i, pool_l)
+    ret = (out,)
+    if pen_counts is not None:
+        ret += (counts_fin,)
     if want_logprobs:
-        return out, logps, pool
-    return out, pool
+        ret += (logps,)
+    return ret + (pool,) if len(ret) > 1 else (out, pool)
 
 
 def _ngram_draft(hist: jax.Array, hl: jax.Array, n: int, d: int
