@@ -74,6 +74,12 @@ def test_serving_fuzz_invariants(seed):
             "priority": pyrng.choice([0, 0, 0, 1, 5]),
             "logprobs": pyrng.random() < 0.3,
             "stream": pyrng.random() < 0.3,
+            # penalties / stochastic overrides change the row's OWN
+            # stream (their invariant is length + neighbor stability,
+            # not the greedy prefix), so they opt out of invariant 1/2
+            "penalty": (round(pyrng.uniform(0.2, 1.0), 2)
+                        if pyrng.random() < 0.2 else 0.0),
+            "override": pyrng.random() < 0.15,   # greedy=False via temp
             "cancel_after_s": (pyrng.uniform(0.0, 0.8)
                                if pyrng.random() < 0.2 else None),
         })
@@ -86,11 +92,14 @@ def test_serving_fuzz_invariants(seed):
         handles = {}
         stream_threads = []
         for i, plan in enumerate(plans):
+            kw = dict(stop_tokens=plan["stop"],
+                      priority=plan["priority"],
+                      logprobs=plan["logprobs"],
+                      frequency_penalty=plan["penalty"])
+            if plan["override"]:
+                kw.update(greedy=False, temperature=0.9, top_k=20)
             if plan["stream"]:
-                h = srv.submit_stream(prompts[i], MAX_NEW, rid=i,
-                                      stop_tokens=plan["stop"],
-                                      priority=plan["priority"],
-                                      logprobs=plan["logprobs"])
+                h = srv.submit_stream(prompts[i], MAX_NEW, rid=i, **kw)
                 stream_batches[i] = []
 
                 def drain(h=h, i=i):
@@ -105,10 +114,7 @@ def test_serving_fuzz_invariants(seed):
                 stream_threads.append(t)
                 handles[i] = h
             else:
-                handles[i] = srv.submit(prompts[i], MAX_NEW, rid=i,
-                                        stop_tokens=plan["stop"],
-                                        priority=plan["priority"],
-                                        logprobs=plan["logprobs"])
+                handles[i] = srv.submit(prompts[i], MAX_NEW, rid=i, **kw)
             if plan["cancel_after_s"] is not None:
                 def later(rid=i, delay=plan["cancel_after_s"]):
                     time.sleep(delay)
@@ -141,10 +147,12 @@ def test_serving_fuzz_invariants(seed):
     for i in range(N_REQS):
         r = reqs[i]
         gen = r.generated
+        perturbed = plans[i]["penalty"] or plans[i]["override"]
         # 1) greedy prefix property under ANY truncation cause
-        assert gen == ref[i][: len(gen)], (i, gen, ref[i])
+        if not perturbed:
+            assert gen == ref[i][: len(gen)], (i, gen, ref[i])
         # 2) uncancelled rows end exactly at the first stop id / budget
-        if not r.cancelled:
+        if not r.cancelled and not perturbed:
             stop = plans[i]["stop"]
             hits = [k for k, t in enumerate(ref[i][:MAX_NEW])
                     if stop and t in stop]
