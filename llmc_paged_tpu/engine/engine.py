@@ -664,6 +664,24 @@ class InferenceEngine:
                 return
             sched.submit(r)
 
+        # configuration rejections BEFORE the pool state is touched —
+        # _paged_state() consumes the pool cache (and, under prefix
+        # caching, demotes live sequences), so raising after it would
+        # silently drop hundreds of MB of device state per failed call
+        if page.prefix_cache and self._tp is not None:
+            raise ValueError("prefix_cache under tensor parallelism "
+                             "is not supported yet")
+        if econf.spec_k >= 2:
+            if not sampler.greedy:
+                raise ValueError(
+                    "spec_k requires greedy serving: speculative "
+                    "verification accepts argmax matches; rejection "
+                    "sampling for the stochastic samplers is not "
+                    "implemented")
+            if self._tp is not None:
+                raise ValueError("spec_k under tensor parallelism is not "
+                                 "supported yet")
+
         for r in requests:
             submit_one(r)
 
@@ -706,29 +724,18 @@ class InferenceEngine:
         # sharing of full prompt pages + suffix-only prefill
         prefix_on = page.prefix_cache
         prefix_stats = {"hit_tokens": 0, "hit_pages": 0, "registered": 0}
-        if prefix_on and self._tp is not None:
-            raise ValueError("prefix_cache under tensor parallelism "
-                             "is not supported yet")
-        # (the per-request "window must never activate" checks for
-        # prefix_cache and spec_k live in validate_request: sliding would
-        # make page content position-dependent / change what verify
-        # queries attend mid-stream)
+        # (prefix_cache/spec_k configuration rejections happen BEFORE
+        # _paged_state above; the per-request "window must never
+        # activate" checks for prefix_cache and spec_k live in
+        # validate_request: sliding would make page content
+        # position-dependent / change what verify queries attend
+        # mid-stream)
 
         # Speculative decoding (EngineConfig.spec_k): greedy-exact by
         # construction, so it composes only with configurations whose
         # token stream IS the greedy stream
         use_spec = econf.spec_k >= 2
         spec_stats = {"steps": 0, "accepted": 0}
-        if use_spec:
-            if not sampler.greedy:
-                raise ValueError(
-                    "spec_k requires greedy serving: speculative "
-                    "verification accepts argmax matches; rejection "
-                    "sampling for the stochastic samplers is not "
-                    "implemented")
-            if self._tp is not None:
-                raise ValueError("spec_k under tensor parallelism is not "
-                                 "supported yet")
 
         def requeue_evicted(evicted: List[int], skip_slot: int = -1) -> List[int]:
             preempted = []
@@ -1210,10 +1217,11 @@ class InferenceEngine:
                     progressed = True
                     t_m0 = time.monotonic()
                     # one device→host transfer for the whole chain
-                    all_out = np.asarray(
-                        jnp.stack([o for o, _, _ in pending_spec]))
-                    all_cnt = np.asarray(
-                        jnp.stack([c for _, c, _ in pending_spec]))
+                    # (tokens AND counts in one device_get — sequential
+                    # np.asarray calls would pay two ~60ms round trips)
+                    all_out, all_cnt = jax.device_get(
+                        (jnp.stack([o for o, _, _ in pending_spec]),
+                         jnp.stack([c for _, c, _ in pending_spec])))
                     tacc["materialize"] += time.monotonic() - t_m0
                     committed = {s: 0 for s in pre_len}
                     for li, (_, _, plan) in enumerate(pending_spec):
@@ -1239,7 +1247,18 @@ class InferenceEngine:
                         if sched.running[slot].done:
                             mgr.free_prompt(slot)
                             finish_slot(slot)
-                    continue
+                    # a row still needing tokens but WITHOUT headroom for
+                    # a full S*spec_k reservation can never join a spec
+                    # plan — `continue` here would starve it forever
+                    # while other rows keep the spec chain busy (the
+                    # plain chunk path below adapts its chunk to the
+                    # remaining capacity; spec's TK cannot shrink).
+                    # Fall through for exactly that case.
+                    if not any(
+                            r.max_new_tokens > len(r.generated)
+                            and mgr.seq_len(sl) + TK > page.max_context
+                            for sl, r in sched.running.items()):
+                        continue
                 # spec chain could not run (pool pressure / no headroom):
                 # fall through — the plain chunk chain needs fewer pages
                 # per link, and below it the single-token path handles
@@ -1322,6 +1341,10 @@ class InferenceEngine:
                 # ~60ms of sync per chunk into one sync per chain.
                 ps = page.page_size
                 pending: List = []   # (toks (chunk,B), logprobs|None, [(slot, keep)])
+                # running per-slot sum of pending keeps (kept in lockstep
+                # with `pending` — rescanning it per slot per link made
+                # dispatch O(links^2 * B^2) host work on long chains)
+                pend_counts: Dict[int, int] = {}
                 first_dev = None         # device (B,) — prev chain link output
                 t_cd0 = time.monotonic()
                 while True:
@@ -1330,10 +1353,9 @@ class InferenceEngine:
                     need_pages = 0
                     plan: List[int] = []
                     for slot, req in sched.running.items():
-                        rem = req.max_new_tokens - len(req.generated) \
-                            - dct.get(slot, 0) \
-                            - sum(k for _, _, ks in pending
-                                  for s2, k in ks if s2 == slot)
+                        rem = (req.max_new_tokens - len(req.generated)
+                               - dct.get(slot, 0)
+                               - pend_counts.get(slot, 0))
                         if rem <= 0:
                             continue
                         if window < page.max_context:
@@ -1369,8 +1391,7 @@ class InferenceEngine:
                         req = sched.running[slot]
                         # tokens already produced by earlier links of THIS
                         # chain (req.tokens/generated don't grow mid-chain)
-                        pend_ct = sum(k for _, _, ks in pending
-                                      for s2, k in ks if s2 == slot)
+                        pend_ct = pend_counts.get(slot, 0)
                         segs, evicted = mgr.append_tokens(slot, chunk)
                         if evicted:
                             # data-integrity guard, not a debug assert: an
@@ -1396,6 +1417,7 @@ class InferenceEngine:
                                      - pend_ct - dct.get(slot, 0))
                         keep = min(chunk, remaining)
                         stepped.append((slot, keep))
+                        pend_counts[slot] = pend_counts.get(slot, 0) + keep
                         if remaining <= chunk:
                             will_free = True   # row finishes inside link
                     if econf.debug_checks:
@@ -1721,8 +1743,13 @@ class InferenceEngine:
 
         def one(tag: str, **kw) -> None:
             t0 = time.monotonic()
+            # stop_tokens=[] overrides any engine default: a junk pick
+            # landing on a stop id would finish the request at prefill
+            # and the decode-chunk executable would never compile —
+            # defeating warmup's whole purpose
             self.run([Request(rid=-1, prompt=list(prompt),
-                              max_new_tokens=new, **kw)], window=window)
+                              max_new_tokens=new, stop_tokens=[], **kw)],
+                     window=window)
             timings[tag] = round(time.monotonic() - t0, 3)
 
         one("default")                  # prefill bucket + chunk/step path

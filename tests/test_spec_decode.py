@@ -225,3 +225,44 @@ def test_ngram_draft_unit():
     np.testing.assert_array_equal(d[2], [3, -1, -1])
     # row 3: hl < n+1 -> no draft
     np.testing.assert_array_equal(d[3], [-1, -1, -1])
+
+
+def test_spec_no_starvation_without_reservation_headroom():
+    """A row whose context cannot fit a full S*spec_k reservation can
+    never join a spec plan; it must fall through to the adaptive chunk
+    path in the SAME iterations instead of waiting for every other
+    row's spec chain to finish. With max_context=32 and TK=6, row A
+    (prompt 28, max_new 4) is spec-ineligible from the start; it must
+    finish BEFORE row B's 24-token decode, and both streams must equal
+    plain greedy."""
+    from llmc_paged_tpu.config import EngineConfig
+    from llmc_paged_tpu.engine.engine import InferenceEngine
+    from llmc_paged_tpu.engine.scheduler import Request
+
+    cfg = GPT2Config.tiny(max_seq_len=64, vocab_size=64, num_layers=2,
+                          num_heads=4, channels=32)
+    params = jax.tree.map(
+        np.asarray, gpt2.init_params(cfg, jax.random.PRNGKey(0)))
+    page = PageConfig(page_size=8, num_pages=16, max_seqs=2,
+                      pages_per_seq=4)          # max_context 32
+    rng = np.random.default_rng(3)
+    prompt_a = rng.integers(0, 64, 28).tolist()
+    prompt_b = rng.integers(0, 64, 6).tolist()
+
+    def reqs():
+        return [Request(rid=0, prompt=list(prompt_a), max_new_tokens=4),
+                Request(rid=1, prompt=list(prompt_b), max_new_tokens=24)]
+
+    plain = {r.rid: r.tokens for r in InferenceEngine(
+        params, cfg, EngineConfig(cache_mode="paged", page=page,
+                                  greedy=True, max_batch=2,
+                                  decode_chunk=2)).run(reqs())}
+
+    order = []
+    eng = InferenceEngine(params, cfg, EngineConfig(
+        cache_mode="paged", page=page, greedy=True, max_batch=2,
+        decode_chunk=2, spec_k=3))
+    done = {r.rid: r for r in eng.run(
+        reqs(), on_finish=lambda r: order.append(r.rid))}
+    assert done[0].tokens == plain[0] and done[1].tokens == plain[1]
+    assert order[0] == 0, order     # A finished first, not starved
