@@ -49,6 +49,7 @@ from llmc_paged_tpu.ops.paged_attention import (
     paged_decode_attention_parts_xla,
     paged_decode_attention_quant,
     paged_decode_attention_quant_parts,
+    paged_decode_attention_quant_parts_xla,
     paged_decode_attention_quant_xla,
     paged_decode_attention_xla,
 )
@@ -127,6 +128,23 @@ def decode_step_paged(params: gpt2.Params, tokens: jax.Array,
                         lengths, starts, pool, cfg, use_kernel)
 
 
+def _merge_parts(acc_p, m_p, l_p, acc_t, m_t, l_t, out_dtype):
+    """Combine two unnormalized online-softmax parts — the pool prefix
+    (acc_p, m_p, l_p) and the in-flight tail (acc_t, m_t, l_t) — into
+    normalized attention. The l == 0 guard covers rows where BOTH
+    sources are fully masked (inactive rows); their output is garbage
+    that the caller's masking discards, but it must be finite. This is
+    the one copy of the merge math: the chunk, spec-verify, and
+    suffix-prefill paths all depend on it for exactness."""
+    m = jnp.maximum(m_p, m_t)
+    a_p = jnp.exp(m_p - m)
+    a_t = jnp.exp(m_t - m)
+    l = l_p * a_p + l_t * a_t
+    l = jnp.where(l == 0.0, 1.0, l)
+    att = (acc_p * a_p[..., None] + acc_t * a_t[..., None]) / l[..., None]
+    return att.astype(out_dtype)
+
+
 def _chunk_attention(q, pool_l, tail_k, tail_v, block_tables, lengths_pool,
                      starts, pos0, j, use_kernel: bool, interp: bool,
                      quant: bool):
@@ -171,21 +189,41 @@ def _chunk_attention(q, pool_l, tail_k, tail_v, block_tables, lengths_pool,
     l_t = jnp.sum(p, axis=-1)
     acc_t = jnp.einsum("bhk,kbhd->bhd", p, tail_v.astype(jnp.float32),
                        precision=jax.lax.Precision.HIGHEST)
+    return _merge_parts(acc_p, m_p, l_p, acc_t, m_t, l_t, q.dtype)
 
-    m = jnp.maximum(m_p, m_t)
-    a_p = jnp.exp(m_p - m)
-    a_t = jnp.exp(m_t - m)
-    l = l_p * a_p + l_t * a_t
-    l = jnp.where(l == 0.0, 1.0, l)
-    att = (acc_p * a_p[..., None] + acc_t * a_t[..., None]) / l[..., None]
-    return att.astype(q.dtype)
+
+def decode_chunk_paged(params, first_tokens, positions0, pages, slots,
+                       block_tables, pool, cfg, num_steps, window,
+                       use_kernel=True, rng_key=None, top_k=None,
+                       temperature=1.0, k_arr=None, greedy_rows=None,
+                       want_logprobs=False, pen_counts=None,
+                       freq_pen=None, pres_pen=None):
+    """Public wrapper: argument validation must happen OUTSIDE the jit —
+    inside, an explicitly-passed scalar is a tracer and isinstance
+    checks silently pass (the guard below would be dead code there)."""
+    if rng_key is not None and isinstance(temperature, (int, float)) \
+            and temperature == 0:
+        # Sampler.__init__ rewrites temperature 0 to greedy before the
+        # engine reaches here; a direct caller would get ±inf logits and
+        # arbitrary categorical picks with no error
+        raise ValueError("temperature=0 with device sampling: use greedy "
+                         "(rng_key=None) instead")
+    return _decode_chunk_paged(params, first_tokens, positions0, pages,
+                               slots, block_tables, pool, cfg,
+                               num_steps=num_steps, window=window,
+                               use_kernel=use_kernel, rng_key=rng_key,
+                               top_k=top_k, temperature=temperature,
+                               k_arr=k_arr, greedy_rows=greedy_rows,
+                               want_logprobs=want_logprobs,
+                               pen_counts=pen_counts, freq_pen=freq_pen,
+                               pres_pen=pres_pen)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "use_kernel", "num_steps",
                                     "window", "top_k", "want_logprobs"),
                    donate_argnums=(6,))
-def decode_chunk_paged(params: gpt2.Params, first_tokens: jax.Array,
+def _decode_chunk_paged(params: gpt2.Params, first_tokens: jax.Array,
                        positions0: jax.Array, pages: jax.Array,
                        slots: jax.Array, block_tables: jax.Array,
                        pool: PagePool, cfg: GPT2Config,
@@ -243,13 +281,6 @@ def decode_chunk_paged(params: gpt2.Params, first_tokens: jax.Array,
     RAW-softmax. When active, the final counts are returned after the
     tokens (before logprobs/pool) so the next chain link can thread
     them without a host round trip."""
-    if rng_key is not None and isinstance(temperature, (int, float)) \
-            and temperature == 0:
-        # Sampler.__init__ rewrites temperature 0 to greedy before the
-        # engine reaches here; a direct caller would get ±inf logits and
-        # arbitrary categorical picks with no error — fail at trace time
-        raise ValueError("temperature=0 with device sampling: use greedy "
-                         "(rng_key=None) instead")
     active = positions0 >= 0
     safe_pos0 = jnp.where(active, positions0, 0)
 
@@ -261,7 +292,12 @@ def decode_chunk_paged(params: gpt2.Params, first_tokens: jax.Array,
         if rng_key is None:
             return jnp.argmax(logits, axis=-1).astype(jnp.int32)
         temp = jnp.asarray(temperature)
-        lg = logits / (temp[:, None] if temp.ndim == 1 else temp)
+        # f32 throughout sampling: bf16 serving logits would otherwise
+        # stay bf16 through the temperature divide AND give categorical
+        # 8-mantissa-bit Gumbel noise (the penalty/per-row paths are
+        # already f32 — uniform batches must sample the same way)
+        lg = (logits.astype(jnp.float32)
+              / (temp[:, None] if temp.ndim == 1 else temp))
         if top_k is not None and 0 < top_k < lg.shape[-1]:
             vals = jax.lax.top_k(lg, top_k)[0]           # (B, top_k)
             if k_arr is None:
@@ -440,14 +476,7 @@ def _spec_tail_attention(q, pool_l, tail_k, tail_v, block_tables, pos0,
     l_t = jnp.sum(p, axis=-1)
     acc_t = jnp.einsum("bqhk,kbhd->bqhd", p, tail_v.astype(jnp.float32),
                        precision=jax.lax.Precision.HIGHEST)
-
-    m = jnp.maximum(m_p, m_t)
-    a_p = jnp.exp(m_p - m)
-    a_t = jnp.exp(m_t - m)
-    l = l_p * a_p + l_t * a_t
-    l = jnp.where(l == 0.0, 1.0, l)
-    att = (acc_p * a_p[..., None] + acc_t * a_t[..., None]) / l[..., None]
-    return att.astype(q.dtype)
+    return _merge_parts(acc_p, m_p, l_p, acc_t, m_t, l_t, q.dtype)
 
 
 @functools.partial(jax.jit,
@@ -534,8 +563,13 @@ def decode_chunk_spec(params: gpt2.Params, first_tokens: jax.Array,
         lead = jnp.cumprod((o[:, :-1] == drafts).astype(jnp.int32), axis=1)
         a = jnp.where(active, 1 + jnp.sum(lead, axis=1), 0)  # (B,)
         # append all K outputs at hl (stale entries beyond hl+a are
-        # overwritten by the next step before any masked read sees them)
-        hidx = hl[:, None] + karange[None, :]
+        # overwritten by the next step before any masked read sees them);
+        # INACTIVE rows (hl pinned at 0) must not write at all — their
+        # returned history is a device carry a caller may thread, and an
+        # unguarded write would clobber its first K entries every step
+        hidx = jnp.where(active[:, None],
+                         hl[:, None] + karange[None, :],
+                         hist.shape[1])          # out of range -> dropped
         hist = hist.at[barange[:, None], hidx].set(o, mode="drop")
         nxt = jnp.take_along_axis(
             o, jnp.maximum(a - 1, 0)[:, None], axis=1)[:, 0]

@@ -424,3 +424,24 @@ def test_spec_invalid_configs_rejected(setup):
                     window=16)
     plain = make_engine(cfg, params, "paged").generate(prompt, 4, window=16)
     assert done[0].tokens == plain
+
+
+def test_int8_kv_no_kernel_chunked_matches_kernel(setup):
+    """INT8 KV pages through the XLA-fallback attention (use_kernel=
+    False) in CHUNKED decode: this trace was unreachable dead code with
+    a missing import until round 3 — no test drove quant + no-kernel
+    through decode_chunk_paged. Tokens must equal the kernel path's."""
+    cfg, params, stream = setup
+    page = PageConfig(page_size=8, num_pages=64, max_seqs=4,
+                      pages_per_seq=8, kv_dtype="int8")
+    prompts = [stream[i * 8:(i + 1) * 8].tolist() for i in range(3)]
+
+    def run(use_kernel):
+        econf = EngineConfig(cache_mode="paged", page=page, greedy=True,
+                             max_batch=4, decode_chunk=4)
+        eng = InferenceEngine(params, cfg, econf, use_kernel=use_kernel)
+        done = eng.run([Request(rid=i, prompt=list(p), max_new_tokens=12)
+                        for i, p in enumerate(prompts)])
+        return {r.rid: r.tokens for r in done}
+
+    assert run(False) == run(True)
