@@ -165,13 +165,21 @@ struct PrefixManager : Manager {
     }
 
     bool reclaim_cached() {
+        // deepest chain page first (longest key), LRU among equal depths
+        // — mirrors the Python model: head-first reclaim would strand
+        // every descendant page while killing the chain's matchability
         int32_t victim = -1;
-        int64_t bound = lru_epoch + 1;
+        int64_t best_depth = -1;
+        int64_t best_lru = 0;
         for (int32_t i = 0; i < num_pages; i++) {
-            if (holders[i].empty() && !keys[i].empty() &&
-                pages[i].lru_counter < bound) {
-                bound = pages[i].lru_counter;
-                victim = i;
+            if (holders[i].empty() && !keys[i].empty()) {
+                int64_t d = (int64_t)keys[i].size();
+                if (d > best_depth ||
+                    (d == best_depth && pages[i].lru_counter < best_lru)) {
+                    best_depth = d;
+                    best_lru = pages[i].lru_counter;
+                    victim = i;
+                }
             }
         }
         if (victim == -1) return false;

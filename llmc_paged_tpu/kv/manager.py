@@ -160,7 +160,18 @@ class BlockManager:
         below `start_pos`; the table entry becomes a -1 tombstone so later
         positions keep their absolute table index (the kernel never reads
         a wholly-below-window page: its (i+1)*ps > start guard masks it).
-        Returns the number of pages freed."""
+        Returns the number of pages freed. start_pos must lie inside the
+        live sequence: releasing AT or beyond seq_len would tombstone the
+        LAST page too, after which get_current_block returns -1 and an
+        append would dereference pages[-1] — another sequence's metadata
+        — and scatter into its device page (silent corruption). The
+        engine always passes start < seq_len; this guard makes the
+        contract explicit instead of implicit."""
+        if start_pos >= self.seq_len(prompt_id):
+            raise ValueError(
+                f"release_below({start_pos}) >= seq_len"
+                f" {self.seq_len(prompt_id)} would tombstone the live "
+                "tail page")
         table = self.tables.get(prompt_id, [])
         freed = 0
         for j in range(min(start_pos // self.page_size, len(table))):
@@ -228,12 +239,22 @@ class BlockManager:
         prompts). If the pool is exhausted mid-append or the requesting
         prompt evicts itself, returns ([], evicted) — the caller must treat
         the sequence as preempted and free_prompt() it (the engine's
-        preemption path does exactly that)."""
+        preemption path does exactly that). n must be positive: a zero
+        append would be indistinguishable from that preemption signal."""
+        if n <= 0:
+            raise ValueError(f"append_tokens needs n >= 1, got {n} "
+                             "(an empty append would read as preemption)")
         segments: List[Segment] = []
         evicted: List[int] = []
         remaining = n
         while remaining > 0:
             cur = self.get_current_block(prompt_id)
+            if cur is not None and cur < 0:
+                # all pages tombstoned (release_below misuse slipped
+                # through): pages[-1] would be another sequence's page
+                raise RuntimeError(
+                    f"append into prompt {prompt_id} whose table is all "
+                    "tombstones — release_below contract violated")
             if cur is None or self.pages[cur].filled >= self.page_size:
                 cur, ev = self.request_block(prompt_id)
                 evicted.extend(ev)
@@ -337,8 +358,13 @@ class PrefixCachingBlockManager(BlockManager):
         if self.tables.get(prompt_id):
             raise ValueError(f"adopt() on non-empty prompt {prompt_id}")
         for pid in page_ids:
-            assert self.hashes[pid] is not None \
-                and self.pages[pid].filled == self.page_size, pid
+            if self.hashes[pid] is None or \
+                    self.pages[pid].filled != self.page_size:
+                # data-integrity guard, not a debug assert (must hold
+                # under python -O): adopting a reclaimed/partial page
+                # would shift position accounting and attend garbage KV
+                raise ValueError(f"adopt: page {pid} is not a published "
+                                 "full prefix page")
             self.holders[pid].add(prompt_id)
             self.lru_epoch += 1
             self.pages[pid].lru_counter = self.lru_epoch
@@ -375,13 +401,21 @@ class PrefixCachingBlockManager(BlockManager):
                      if not self.holders[i] and self.hashes[i] is None), -1)
 
     def _reclaim_cached(self) -> bool:
-        """Drop the LRU cached (holderless, hashed) page back to FREE."""
-        victim, bound = -1, self.lru_epoch + 1
+        """Drop one cached (holderless, hashed) page back to FREE —
+        DEEPEST chain page first (longest content key), LRU among equal
+        depths. Head-first (plain LRU) reclaim would be pathological:
+        page 0 of a chain always has the lowest counter (adoption touches
+        ascending), yet dropping it makes every descendant unreachable by
+        match_prefix while still occupying the pool — maximum lost hits,
+        minimum freed value. Tail-first keeps the chain's head prefix
+        matchable."""
+        victim, best = -1, None
         for i in range(self.num_pages):
-            if not self.holders[i] and self.hashes[i] is not None \
-                    and self.pages[i].lru_counter < bound:
-                bound = self.pages[i].lru_counter
-                victim = i
+            if not self.holders[i] and self.hashes[i] is not None:
+                rank = (-len(self.hashes[i]), self.pages[i].lru_counter)
+                if best is None or rank < best:
+                    best = rank
+                    victim = i
         if victim == -1:
             return False
         del self.cache[self.hashes[victim]]

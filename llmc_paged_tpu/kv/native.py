@@ -154,6 +154,14 @@ class NativeBlockManager:
         self._lib.bm_free_prompt(self._h, prompt_id)
 
     def release_below(self, prompt_id: int, start_pos: int) -> int:
+        if start_pos >= self.seq_len(prompt_id):
+            # same contract as the Python model: releasing at/beyond
+            # seq_len would tombstone the live tail page (see
+            # kv/manager.py release_below)
+            raise ValueError(
+                f"release_below({start_pos}) >= seq_len"
+                f" {self.seq_len(prompt_id)} would tombstone the live "
+                "tail page")
         n = self._lib.bm_release_below(self._h, prompt_id, start_pos)
         assert n >= 0
         return n
@@ -180,6 +188,11 @@ class NativeBlockManager:
     def append_tokens(self, prompt_id: int, n: int
                       ) -> Tuple[List[Segment], List[int]]:
         self._check_prompt(prompt_id)
+        if n <= 0:
+            # same contract as the Python model: a zero append would be
+            # indistinguishable from the preemption signal ([], evicted)
+            raise ValueError(f"append_tokens needs n >= 1, got {n} "
+                             "(an empty append would read as preemption)")
         cap = n // self.page_size + 2
         pages = (ctypes.c_int32 * cap)()
         offsets = (ctypes.c_int32 * cap)()

@@ -72,8 +72,7 @@ def test_lru_eviction_whole_prompt():
     for m in both_managers(num_pages=4, page_size=2, max_seqs=5):
         m.append_tokens(0, 4)   # prompt 0 owns pages 0,1
         m.append_tokens(1, 4)   # prompt 1 owns pages 2,3 — pool now full
-        m.append_tokens(1, 0)
-        # touch prompt 1 so prompt 0 is LRU
+        # prompt 0's pages carry the lowest LRU counters (allocated first)
         segs, ev = m.append_tokens(2, 2)
         assert ev == [0], "prompt 0 (LRU) should be evicted wholesale"
         assert m.block_table(0) == []

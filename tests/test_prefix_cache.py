@@ -99,6 +99,29 @@ def test_manager_cached_reclaim_and_shared_eviction():
     assert mgr.holders[shared] == {2, 3}    # shared page survived
 
 
+def test_manager_reclaim_is_tail_first():
+    """Pool pressure reclaims the DEEPEST cached chain page first: the
+    chain's head prefix stays matchable (head-first reclaim would strand
+    every descendant while killing all future hits)."""
+    mgr = PrefixCachingBlockManager(num_pages=4, page_size=4, max_seqs=4)
+    toks = list(range(12))                   # exactly 3 full pages
+    _fill(mgr, 0, 12)
+    assert mgr.register_prompt(0, toks) == 3
+    chain = mgr.match_prefix(toks)
+    mgr.free_prompt(0)                       # all 3 demote to cache
+    assert mgr.num_cached() == 3
+    # pressure: page 4 is free, so appending 8 tokens (2 pages) takes it
+    # plus ONE reclaim — which must be the DEEPEST cached page
+    assert mgr.append_tokens(1, 8)[0]
+    assert mgr.match_prefix(toks) == chain[:2], \
+        "tail page reclaims first; the head prefix stays matchable"
+    assert mgr.num_cached() == 2
+    assert mgr.append_tokens(2, 4)[0]        # next reclaim: next-deepest
+    assert mgr.match_prefix(toks) == chain[:1], \
+        "head page must survive tail-first reclaim"
+    assert mgr.num_cached() == 1
+
+
 def test_manager_guards():
     mgr = PrefixCachingBlockManager(num_pages=8, page_size=4, max_seqs=8)
     toks = [1, 2, 3, 4]

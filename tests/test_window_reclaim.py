@@ -51,13 +51,19 @@ def test_python_and_native_release_agree():
         mgr.append_tokens(0, 10)
         mgr.append_tokens(1, 6)
         mgr.append_tokens(0, 3)
-    for start in (4, 8, 13):
+    for start in (4, 8, 12):
         assert py.release_below(0, start) == nat.release_below(0, start)
         assert py.block_table(0) == nat.block_table(0)
         assert py.seq_len(0) == nat.seq_len(0)
         assert py.num_free() == nat.num_free()
         np.testing.assert_array_equal(py.block_table_array(0, 8),
                                       nat.block_table_array(0, 8))
+    # releasing AT/beyond seq_len would tombstone the live tail page —
+    # the next append would dereference pages[-1] (another sequence's
+    # page) and scatter into it; both implementations must refuse
+    for mgr in (py, nat):
+        with pytest.raises(ValueError, match="tail page"):
+            mgr.release_below(0, 13)
 
 
 @pytest.fixture(scope="module")
