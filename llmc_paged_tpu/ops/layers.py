@@ -135,6 +135,10 @@ def decode_attention(q: jax.Array, k_cache: jax.Array, v_cache: jax.Array,
     neg = jnp.asarray(jnp.finfo(scores.dtype).min, dtype=scores.dtype)
     scores = jnp.where(valid, scores, neg)
     probs = jax.nn.softmax(scores, axis=-1)
+    # a FULLY-masked row (start >= length) softmaxes to uniform over the
+    # masked positions — zero it instead of averaging garbage V rows
+    # (matches the parts kernels' l = 0 contract for such rows)
+    probs = jnp.where(valid, probs, 0.0)
     return jnp.einsum("bhk,bhkd->bhd", probs, v_cache, precision=precision)
 
 

@@ -23,7 +23,12 @@ LAB variants (_grid suffix): the original grid-(B, pages_per_seq)
 pipelined kernels — one page per grid step via scalar-prefetched
 index maps. Measured ~10x off streaming rate at 1.5B (fixed per-grid-step
 overhead on ~200KB payloads + all-table-entry fetches); kept as the
-fallback for page sizes below 128 and as the measured design record.
+measured design record and as the ps<128 fallback of the NORMALIZED
+wrappers (paged_decode_attention[_quant]). The PARTS entry points —
+what serving's chunk path uses — fall back to the XLA gather oracle for
+ps % 128 != 0 instead: correctness configs (page_size=32 reference
+parity) pay the gather copy there, so serving page sizes should stay
+multiples of 128.
 
 Tensor parallelism shards heads (pool axis 1); shard_map hands each shard
 its local heads and every kernel runs unchanged.
@@ -56,6 +61,28 @@ def _variant() -> str:
     `jax.clear_caches()`. Callers that flip mid-process (bench fallback,
     probe sweeps, tests) must clear; fresh processes just set the env."""
     return os.environ.get("LLMC_ATTN_VARIANT", "flat")
+
+# The flat kernel's SMEM schedule scratch holds B*pages_per_seq int32
+# entries; Mosaic SMEM allocation is limited, and exceeding it fails at
+# COMPILE time (first request after deployment). Past this limit the
+# dispatchers keep the (B,)-grid kernel / XLA-mq paths, which need no
+# schedule. 4096 entries = 16KB — conservative for Mosaic SMEM.
+_FLAT_SMEM_SCHED_LIMIT = 4096
+
+
+def _flat_ok(B: int, pages_per_seq: int) -> bool:
+    return (_variant() == "flat"
+            and B * pages_per_seq <= _FLAT_SMEM_SCHED_LIMIT)
+
+
+def _scale_dma() -> bool:
+    """Opt-in per-page scale-DMA stream for the int8 kernels (hardware-
+    unverified Mosaic alignment — see the kernel comments). Parsed, not
+    truthiness: bool(os.environ.get(...)) turned LLMC_ATTN_SCALE_DMA=0
+    into ENABLED. Same jit-cache staleness caveat as _variant()."""
+    return os.environ.get("LLMC_ATTN_SCALE_DMA", "") \
+        not in ("", "0", "false", "False")
+
 
 def _flat_nbuf() -> int:
     """Ring depth of the flat kernel's global DMA pipeline: NBUF page
@@ -158,6 +185,12 @@ def _flash_decode_dma_kernel(
         m_cur = jnp.max(scores, axis=1, keepdims=True)
         m_new = jnp.maximum(m, m_cur)
         p = jnp.exp(scores - m_new)
+        # fully-masked page: every score NEG_INF makes
+        # m_new NEG_INF and exp(0)=1 claim the page's whole
+        # mass (l += ps, acc += garbage v). Zero those
+        # lanes — the parts contract is l = VALID mass
+        # (the XLA oracle's jnp.where(valid, exp, 0)).
+        p = jnp.where(scores > NEG_INF * 0.5, p, 0.0)
         alpha = jnp.exp(m - m_new)
         l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
         pv = jax.lax.dot_general(
@@ -248,6 +281,12 @@ def _flash_decode_dma_quant_kernel(
         m_cur = jnp.max(scores, axis=1, keepdims=True)
         m_new = jnp.maximum(m, m_cur)
         p = jnp.exp(scores - m_new)
+        # fully-masked page: every score NEG_INF makes
+        # m_new NEG_INF and exp(0)=1 claim the page's whole
+        # mass (l += ps, acc += garbage v). Zero those
+        # lanes — the parts contract is l = VALID mass
+        # (the XLA oracle's jnp.where(valid, exp, 0)).
+        p = jnp.where(scores > NEG_INF * 0.5, p, 0.0)
         alpha = jnp.exp(m - m_new)
         l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
         pv = jax.lax.dot_general(
@@ -404,6 +443,12 @@ def _make_flash_decode_flat_kernel(B: int, quant: bool,
                 m_cur = jnp.max(scores, axis=1, keepdims=True)
                 m_new = jnp.maximum(m, m_cur)
                 p = jnp.exp(scores - m_new)
+                # fully-masked page: every score NEG_INF makes
+                # m_new NEG_INF and exp(0)=1 claim the page's whole
+                # mass (l += ps, acc += garbage v). Zero those
+                # lanes — the parts contract is l = VALID mass
+                # (the XLA oracle's jnp.where(valid, exp, 0)).
+                p = jnp.where(scores > NEG_INF * 0.5, p, 0.0)
                 alpha = jnp.exp(m - m_new)
                 l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
                 pv = jax.lax.dot_general(
@@ -439,7 +484,7 @@ def _flat_parts_call(q, k_pages, v_pages, block_tables, lengths, starts,
         pl.BlockSpec(memory_space=pltpu.HBM),
     ]
     operands = [q, k_pages, v_pages]
-    scale_dma = bool(os.environ.get("LLMC_ATTN_SCALE_DMA"))
+    scale_dma = _scale_dma()
     if quant:
         in_specs += ([pl.BlockSpec(memory_space=pltpu.HBM)] * 2
                      if scale_dma else
@@ -468,6 +513,11 @@ def _flat_parts_call(q, k_pages, v_pages, block_tables, lengths, starts,
     )
     kv_bytes = 2 * B * NH * pages_per_seq * ps * HS \
         * jnp.dtype(k_pages.dtype).itemsize
+    if quant and not scale_dma:
+        # the whole (P, NH, ps) f32 scale arrays are pipeline-copied
+        # HBM->VMEM per call — real traffic the scheduler should see
+        # (the scale_dma ring streams O(NBUF) pages instead)
+        kv_bytes += 2 * P * NH * ps * 4
     acc, m, l = pl.pallas_call(
         _make_flash_decode_flat_kernel(B, quant, scale_dma),
         grid_spec=grid_spec,
@@ -603,6 +653,12 @@ def _make_flash_decode_flat_mq_kernel(B: int, KQ: int, quant: bool,
                 m_cur = jnp.max(scores, axis=2, keepdims=True)
                 m_new = jnp.maximum(m, m_cur)         # (NH, KQ, 1)
                 p = jnp.exp(scores - m_new)
+                # fully-masked page: every score NEG_INF makes
+                # m_new NEG_INF and exp(0)=1 claim the page's whole
+                # mass (l += ps, acc += garbage v). Zero those
+                # lanes — the parts contract is l = VALID mass
+                # (the XLA oracle's jnp.where(valid, exp, 0)).
+                p = jnp.where(scores > NEG_INF * 0.5, p, 0.0)
                 alpha = jnp.exp(m - m_new)
                 l_new = l * alpha + jnp.sum(p, axis=2, keepdims=True)
                 pv = jax.lax.dot_general(
@@ -638,7 +694,7 @@ def _flat_parts_mq_call(q, k_pages, v_pages, block_tables, lengths, starts,
         pl.BlockSpec(memory_space=pltpu.HBM),
     ]
     operands = [q, k_pages, v_pages]
-    scale_dma = bool(os.environ.get("LLMC_ATTN_SCALE_DMA"))
+    scale_dma = _scale_dma()
     if quant:
         in_specs += ([pl.BlockSpec(memory_space=pltpu.HBM)] * 2
                      if scale_dma else
@@ -667,6 +723,11 @@ def _flat_parts_mq_call(q, k_pages, v_pages, block_tables, lengths, starts,
     )
     kv_bytes = 2 * B * NH * pages_per_seq * ps * HS \
         * jnp.dtype(k_pages.dtype).itemsize
+    if quant and not scale_dma:
+        # the whole (P, NH, ps) f32 scale arrays are pipeline-copied
+        # HBM->VMEM per call — real traffic the scheduler should see
+        # (the scale_dma ring streams O(NBUF) pages instead)
+        kv_bytes += 2 * P * NH * ps * 4
     acc, m, l = pl.pallas_call(
         _make_flash_decode_flat_mq_kernel(B, KQ, quant, scale_dma),
         grid_spec=grid_spec,
@@ -700,7 +761,7 @@ def paged_decode_attention_parts_mq(q: jax.Array, k_pages: jax.Array,
     if starts is None:
         starts = jnp.zeros_like(lengths)
     ps = k_pages.shape[3]
-    if ps % 128 != 0 or _variant() != "flat":
+    if ps % 128 != 0 or not _flat_ok(B, block_tables.shape[1]):
         return paged_decode_attention_parts_mq_xla(
             q, k_pages, v_pages, block_tables, lengths, starts)
     return _flat_parts_mq_call(q, k_pages, v_pages, block_tables, lengths,
@@ -722,8 +783,8 @@ def paged_decode_attention_quant_parts_mq(q: jax.Array, k_pages: jax.Array,
     if starts is None:
         starts = jnp.zeros_like(lengths)
     scale_dma_ok = (_variant() == "flat"
-                    and bool(os.environ.get("LLMC_ATTN_SCALE_DMA")))
-    if ps % 128 != 0 or _variant() != "flat" or \
+                    and _scale_dma())
+    if ps % 128 != 0 or not _flat_ok(B, block_tables.shape[1]) or \
             (not scale_dma_ok
              and 2 * P * NH * ps * 4 > _SCALE_VMEM_BUDGET_BYTES):
         return paged_decode_attention_quant_parts_mq_xla(
@@ -781,7 +842,13 @@ def _paged_decode_kernel(
         m_prev, l_prev = m_ref[...], l_ref[...]
         m_cur = jnp.max(scores, axis=1, keepdims=True)       # (NH, 1)
         m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(scores - m_new)                           # (NH, ps)
+        p = jnp.exp(scores - m_new)
+        # fully-masked page: every score NEG_INF makes
+        # m_new NEG_INF and exp(0)=1 claim the page's whole
+        # mass (l += ps, acc += garbage v). Zero those
+        # lanes — the parts contract is l = VALID mass
+        # (the XLA oracle's jnp.where(valid, exp, 0)).
+        p = jnp.where(scores > NEG_INF * 0.5, p, 0.0)                           # (NH, ps)
         alpha = jnp.exp(m_prev - m_new)                       # (NH, 1)
         l_ref[...] = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
         pv = jax.lax.dot_general(
@@ -832,7 +899,7 @@ def paged_decode_attention_parts(q: jax.Array, k_pages: jax.Array,
         return paged_decode_attention_parts_xla(q, k_pages, v_pages,
                                                 block_tables, lengths,
                                                 starts)
-    if _variant() == "flat":
+    if _flat_ok(B, pages_per_seq):
         return _flat_parts_call(q, k_pages, v_pages, block_tables, lengths,
                                 starts, None, interpret)
 
@@ -997,6 +1064,12 @@ def _paged_decode_quant_kernel(
         m_prev, l_prev = m_ref[...], l_ref[...]
         m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
         p = jnp.exp(scores - m_new)
+        # fully-masked page: every score NEG_INF makes
+        # m_new NEG_INF and exp(0)=1 claim the page's whole
+        # mass (l += ps, acc += garbage v). Zero those
+        # lanes — the parts contract is l = VALID mass
+        # (the XLA oracle's jnp.where(valid, exp, 0)).
+        p = jnp.where(scores > NEG_INF * 0.5, p, 0.0)
         alpha = jnp.exp(m_prev - m_new)
         l_ref[...] = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
         pv = jax.lax.dot_general(
@@ -1043,13 +1116,13 @@ def paged_decode_attention_quant_parts(q: jax.Array, k_pages: jax.Array,
     # static decision) — unless LLMC_ATTN_SCALE_DMA streams per-page
     # scales through the flat kernel's ring (O(NBUF) VMEM, no limit).
     scale_dma_ok = (_variant() == "flat"
-                    and bool(os.environ.get("LLMC_ATTN_SCALE_DMA")))
+                    and _scale_dma())
     if not scale_dma_ok and \
             2 * P * NH * ps * 4 > _SCALE_VMEM_BUDGET_BYTES:
         return paged_decode_attention_quant_parts_xla(
             q, k_pages, v_pages, k_scale, v_scale, block_tables, lengths,
             starts)
-    if _variant() == "flat":
+    if _flat_ok(B, block_tables.shape[1]):
         return _flat_parts_call(q, k_pages, v_pages, block_tables, lengths,
                                 starts, (k_scale, v_scale), interpret)
 

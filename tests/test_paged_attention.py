@@ -421,3 +421,85 @@ def test_write_kv_full_matches_per_layer():
         for other in range(Lk):
             if other != layer:
                 assert not np.asarray(got.k[other]).any()
+
+
+def test_fully_masked_page_yields_zero_parts():
+    """start >= length (in-contract: the chunk path passes starts =
+    pos+1-window which can exceed lengths_pool when an in-chunk step
+    slides past the whole pool prefix): the parts must report l = 0 /
+    acc = 0 — NOT exp(NEG_INF - NEG_INF) = 1 claiming the whole page's
+    mass — exactly like the XLA oracle, for every kernel variant."""
+    from llmc_paged_tpu.kv.layouts import quantize_pages
+    from llmc_paged_tpu.ops.paged_attention import (
+        paged_decode_attention_parts, paged_decode_attention_parts_xla,
+        paged_decode_attention_parts_mq, paged_decode_attention_parts_mq_xla,
+        paged_decode_attention_quant_parts,
+        paged_decode_attention_quant_parts_xla)
+
+    ps, P, pps = 128, 14, 4
+    q, k, v, tables, rng = rand_case(P=P, ps=ps, pps=pps)
+    # row 0: start beyond length INSIDE the last live page (the defect
+    # case); row 1: start == length exactly; row 2: healthy window
+    lengths = jnp.asarray(np.array([5, ps + 3, 3 * ps], np.int32))
+    starts = jnp.asarray(np.array([7, ps + 3, ps], np.int32))
+
+    for impl, oracle, args in (
+        (paged_decode_attention_parts, paged_decode_attention_parts_xla,
+         (q, k, v, tables, lengths, starts)),
+    ):
+        got = impl(*args, interpret=INTERP)
+        ref = oracle(*args)
+        for g, r, name in zip(got, ref, ("acc", "m", "l")):
+            np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                       rtol=1e-5, atol=1e-5,
+                                       err_msg=name)
+        # the contract itself: masked-out rows carry ZERO mass
+        assert float(np.asarray(got[2])[0].max()) == 0.0
+        assert float(np.abs(np.asarray(got[0])[0]).max()) == 0.0
+
+    kq, ks = quantize_pages(k)
+    vq, vs = quantize_pages(v)
+    gotq = paged_decode_attention_quant_parts(
+        q, kq, vq, ks, vs, tables, lengths, starts, interpret=INTERP)
+    refq = paged_decode_attention_quant_parts_xla(
+        q, kq, vq, ks, vs, tables, lengths, starts)
+    for g, r, name in zip(gotq, refq, ("acc", "m", "l")):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-5, atol=2e-5, err_msg=name)
+    assert float(np.asarray(gotq[2])[0].max()) == 0.0
+
+    # multi-query variant (spec verify / suffix prefill path)
+    qmq = jnp.asarray(rng.standard_normal((3, 2, 4, 64), dtype=np.float32))
+    gmq = paged_decode_attention_parts_mq(qmq, k, v, tables, lengths,
+                                          starts, interpret=INTERP)
+    rmq = paged_decode_attention_parts_mq_xla(qmq, k, v, tables, lengths,
+                                              starts)
+    for g, r, name in zip(gmq, rmq, ("acc", "m", "l")):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   rtol=1e-5, atol=1e-5, err_msg=name)
+    assert float(np.asarray(gmq[2])[0].max()) == 0.0
+
+
+def test_fully_masked_page_grid_kernel_normalized():
+    """Same defect case through the ps<128 GRID kernels' normalized
+    wrappers: a start >= length row must return zeros, not the mean of
+    garbage V rows."""
+    from llmc_paged_tpu.kv.layouts import quantize_pages
+    from llmc_paged_tpu.ops.paged_attention import (
+        paged_decode_attention_grid, paged_decode_attention_quant_grid)
+
+    ps, P = 8, 16
+    q, k, v, tables, _ = rand_case(P=P, ps=ps)
+    lengths = jnp.asarray(np.array([5, 2 * ps + 1, 4 * ps], np.int32))
+    starts = jnp.asarray(np.array([7, 0, 2 * ps], np.int32))
+    out = np.asarray(paged_decode_attention_grid(
+        q, k, v, tables, lengths, starts, interpret=INTERP))
+    ref = np.asarray(paged_decode_attention_xla(
+        q, k, v, tables, lengths, starts))
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-5)
+    assert np.abs(out[0]).max() == 0.0
+    kq, ks = quantize_pages(k)
+    vq, vs = quantize_pages(v)
+    outq = np.asarray(paged_decode_attention_quant_grid(
+        q, kq, vq, ks, vs, tables, lengths, starts, interpret=INTERP))
+    assert np.abs(outq[0]).max() == 0.0
