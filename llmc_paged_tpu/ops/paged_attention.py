@@ -5,7 +5,8 @@ block table (collect_kv_blocks, block_manager.c:165-201), walk pages with
 pointer arithmetic (attention_paged, paged_infer.c:163-240), and a 4-pass
 softmax — as a single flash-decode pass over non-contiguous KV pages.
 
-SERVING kernels (_flash_decode_dma_*): grid (B,); each program walks only
+GRIDB serving kernels (_make_flash_decode_gridb_kernel): grid (B,);
+each program walks only
 its sequence's LIVE page range [start//ps, (length-1)//ps] with manual
 double-buffered pltpu.make_async_copy from the HBM pool (no materialised
 contiguous copy — the copy the reference itself flags as the thing to
@@ -99,212 +100,119 @@ def _flat_nbuf() -> int:
 _SCALE_VMEM_BUDGET_BYTES = 32 * 1024 * 1024
 
 
-def _flash_decode_dma_kernel(
-    # scalar prefetch
-    lengths_ref, starts_ref, tables_ref,
-    # blocks
-    q_ref,            # (1, NH, HS) VMEM
-    k_hbm,            # (P, NH, HS, ps) — stays in HBM
-    v_hbm,
-    out_ref,          # (1, NH, HS) VMEM — UNNORMALIZED accumulator
-    m_out,            # (1, NH, 1) running max
-    l_out,            # (1, NH, 1) running sum
-    # scratch
-    kbuf,             # (2, NH, HS, ps) VMEM — double buffer
-    vbuf,
-    sems,             # DMA semaphores (2 slots, 2 streams)
-):
-    """Flash decode over paged KV with a MANUAL double-buffered DMA loop.
-
-    The original kernel (_paged_decode_kernel below, kept as the
-    interpret-mode/lab variant) grids over (B, pages_per_seq) and lets the
-    Mosaic pipeline fetch one page per grid step. Measured at 1.5B that
-    costs ~135us/layer — 10x off the chip's ~600GB/s streaming rate —
-    because (a) every grid step carries fixed pipeline overhead for only
-    ~200KB of payload and (b) ALL pages_per_seq table entries are fetched
-    even when the sequence occupies a fraction of them. Here the grid is
-    (B,) and the kernel itself walks ONLY the live page range
-    [start//ps, (length-1)//ps] with pltpu.make_async_copy double
-    buffering, so dead pages are never touched and per-page overhead is a
-    semaphore wait (pallas_guide.md 'Patterns: Double Buffering').
+def _make_flash_decode_gridb_kernel(quant: bool):
+    """Build the (B,)-grid flash-decode kernel (round-2 serving variant,
+    now the fallback behind the flat kernel): one Mosaic program per
+    sequence walks ONLY the live page range [start//ps, (length-1)//ps]
+    with pltpu.make_async_copy double buffering, so dead pages are never
+    touched and per-page overhead is a semaphore wait (pallas_guide.md
+    'Patterns: Double Buffering'). The grid-(B, pages_per_seq) pipelined
+    kernel it replaced (_make_paged_decode_grid_kernel) measured ~10x off
+    the chip's ~600GB/s streaming rate at 1.5B (fixed per-grid-step
+    overhead on ~200KB payloads + all-table-entry fetches).
 
     The pool layout (P, NH, HS, ps) exists precisely for this kernel:
     `pool.at[page]` is a single contiguous leading-dim slice whose minor
     dims (HS=64 sublanes, ps=128 lanes) meet Mosaic's async-copy
     alignment rules (GPT-2's HS=64 cannot be a lane dim). Requires
-    ps % 128 == 0 — the wrapper falls back to the grid kernel otherwise.
-    """
-    b = pl.program_id(0)
-    HS, ps = kbuf.shape[2], kbuf.shape[3]
-    length = lengths_ref[b]
-    start = starts_ref[b]
-    first = start // ps
-    last = jnp.where(length > 0, (length - 1) // ps, -1)
-    num = jnp.maximum(last - first + 1, 0)
+    ps % 128 == 0 — the wrapper falls back otherwise.
 
-    def kdma(slot, ordinal):
-        page = tables_ref[b, first + ordinal]
-        return pltpu.make_async_copy(k_hbm.at[page], kbuf.at[slot],
-                                     sems.at[slot, 0])
+    quant=True streams int8 pages (dequant fused into the load) with the
+    whole (P, NH, ps) f32 scale arrays resident in VMEM — no per-page
+    scale DMA. Outputs are UNNORMALIZED (acc, m, l) parts."""
 
-    def vdma(slot, ordinal):
-        page = tables_ref[b, first + ordinal]
-        return pltpu.make_async_copy(v_hbm.at[page], vbuf.at[slot],
-                                     sems.at[slot, 1])
+    def kernel(lengths_ref, starts_ref, tables_ref, q_ref, k_hbm, v_hbm,
+               *rest):
+        if quant:
+            ksc_ref, vsc_ref, out_ref, m_out, l_out, kbuf, vbuf, sems = rest
+        else:
+            out_ref, m_out, l_out, kbuf, vbuf, sems = rest
+        b = pl.program_id(0)
+        HS, ps = kbuf.shape[2], kbuf.shape[3]
+        length = lengths_ref[b]
+        start = starts_ref[b]
+        first = start // ps
+        last = jnp.where(length > 0, (length - 1) // ps, -1)
+        num = jnp.maximum(last - first + 1, 0)
 
-    @pl.when(num > 0)
-    def _warmup():
-        kdma(0, 0).start()
-        vdma(0, 0).start()
+        def kdma(slot, ordinal):
+            page = tables_ref[b, first + ordinal]
+            return pltpu.make_async_copy(k_hbm.at[page], kbuf.at[slot],
+                                         sems.at[slot, 0])
 
-    q = q_ref[0].astype(jnp.float32)              # (NH, HS)
-    scale = jax.lax.rsqrt(jnp.float32(HS))
+        def vdma(slot, ordinal):
+            page = tables_ref[b, first + ordinal]
+            return pltpu.make_async_copy(v_hbm.at[page], vbuf.at[slot],
+                                         sems.at[slot, 1])
 
-    def body(i, carry):
-        m, l, acc = carry
-        slot = jax.lax.rem(i, 2)
+        @pl.when(num > 0)
+        def _warmup():
+            kdma(0, 0).start()
+            vdma(0, 0).start()
 
-        @pl.when(i + 1 < num)
-        def _prefetch():
-            kdma(1 - slot, i + 1).start()
-            vdma(1 - slot, i + 1).start()
+        q = q_ref[0].astype(jnp.float32)              # (NH, HS)
+        scale = jax.lax.rsqrt(jnp.float32(HS))
 
-        kdma(slot, i).wait()
-        vdma(slot, i).wait()
-        k = kbuf[slot].astype(jnp.float32)        # (NH, HS, ps)
-        v = vbuf[slot].astype(jnp.float32)
-        scores = jax.lax.dot_general(
-            q[:, None, :], k,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )[:, 0, :] * scale                        # (NH, ps)
-        pos = (first + i) * ps + jax.lax.broadcasted_iota(
-            jnp.int32, scores.shape, 1)
-        scores = jnp.where((pos < length) & (pos >= start), scores, NEG_INF)
-        m_cur = jnp.max(scores, axis=1, keepdims=True)
-        m_new = jnp.maximum(m, m_cur)
-        p = jnp.exp(scores - m_new)
-        # fully-masked page: every score NEG_INF makes
-        # m_new NEG_INF and exp(0)=1 claim the page's whole
-        # mass (l += ps, acc += garbage v). Zero those
-        # lanes — the parts contract is l = VALID mass
-        # (the XLA oracle's jnp.where(valid, exp, 0)).
-        p = jnp.where(scores > NEG_INF * 0.5, p, 0.0)
-        alpha = jnp.exp(m - m_new)
-        l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
-        pv = jax.lax.dot_general(
-            p[:, None, :], v,
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )[:, 0, :]
-        return m_new, l_new, acc * alpha + pv
+        def body(i, carry):
+            m, l, acc = carry
+            slot = jax.lax.rem(i, 2)
 
-    NH = q.shape[0]
-    m0 = jnp.full((NH, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((NH, 1), jnp.float32)
-    a0 = jnp.zeros((NH, HS), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, num, body, (m0, l0, a0))
-    # UNNORMALIZED outputs: callers either normalize (acc / l) or merge
-    # with another attention source via online-softmax combination
-    out_ref[0] = acc.astype(out_ref.dtype)
-    m_out[0] = m
-    l_out[0] = l
+            @pl.when(i + 1 < num)
+            def _prefetch():
+                kdma(1 - slot, i + 1).start()
+                vdma(1 - slot, i + 1).start()
 
+            kdma(slot, i).wait()
+            vdma(slot, i).wait()
+            if quant:
+                page = tables_ref[b, first + i]
+                k = kbuf[slot].astype(jnp.float32) \
+                    * ksc_ref[page][:, None, :]
+                v = vbuf[slot].astype(jnp.float32) \
+                    * vsc_ref[page][:, None, :]
+            else:
+                k = kbuf[slot].astype(jnp.float32)    # (NH, HS, ps)
+                v = vbuf[slot].astype(jnp.float32)
+            scores = jax.lax.dot_general(
+                q[:, None, :], k,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )[:, 0, :] * scale                        # (NH, ps)
+            pos = (first + i) * ps + jax.lax.broadcasted_iota(
+                jnp.int32, scores.shape, 1)
+            scores = jnp.where((pos < length) & (pos >= start), scores,
+                               NEG_INF)
+            m_cur = jnp.max(scores, axis=1, keepdims=True)
+            m_new = jnp.maximum(m, m_cur)
+            p = jnp.exp(scores - m_new)
+            # fully-masked page: every score NEG_INF makes m_new NEG_INF
+            # and exp(0)=1 claim the page's whole mass (l += ps, acc +=
+            # garbage v). Zero those lanes — the parts contract is
+            # l = VALID mass (the XLA oracle's jnp.where(valid, exp, 0)).
+            p = jnp.where(scores > NEG_INF * 0.5, p, 0.0)
+            alpha = jnp.exp(m - m_new)
+            l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p[:, None, :], v,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )[:, 0, :]
+            return m_new, l_new, acc * alpha + pv
 
-def _flash_decode_dma_quant_kernel(
-    lengths_ref, starts_ref, tables_ref,
-    q_ref,
-    k_hbm, v_hbm,     # (P, NH, HS, ps) int8, HBM
-    ksc_ref, vsc_ref,  # (P, NH, ps) f32 — WHOLE array in VMEM
-    out_ref,           # (1, NH, HS) UNNORMALIZED accumulator
-    m_out, l_out,      # (1, NH, 1)
-    kbuf, vbuf,       # (2, NH, HS, ps) int8 VMEM
-    sems,             # (2, 2)
-):
-    """INT8-KV variant of _flash_decode_dma_kernel: pages stream via
-    manual DMA (dequant fused into the load); the per-row scale arrays
-    are small enough (P*NH*ps f32 per shard) to live whole in VMEM, so
-    they need no per-page DMA at all."""
-    b = pl.program_id(0)
-    HS, ps = kbuf.shape[2], kbuf.shape[3]
-    length = lengths_ref[b]
-    start = starts_ref[b]
-    first = start // ps
-    last = jnp.where(length > 0, (length - 1) // ps, -1)
-    num = jnp.maximum(last - first + 1, 0)
+        NH = q.shape[0]
+        m0 = jnp.full((NH, 1), NEG_INF, jnp.float32)
+        l0 = jnp.zeros((NH, 1), jnp.float32)
+        a0 = jnp.zeros((NH, HS), jnp.float32)
+        m, l, acc = jax.lax.fori_loop(0, num, body, (m0, l0, a0))
+        # UNNORMALIZED outputs: callers either normalize (acc / l) or
+        # merge with another attention source via online-softmax parts
+        out_ref[0] = acc.astype(out_ref.dtype)
+        m_out[0] = m
+        l_out[0] = l
 
-    def kdma(slot, ordinal):
-        page = tables_ref[b, first + ordinal]
-        return pltpu.make_async_copy(k_hbm.at[page], kbuf.at[slot],
-                                     sems.at[slot, 0])
-
-    def vdma(slot, ordinal):
-        page = tables_ref[b, first + ordinal]
-        return pltpu.make_async_copy(v_hbm.at[page], vbuf.at[slot],
-                                     sems.at[slot, 1])
-
-    @pl.when(num > 0)
-    def _warmup():
-        kdma(0, 0).start()
-        vdma(0, 0).start()
-
-    q = q_ref[0].astype(jnp.float32)
-    scale = jax.lax.rsqrt(jnp.float32(HS))
-
-    def body(i, carry):
-        m, l, acc = carry
-        slot = jax.lax.rem(i, 2)
-        page = tables_ref[b, first + i]
-
-        @pl.when(i + 1 < num)
-        def _prefetch():
-            kdma(1 - slot, i + 1).start()
-            vdma(1 - slot, i + 1).start()
-
-        kdma(slot, i).wait()
-        vdma(slot, i).wait()
-        ks = ksc_ref[page]                        # (NH, ps)
-        vs = vsc_ref[page]
-        k = kbuf[slot].astype(jnp.float32) * ks[:, None, :]
-        v = vbuf[slot].astype(jnp.float32) * vs[:, None, :]
-        scores = jax.lax.dot_general(
-            q[:, None, :], k,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )[:, 0, :] * scale
-        pos = (first + i) * ps + jax.lax.broadcasted_iota(
-            jnp.int32, scores.shape, 1)
-        scores = jnp.where((pos < length) & (pos >= start), scores, NEG_INF)
-        m_cur = jnp.max(scores, axis=1, keepdims=True)
-        m_new = jnp.maximum(m, m_cur)
-        p = jnp.exp(scores - m_new)
-        # fully-masked page: every score NEG_INF makes
-        # m_new NEG_INF and exp(0)=1 claim the page's whole
-        # mass (l += ps, acc += garbage v). Zero those
-        # lanes — the parts contract is l = VALID mass
-        # (the XLA oracle's jnp.where(valid, exp, 0)).
-        p = jnp.where(scores > NEG_INF * 0.5, p, 0.0)
-        alpha = jnp.exp(m - m_new)
-        l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
-        pv = jax.lax.dot_general(
-            p[:, None, :], v,
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )[:, 0, :]
-        return m_new, l_new, acc * alpha + pv
-
-    NH = q.shape[0]
-    m0 = jnp.full((NH, 1), NEG_INF, jnp.float32)
-    l0 = jnp.zeros((NH, 1), jnp.float32)
-    a0 = jnp.zeros((NH, HS), jnp.float32)
-    m, l, acc = jax.lax.fori_loop(0, num, body, (m0, l0, a0))
-    out_ref[0] = acc.astype(out_ref.dtype)
-    m_out[0] = m
-    l_out[0] = l
+    return kernel
 
 
 def _make_flash_decode_flat_kernel(B: int, quant: bool,
@@ -794,78 +702,82 @@ def paged_decode_attention_quant_parts_mq(q: jax.Array, k_pages: jax.Array,
                                starts, (k_scale, v_scale), interpret)
 
 
-def _paged_decode_kernel(
-    # scalar prefetch
-    lengths_ref,      # (B,) int32 in SMEM
-    starts_ref,       # (B,) int32 in SMEM — sliding-window lower bounds
-    tables_ref,       # (B, pages_per_seq) int32 in SMEM (unused in body;
-                      # consumed by the index maps)
-    # blocks
-    q_ref,            # (1, NH, HS)
-    k_ref,            # (1, NH, HS, ps)  — one page, all local heads
-    v_ref,            # (1, NH, HS, ps)
-    out_ref,          # (1, NH, HS)
-    # scratch
-    m_ref,            # (NH, 1) f32
-    l_ref,            # (NH, 1) f32
-    acc_ref,          # (NH, HS) f32
-):
-    b = pl.program_id(0)
-    i = pl.program_id(1)
-    num_pages_per_seq = pl.num_programs(1)
-    ps = k_ref.shape[3]
-    length = lengths_ref[b]
-    start = starts_ref[b]
+def _make_paged_decode_grid_kernel(quant: bool):
+    """Build the LAB grid-(B, pages_per_seq) pipelined kernel: one page
+    per grid step via scalar-prefetched index maps, ALL table entries
+    fetched. Measured ~10x off streaming rate at 1.5B — kept as the
+    measured design record and as the ps<128 fallback of the NORMALIZED
+    wrappers (it has no DMA alignment floor). quant=True fuses the int8
+    dequant into the page load with per-page (1, NH, ps) scale blocks
+    riding the same pipeline. Emits NORMALIZED attention."""
 
-    @pl.when(i == 0)
-    def _init():
-        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
-        l_ref[...] = jnp.zeros_like(l_ref)
-        acc_ref[...] = jnp.zeros_like(acc_ref)
+    def kernel(lengths_ref, starts_ref, tables_ref, q_ref, k_ref, v_ref,
+               *rest):
+        if quant:
+            ks_ref, vs_ref, out_ref, m_ref, l_ref, acc_ref = rest
+        else:
+            out_ref, m_ref, l_ref, acc_ref = rest
+        b = pl.program_id(0)
+        i = pl.program_id(1)
+        num_pages_per_seq = pl.num_programs(1)
+        ps = k_ref.shape[3]
+        length = lengths_ref[b]
+        start = starts_ref[b]
 
-    @pl.when((i * ps < length) & ((i + 1) * ps > start))
-    def _update():
-        q = q_ref[0].astype(jnp.float32)            # (NH, HS)
-        k = k_ref[0].astype(jnp.float32)            # (NH, HS, ps)
-        v = v_ref[0].astype(jnp.float32)
-        scale = jax.lax.rsqrt(jnp.float32(q.shape[-1]))
-        # batched GEMV: scores[h, p] = q[h] · k[h, p]
-        scores = jax.lax.dot_general(
-            q[:, None, :], k,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )[:, 0, :] * scale                          # (NH, ps)
-        pos = i * ps + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        scores = jnp.where((pos < length) & (pos >= start), scores, NEG_INF)
+        @pl.when(i == 0)
+        def _init():
+            m_ref[...] = jnp.full_like(m_ref, NEG_INF)
+            l_ref[...] = jnp.zeros_like(l_ref)
+            acc_ref[...] = jnp.zeros_like(acc_ref)
 
-        m_prev, l_prev = m_ref[...], l_ref[...]
-        m_cur = jnp.max(scores, axis=1, keepdims=True)       # (NH, 1)
-        m_new = jnp.maximum(m_prev, m_cur)
-        p = jnp.exp(scores - m_new)
-        # fully-masked page: every score NEG_INF makes
-        # m_new NEG_INF and exp(0)=1 claim the page's whole
-        # mass (l += ps, acc += garbage v). Zero those
-        # lanes — the parts contract is l = VALID mass
-        # (the XLA oracle's jnp.where(valid, exp, 0)).
-        p = jnp.where(scores > NEG_INF * 0.5, p, 0.0)                           # (NH, ps)
-        alpha = jnp.exp(m_prev - m_new)                       # (NH, 1)
-        l_ref[...] = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
-        pv = jax.lax.dot_general(
-            p[:, None, :], v,
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )[:, 0, :]                                            # (NH, HS)
-        m_ref[...] = m_new
-        acc_ref[...] = acc_ref[...] * alpha + pv
+        @pl.when((i * ps < length) & ((i + 1) * ps > start))
+        def _update():
+            q = q_ref[0].astype(jnp.float32)            # (NH, HS)
+            if quant:
+                k = k_ref[0].astype(jnp.float32) * ks_ref[0][:, None, :]
+                v = v_ref[0].astype(jnp.float32) * vs_ref[0][:, None, :]
+            else:
+                k = k_ref[0].astype(jnp.float32)        # (NH, HS, ps)
+                v = v_ref[0].astype(jnp.float32)
+            scale = jax.lax.rsqrt(jnp.float32(q.shape[-1]))
+            # batched GEMV: scores[h, p] = q[h] · k[h, p]
+            scores = jax.lax.dot_general(
+                q[:, None, :], k,
+                dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )[:, 0, :] * scale                          # (NH, ps)
+            pos = i * ps + jax.lax.broadcasted_iota(
+                jnp.int32, scores.shape, 1)
+            scores = jnp.where((pos < length) & (pos >= start), scores,
+                               NEG_INF)
 
-    @pl.when(i == num_pages_per_seq - 1)
-    def _finalize():
-        l = l_ref[...]
-        l = jnp.where(l == 0.0, 1.0, l)   # length-0 rows → zeros, not NaN
-        out_ref[0] = (acc_ref[...] / l).astype(out_ref.dtype)
+            m_prev, l_prev = m_ref[...], l_ref[...]
+            m_cur = jnp.max(scores, axis=1, keepdims=True)   # (NH, 1)
+            m_new = jnp.maximum(m_prev, m_cur)
+            p = jnp.exp(scores - m_new)
+            # fully-masked page (the page guard above admits e.g.
+            # length=5, start=7): zero the NEG_INF lanes or exp(0)=1
+            # claims the page's whole probability mass
+            p = jnp.where(scores > NEG_INF * 0.5, p, 0.0)
+            alpha = jnp.exp(m_prev - m_new)                  # (NH, 1)
+            l_ref[...] = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+            pv = jax.lax.dot_general(
+                p[:, None, :], v,
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32,
+                precision=jax.lax.Precision.HIGHEST,
+            )[:, 0, :]                                       # (NH, HS)
+            m_ref[...] = m_new
+            acc_ref[...] = acc_ref[...] * alpha + pv
 
+        @pl.when(i == num_pages_per_seq - 1)
+        def _finalize():
+            l = l_ref[...]
+            l = jnp.where(l == 0.0, 1.0, l)   # masked rows → zeros, not NaN
+            out_ref[0] = (acc_ref[...] / l).astype(out_ref.dtype)
+
+    return kernel
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def paged_decode_attention_parts(q: jax.Array, k_pages: jax.Array,
@@ -923,7 +835,7 @@ def paged_decode_attention_parts(q: jax.Array, k_pages: jax.Array,
         ],
     )
     acc, m, l = pl.pallas_call(
-        _flash_decode_dma_kernel,
+        _make_flash_decode_gridb_kernel(quant=False),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((B, NH, HS), jnp.float32),
                    jax.ShapeDtypeStruct((B, NH, 1), jnp.float32),
@@ -961,7 +873,6 @@ def paged_decode_attention(q: jax.Array, k_pages: jax.Array,
                                              interpret=interpret)
     l = jnp.where(l == 0.0, 1.0, l)
     return (acc / l[..., None]).astype(q.dtype)
-
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -1006,7 +917,7 @@ def paged_decode_attention_grid(q: jax.Array, k_pages: jax.Array,
         ],
     )
     return pl.pallas_call(
-        _paged_decode_kernel,
+        _make_paged_decode_grid_kernel(quant=False),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, NH, HS), q.dtype),
         interpret=interpret,
@@ -1017,75 +928,6 @@ def paged_decode_attention_grid(q: jax.Array, k_pages: jax.Array,
             transcendentals=B * NH * pages_per_seq * ps,
         ),
     )(lengths, starts, block_tables, q, k_pages, v_pages)
-
-
-def _paged_decode_quant_kernel(
-    lengths_ref, starts_ref, tables_ref,
-    q_ref,            # (1, NH, HS)
-    k_ref,            # (1, NH, HS, ps) int8
-    v_ref,
-    ks_ref,           # (1, NH, ps) f32 — per-row scales
-    vs_ref,
-    out_ref,
-    m_ref, l_ref, acc_ref,
-):
-    """INT8-KV variant: identical flash-decode loop with the dequant fused
-    into the page load (k = k_q * scale), so pages move HBM→VMEM at 1/4 the
-    fp32 bytes (north-star INT8 KV pages)."""
-    b = pl.program_id(0)
-    i = pl.program_id(1)
-    num_pages_per_seq = pl.num_programs(1)
-    ps = k_ref.shape[3]
-    length = lengths_ref[b]
-    start = starts_ref[b]
-
-    @pl.when(i == 0)
-    def _init():
-        m_ref[...] = jnp.full_like(m_ref, NEG_INF)
-        l_ref[...] = jnp.zeros_like(l_ref)
-        acc_ref[...] = jnp.zeros_like(acc_ref)
-
-    @pl.when((i * ps < length) & ((i + 1) * ps > start))
-    def _update():
-        q = q_ref[0].astype(jnp.float32)
-        ks = ks_ref[0]                                # (NH, ps)
-        vs = vs_ref[0]
-        k = k_ref[0].astype(jnp.float32) * ks[:, None, :]
-        v = v_ref[0].astype(jnp.float32) * vs[:, None, :]
-        scale = jax.lax.rsqrt(jnp.float32(q.shape[-1]))
-        scores = jax.lax.dot_general(
-            q[:, None, :], k,
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )[:, 0, :] * scale
-        pos = i * ps + jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-        scores = jnp.where((pos < length) & (pos >= start), scores, NEG_INF)
-        m_prev, l_prev = m_ref[...], l_ref[...]
-        m_new = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
-        p = jnp.exp(scores - m_new)
-        # fully-masked page: every score NEG_INF makes
-        # m_new NEG_INF and exp(0)=1 claim the page's whole
-        # mass (l += ps, acc += garbage v). Zero those
-        # lanes — the parts contract is l = VALID mass
-        # (the XLA oracle's jnp.where(valid, exp, 0)).
-        p = jnp.where(scores > NEG_INF * 0.5, p, 0.0)
-        alpha = jnp.exp(m_prev - m_new)
-        l_ref[...] = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
-        pv = jax.lax.dot_general(
-            p[:, None, :], v,
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )[:, 0, :]
-        m_ref[...] = m_new
-        acc_ref[...] = acc_ref[...] * alpha + pv
-
-    @pl.when(i == num_pages_per_seq - 1)
-    def _finalize():
-        l = l_ref[...]
-        l = jnp.where(l == 0.0, 1.0, l)
-        out_ref[0] = (acc_ref[...] / l).astype(out_ref.dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -1148,7 +990,7 @@ def paged_decode_attention_quant_parts(q: jax.Array, k_pages: jax.Array,
         ],
     )
     acc, m, l = pl.pallas_call(
-        _flash_decode_dma_quant_kernel,
+        _make_flash_decode_gridb_kernel(quant=True),
         grid_spec=grid_spec,
         out_shape=[jax.ShapeDtypeStruct((B, NH, HS), jnp.float32),
                    jax.ShapeDtypeStruct((B, NH, 1), jnp.float32),
@@ -1233,7 +1075,7 @@ def paged_decode_attention_quant_grid(
         ],
     )
     return pl.pallas_call(
-        _paged_decode_quant_kernel,
+        _make_paged_decode_grid_kernel(quant=True),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, NH, HS), q.dtype),
         interpret=interpret,
