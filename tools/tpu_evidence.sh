@@ -59,12 +59,31 @@ print('LLMC_ATTN_VARIANT after probe:', os.environ.get('LLMC_ATTN_VARIANT', 'fla
 "
     ;;
 probe)
+    # A: chunk-step by serving-kernel variant (flat ring depth vs gridb) —
+    # the VERDICT r2 #3 number. Most valuable first (flat4 is the default).
     run 2400 probe-1558 python -m llmc_paged_tpu.ops.dev.probe_decode \
-        --model 1558m --skip gemv,matmul,prefill \
-        --dtypes int8b:int8 --attn-variants flat2,flat4,flat8,gridb
+        --model 1558m --skip gemv,matmul,prefill,attention,unrolled \
+        --dtypes int8b:int8 --attn-variants flat4,flat8,gridb
+    # B: attention+scatter decomposition at int8 — where does the ~2.2ms
+    # of non-matmul step time go? (scatteronly = KV quantize+write only,
+    # attendonly = kernel only, stale = both without the write->read dep,
+    # P2/P4 = does cost scale with pool size)
+    run 2400 probe-attn python -m llmc_paged_tpu.ops.dev.probe_decode \
+        --model 1558m --skip gemv,matmul,prefill,chunk,unrolled \
+        --dtypes int8,int8-attendonly,int8-scatteronly,int8-stale,int8-P2 \
+        --attn-variants flat4
     ;;
 bench)
     run 1500 bench env LLMC_BENCH_BUDGET_S=1200 python bench.py
+    ;;
+warm)
+    # Fill the persistent XLA compile cache with EVERY program the
+    # driver's end-of-round `python bench.py` will need (1.5B chunk
+    # compiles are >10min cold — BENCH_r03's m1558 stage died on that),
+    # then rehearse once under exact driver conditions (default budget).
+    # Run this AFTER bench-affecting code is frozen for the round.
+    run 3000 bench-warm env LLMC_BENCH_BUDGET_S=2700 python bench.py
+    run 600 bench-rehearsal python bench.py
     ;;
 probe124)
     run 1200 probe-124 python -m llmc_paged_tpu.ops.dev.probe_decode \
