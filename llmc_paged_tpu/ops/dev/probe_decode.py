@@ -93,31 +93,61 @@ def gemv_suite(B: int, cfg):
                   f"{gb/dt:7.1f} GB/s")
 
 
-def kernel_suite(B: int, cfg, page_size=32, pages_per_seq=10):
-    from llmc_paged_tpu.ops.paged_attention import paged_decode_attention
+def kernel_suite(B: int, cfg, page_size=32, pages_per_seq=10,
+                 quant=False, live_pages=None):
+    """One paged-attention layer-call in isolation. The default shapes
+    are the historical ps=32 grid-kernel row; serving-shape rows
+    (ps=128/256, int8, partial live range) are emitted by kernel_serving
+    below."""
+    from llmc_paged_tpu.kv.layouts import quantize_pages
+    from llmc_paged_tpu.ops.paged_attention import (
+        paged_decode_attention, paged_decode_attention_quant)
 
     NH, HS = cfg.num_heads, cfg.head_dim
     P = B * pages_per_seq + 8
     rng = np.random.default_rng(0)
-    q = jnp.asarray(rng.normal(size=(B, NH, HS)), jnp.float32)
-    pools = [(jnp.asarray(rng.normal(size=(P, NH, HS, page_size)),
-                          jnp.float32),
-              jnp.asarray(rng.normal(size=(P, NH, HS, page_size)),
-                          jnp.float32)) for _ in range(3)]
+    pools = []
+    for _ in range(3):
+        k = jnp.asarray(rng.normal(size=(P, NH, HS, page_size)), jnp.float32)
+        v = jnp.asarray(rng.normal(size=(P, NH, HS, page_size)), jnp.float32)
+        if quant:
+            kq, ks = quantize_pages(k)
+            vq, vs = quantize_pages(v)
+            pools.append((kq, vq, ks, vs))
+        else:
+            pools.append((k, v))
     tables = jnp.asarray(
         rng.permutation(P)[: B * pages_per_seq].reshape(B, pages_per_seq),
         jnp.int32)
-    lengths = jnp.full((B,), page_size * pages_per_seq, jnp.int32)
+    live = pages_per_seq if live_pages is None else live_pages
+    lengths = jnp.full((B,), page_size * live, jnp.int32)
     starts = jnp.zeros((B,), jnp.int32)
     qs = [jnp.asarray(rng.normal(size=(B, NH, HS)), jnp.float32)
           for _ in range(24)]
-    dt = timeit_cycle(paged_decode_attention,
+    base = paged_decode_attention_quant if quant else paged_decode_attention
+    interp = jax.default_backend() != "tpu"
+    fn = functools.partial(base, interpret=interp)
+    dt = timeit_cycle(fn,
                       [(qi, *pools[i % 3], tables, lengths, starts)
-                       for i, qi in enumerate(qs)], iters=20, warmup=0)
-    bytes_moved = 2 * B * pages_per_seq * page_size * NH * HS * 4
+                       for i, qi in enumerate(qs)],
+                      iters=2 if interp else 20, warmup=0)
+    itemsize = 1 if quant else 4
+    bytes_moved = 2 * B * live * page_size * NH * (HS * itemsize
+                                                   + (4 if quant else 0))
     print(f"-- paged attention kernel: B={B} pages/seq={pages_per_seq} "
-          f"ps={page_size}: {dt*1e6:.1f} us/layer-call, "
+          f"live={live} ps={page_size} {'int8' if quant else 'f32'}: "
+          f"{dt*1e6:.1f} us/layer-call, "
           f"{bytes_moved/dt/1e9:.1f} GB/s --")
+
+
+def kernel_serving(B: int, cfg, page_size=128):
+    """Serving-shape kernel isolation: the exact per-layer attention call
+    of the bench decode chunk (ps=128 int8, 3-page tables with 2 live),
+    plus a full-table row and a float row for comparison."""
+    pps = max(2, -(-(128 + 128) // page_size) + 1)
+    kernel_suite(B, cfg, page_size, pps, quant=True, live_pages=pps - 1)
+    kernel_suite(B, cfg, page_size, pps, quant=True)
+    kernel_suite(B, cfg, page_size, pps, quant=False, live_pages=pps - 1)
 
 
 def matmul_suite(B: int, cfg, dtypes=("bfloat16", "int8"), steps=32):
@@ -212,7 +242,8 @@ def matmul_suite(B: int, cfg, dtypes=("bfloat16", "int8"), steps=32):
               f"{wbytes/dt/1e9:.0f} GB/s) --")
 
 
-def attention_suite(B: int, cfg, dtypes=("bfloat16", "int8"), steps=32):
+def attention_suite(B: int, cfg, dtypes=("bfloat16", "int8"), steps=32,
+                    page_size=128):
     """KV-write + paged-attention-only decode emulation (the complement
     of matmul_suite): per layer, derive q/k/v from the carry by reshape,
     quantize+scatter into the pool, run the paged-attention kernel —
@@ -226,11 +257,12 @@ def attention_suite(B: int, cfg, dtypes=("bfloat16", "int8"), steps=32):
 
     Lc, C, NH, HS = (cfg.num_layers, cfg.channels, cfg.num_heads,
                      cfg.head_dim)
-    page_cfg = PageConfig(page_size=128, num_pages=B * 3 + 8, max_seqs=B,
-                          pages_per_seq=3)
-    CHUNK = steps
-    mgr = BlockManager(page_cfg.num_pages, page_cfg.page_size, B)
     prompt = 128
+    CHUNK = steps
+    pps = max(2, -(-(prompt + CHUNK) // page_size))
+    page_cfg = PageConfig(page_size=page_size, num_pages=B * pps + 8,
+                          max_seqs=B, pages_per_seq=pps)
+    mgr = BlockManager(page_cfg.num_pages, page_cfg.page_size, B)
     pgs = np.zeros((CHUNK, B), np.int32)
     sls = np.zeros((CHUNK, B), np.int32)
     for b in range(B):
@@ -389,7 +421,8 @@ def prefill_suite(B: int, cfg, dtypes=("bfloat16", "int8", "int8bf16"),
               f"{flops/dt/1e12:6.2f} TFLOP/s")
 
 
-def chunk_suite(B: int, cfg, dtypes=("float32", "bfloat16", "int8")):
+def chunk_suite(B: int, cfg, dtypes=("float32", "bfloat16", "int8"),
+                page_size=128):
     """Per-step time of the real chunked decode, by param/pool dtype."""
     import __graft_entry__ as _  # noqa: F401  (repo root on path)
     from llmc_paged_tpu.config import PageConfig
@@ -399,8 +432,10 @@ def chunk_suite(B: int, cfg, dtypes=("float32", "bfloat16", "int8")):
     from llmc_paged_tpu.models.gpt2_paged import decode_chunk_paged
 
     CHUNK = 32
-    page_cfg = PageConfig(page_size=128, num_pages=B * 3 + 8, max_seqs=B,
-                          pages_per_seq=3)
+    prompt = 128
+    pps = max(2, -(-(prompt + CHUNK) // page_size))
+    page_cfg = PageConfig(page_size=page_size, num_pages=B * pps + 8,
+                          max_seqs=B, pages_per_seq=pps)
     params_np = jax.tree.map(
         np.asarray, gpt2.init_params(cfg, jax.random.PRNGKey(0)))
     for dtype_name in dtypes:
@@ -434,7 +469,6 @@ def chunk_suite(B: int, cfg, dtypes=("float32", "bfloat16", "int8")):
                                 "bfloat16": jnp.bfloat16,
                                 "int8": "int8"}[kd])
         mgr = BlockManager(page_cfg.num_pages, page_cfg.page_size, B)
-        prompt = 128
         pgs = np.zeros((CHUNK, B), np.int32)
         sls = np.zeros((CHUNK, B), np.int32)
         for b in range(B):
@@ -466,8 +500,8 @@ def chunk_suite(B: int, cfg, dtypes=("float32", "bfloat16", "int8")):
             out, pool = run(pool)
         jax.block_until_ready(out)
         dt = (time.monotonic() - t0) / iters / CHUNK
-        print(f"-- decode_chunk {dtype_name}: {dt*1e3:.3f} ms/step "
-              f"({B/dt:.0f} tok/s at B={B}) --")
+        print(f"-- decode_chunk {dtype_name} ps={page_size}: "
+              f"{dt*1e3:.3f} ms/step ({B/dt:.0f} tok/s at B={B}) --")
 
 
 def chunk_suite_unrolled(B: int, cfg, dtypes=("float32", "bfloat16")):
@@ -577,8 +611,11 @@ def main():
                     choices=["124m", "350m", "774m", "1558m"])
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--skip", default="",
-                    help="comma list: gemv,kernel,matmul,prefill,"
+                    help="comma list: gemv,kernel,kserve,matmul,prefill,"
                          "attention,chunk,unrolled")
+    ap.add_argument("--page-size", type=int, default=128,
+                    help="pool page size for the kserve/attention/chunk "
+                         "suites (tables resize to fit prompt+chunk)")
     ap.add_argument("--dtypes", default="float32,bfloat16,int8",
                     help="comma list for the chunk suite")
     ap.add_argument("--attn-variants", default="",
@@ -588,6 +625,10 @@ def main():
                          "flat8), 'gridb'. Empty = current env settings.")
     args = ap.parse_args()
     import os as _os
+    if _os.environ.get("LLMC_PLATFORM"):
+        # CPU smoke runs (the axon plugin force-sets the TPU platform;
+        # env JAX_PLATFORMS is ignored — engine/cli.py does the same)
+        jax.config.update("jax_platforms", _os.environ["LLMC_PLATFORM"])
 
     from llmc_paged_tpu.config import GPT2Config
     from llmc_paged_tpu.utils import enable_compile_cache
@@ -622,14 +663,18 @@ def main():
             else:
                 _os.environ["LLMC_ATTN_VARIANT"] = variant
             print(f"== attention variant: {variant} ==")
+        if "kserve" not in skip:
+            kernel_serving(args.batch, cfg, page_size=args.page_size)
         if "attention" not in skip:
             attention_suite(args.batch, cfg,
                             dtypes=tuple(d for d in args.dtypes.split(",")
                                          if ":" not in d
-                                         and d != "int8xla"))
+                                         and d != "int8xla"),
+                            page_size=args.page_size)
         if "chunk" not in skip:
             chunk_suite(args.batch, cfg,
-                        dtypes=tuple(args.dtypes.split(",")))
+                        dtypes=tuple(args.dtypes.split(",")),
+                        page_size=args.page_size)
     if "unrolled" not in skip:
         chunk_suite_unrolled(args.batch, cfg)
 

@@ -59,17 +59,23 @@ print('LLMC_ATTN_VARIANT after probe:', os.environ.get('LLMC_ATTN_VARIANT', 'fla
 "
     ;;
 probe)
-    # A: chunk-step by serving-kernel variant (flat ring depth vs gridb) —
-    # the VERDICT r2 #3 number. Most valuable first (flat4 is the default).
+    # A: chunk-step + serving-shape kernel isolation by kernel variant
+    # (flat ring depth vs gridb) — the VERDICT r2 #3 number. Most
+    # valuable first (flat4 is the default).
     run 2400 probe-1558 python -m llmc_paged_tpu.ops.dev.probe_decode \
-        --model 1558m --skip gemv,matmul,prefill,attention,unrolled \
+        --model 1558m --skip gemv,kernel,matmul,prefill,attention,unrolled \
         --dtypes int8b:int8 --attn-variants flat4,flat8,gridb
-    # B: attention+scatter decomposition at int8 — where does the ~2.2ms
+    # B: page_size=256 — halves every per-page cost (DMA count, dot
+    # count, table walks) at identical KV bytes for the bench shapes
+    run 1800 probe-ps256 python -m llmc_paged_tpu.ops.dev.probe_decode \
+        --model 1558m --skip gemv,kernel,matmul,prefill,attention,unrolled \
+        --dtypes int8b:int8 --attn-variants flat4 --page-size 256
+    # C: attention+scatter decomposition at int8 — where does the ~2.2ms
     # of non-matmul step time go? (scatteronly = KV quantize+write only,
     # attendonly = kernel only, stale = both without the write->read dep,
-    # P2/P4 = does cost scale with pool size)
+    # P2 = does cost scale with pool size)
     run 2400 probe-attn python -m llmc_paged_tpu.ops.dev.probe_decode \
-        --model 1558m --skip gemv,matmul,prefill,chunk,unrolled \
+        --model 1558m --skip gemv,kernel,matmul,prefill,chunk,unrolled \
         --dtypes int8,int8-attendonly,int8-scatteronly,int8-stale,int8-P2 \
         --attn-variants flat4
     ;;
