@@ -622,8 +622,7 @@ def main():
                     help="comma list of serving-kernel variants to sweep "
                          "for the attention/chunk suites: 'flat' (default "
                          "ring depth), 'flatN' (ring depth N, e.g. flat2/"
-                         "flat8), 'flatwide', 'gridb'. Empty = current "
-                         "env settings.")
+                         "flat8), 'gridb'. Empty = current env settings.")
     args = ap.parse_args()
     import os as _os
     if _os.environ.get("LLMC_PLATFORM"):
@@ -655,9 +654,7 @@ def main():
             # caches ignore env vars — drop every cached trace so the
             # same-shape suite calls really retrace onto the new kernel
             jax.clear_caches()
-            if variant == "flatwide":
-                _os.environ["LLMC_ATTN_VARIANT"] = "flatwide"
-            elif variant.startswith("flat"):
+            if variant.startswith("flat"):
                 _os.environ["LLMC_ATTN_VARIANT"] = "flat"
                 if variant[4:]:
                     _os.environ["LLMC_ATTN_NBUF"] = variant[4:]

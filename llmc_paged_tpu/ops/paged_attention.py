@@ -55,10 +55,11 @@ NEG_INF = -1e30
 #             the per-sequence program-launch overhead and the pipeline
 #             drain at sequence boundaries of the (B,)-grid kernel)
 #   "gridb" — the round-2 (B,)-grid kernel (one program per sequence)
-#   "flatwide" — EXPERIMENTAL: all live pages DMA'd into one wide VMEM
-#             buffer, whole-batch attention as two large masked dots
-#             (see the flatwide section below); falls back to "flat"
-#             beyond its lane/VMEM gate
+# (a fourth variant, "flatwide" — every live page DMA'd into one wide
+# lane buffer, whole-batch attention as two large masked dots — measured
+# 40x SLOWER compiled (1981us/layer-call at 1.5B int8 vs flat's 46.6)
+# and VMEM-stack-OOM at f32; it lives in ops/dev/lab_flatwide.py as the
+# design record)
 def _variant() -> str:
     """Serving kernel variant, read at TRACE time. jit caches are keyed
     on avals/statics only — the env var is NOT part of the key — so
@@ -76,8 +77,7 @@ _FLAT_SMEM_SCHED_LIMIT = 4096
 
 
 def _flat_ok(B: int, pages_per_seq: int) -> bool:
-    # "flatwide" falls back to the flat ring (not gridb) past its gates
-    return (_variant() in ("flat", "flatwide")
+    return (_variant() == "flat"
             and B * pages_per_seq <= _FLAT_SMEM_SCHED_LIMIT)
 
 
@@ -169,21 +169,23 @@ def _make_flash_decode_gridb_kernel(quant: bool):
 
             kdma(slot, i).wait()
             vdma(slot, i).wait()
-            if quant:
-                page = tables_ref[b, first + i]
-                k = kbuf[slot].astype(jnp.float32) \
-                    * ksc_ref[page][:, None, :]
-                v = vbuf[slot].astype(jnp.float32) \
-                    * vsc_ref[page][:, None, :]
-            else:
-                k = kbuf[slot].astype(jnp.float32)    # (NH, HS, ps)
-                v = vbuf[slot].astype(jnp.float32)
+            # int8: scales fold in AFTER the dots — scores = (q·k)*ks
+            # per column and pv = (p*vs)·v — turning two per-ELEMENT
+            # dequant multiplies over (NH, HS, ps) into per-COLUMN
+            # (NH, ps) ones (the cast feeds the MXU directly). Same
+            # math, ~HS x fewer VPU multiplies; kernel-vs-oracle diffs
+            # stay ~1e-7 (dot products of exact int8 values in f32).
+            k = kbuf[slot].astype(jnp.float32)        # (NH, HS, ps)
+            v = vbuf[slot].astype(jnp.float32)
             scores = jax.lax.dot_general(
                 q[:, None, :], k,
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
                 precision=jax.lax.Precision.HIGHEST,
             )[:, 0, :] * scale                        # (NH, ps)
+            if quant:
+                page = tables_ref[b, first + i]
+                scores = scores * ksc_ref[page]
             pos = (first + i) * ps + jax.lax.broadcasted_iota(
                 jnp.int32, scores.shape, 1)
             scores = jnp.where((pos < length) & (pos >= start), scores,
@@ -198,6 +200,9 @@ def _make_flash_decode_gridb_kernel(quant: bool):
             p = jnp.where(scores > NEG_INF * 0.5, p, 0.0)
             alpha = jnp.exp(m - m_new)
             l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+            if quant:
+                page = tables_ref[b, first + i]
+                p = p * vsc_ref[page]     # post-dot V dequant (see above)
             pv = jax.lax.dot_general(
                 p[:, None, :], v,
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
@@ -330,25 +335,19 @@ def _make_flash_decode_flat_kernel(B: int, quant: bool,
 
                 page = tables_ref[b, first_b + i]
                 wait_pair(slot, page)
-                if quant and scale_dma:
-                    k = kbuf[slot].astype(jnp.float32) \
-                        * ksbuf[slot][:, None, :]
-                    v = vbuf[slot].astype(jnp.float32) \
-                        * vsbuf[slot][:, None, :]
-                elif quant:
-                    k = kbuf[slot].astype(jnp.float32) \
-                        * ksc_ref[page][:, None, :]
-                    v = vbuf[slot].astype(jnp.float32) \
-                        * vsc_ref[page][:, None, :]
-                else:
-                    k = kbuf[slot].astype(jnp.float32)
-                    v = vbuf[slot].astype(jnp.float32)
+                # int8 scales fold in POST-dot (per column, not per
+                # element — see the gridb kernel comment)
+                k = kbuf[slot].astype(jnp.float32)
+                v = vbuf[slot].astype(jnp.float32)
                 scores = jax.lax.dot_general(
                     q[:, None, :], k,
                     dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST,
                 )[:, 0, :] * scale                    # (NH, ps)
+                if quant:
+                    scores = scores * (ksbuf[slot] if scale_dma
+                                       else ksc_ref[page])
                 pos = (first_b + i) * ps + jax.lax.broadcasted_iota(
                     jnp.int32, scores.shape, 1)
                 scores = jnp.where((pos < length) & (pos >= start), scores,
@@ -364,6 +363,8 @@ def _make_flash_decode_flat_kernel(B: int, quant: bool,
                 p = jnp.where(scores > NEG_INF * 0.5, p, 0.0)
                 alpha = jnp.exp(m - m_new)
                 l_new = l * alpha + jnp.sum(p, axis=1, keepdims=True)
+                if quant:
+                    p = p * (vsbuf[slot] if scale_dma else vsc_ref[page])
                 pv = jax.lax.dot_general(
                     p[:, None, :], v,
                     dimension_numbers=(((2,), (2,)), ((0,), (0,))),
@@ -445,207 +446,6 @@ def _flat_parts_call(q, k_pages, v_pages, block_tables, lengths, starts,
         ),
     )(lengths, starts, block_tables, *operands)
     return acc, m[..., 0], l[..., 0]
-
-
-# ---------------------------------------------------------------------
-# FLATWIDE experimental serving variant (LLMC_ATTN_VARIANT=flatwide):
-# the flat kernel above still pays per-page costs — a fori_loop
-# iteration, two semaphore waits, and two SMALL batched GEMVs
-# ((NH,1,HS)x(NH,HS,ps): Mosaic unrolls the NH batch dim into NH
-# sequential MXU ops) for every live page. At 1.5B decode shapes the
-# page payloads are ~200KB, so those fixed per-page costs — not bytes —
-# are the suspected bulk of the measured ~46us/layer-call (4x the
-# streaming time of the bytes). This kernel removes the per-page loop
-# entirely: every live page of the batch is DMA'd into ONE wide VMEM
-# buffer at the STATIC lane slot (b*pages_per_seq + j) * ps, then the
-# whole batch's attention runs as two large masked dots + one softmax:
-#
-#   scores (NH, B, Lw) = q (NH, B, HS) @ kwide (NH, HS, Lw)
-#   acc    (NH, B, HS) = p (NH, B, Lw) @ vwide (NH, HS, Lw)^T
-#
-# Cross-sequence score columns are masked (ownership mask), trading B x
-# redundant MXU work — tiny at decode shapes — for ~2 dots/call instead
-# of 2 * live_pages. No online softmax: the whole row is scored at once
-# (masked max/exp/sum), which also kills the per-page carry chain.
-# Numerics match the flat kernel exactly-in-kind: q stays f32, pages
-# cast int8->f32 with per-token f32 scales applied elementwise, HIGHEST
-# dots. Gated on B * pages_per_seq * ps lanes (VMEM) — bigger configs
-# fall back to the flat ring. Hardware-unverified until the probe sweep
-# records it (ops/dev/probe_decode.py --attn-variants flatwide).
-# ---------------------------------------------------------------------
-
-# lane width cap: 4096 lanes x NH x HS f32 dequant copies must fit VMEM
-# comfortably at 1.5B shapes (25 heads: ~2x26MB + scores ~2x3.3MB)
-_FLATWIDE_LANE_LIMIT = 4096
-
-
-def _flatwide_ok(B: int, pages_per_seq: int, ps: int, NH: int, HS: int,
-                 quant: bool) -> bool:
-    if _variant() != "flatwide" or ps % 128 != 0:
-        return False
-    Lw = B * pages_per_seq * ps
-    if Lw > _FLATWIDE_LANE_LIMIT:
-        return False
-    # src buffers + f32 dequant copies + scores/p planes (+ wide scales)
-    item = 1 if quant else 4
-    need = 2 * NH * HS * Lw * item + 2 * NH * HS * Lw * 4 \
-        + 2 * NH * B * Lw * 4 + (2 * NH * Lw * 4 if quant else 0)
-    return need <= 96 * 1024 * 1024
-
-
-def _make_flash_decode_flatwide_kernel(B: int, W: int, quant: bool):
-    """Build the flatwide kernel (see the section comment above). W is
-    the block-table width (pages_per_seq); lane slot (b*W + j) holds row
-    b's j-th LIVE page (ordinal from the live range's first page), so
-    ownership and positions are static functions of the lane index. Slots
-    whose page was never DMA'd hold stale data that the position mask
-    discards (their positions are >= the row's length by construction)."""
-
-    def kernel(lengths_ref, starts_ref, tables_ref, q_ref, k_hbm, v_hbm,
-               *rest):
-        if quant:
-            (ksc_ref, vsc_ref, out_ref, m_out, l_out, kbuf, vbuf,
-             kscw, vscw, sems) = rest
-        else:
-            out_ref, m_out, l_out, kbuf, vbuf, sems = rest
-        NH, HS, Lw = kbuf.shape
-        P = k_hbm.shape[0]
-        ps = Lw // (B * W)
-        firsts = [starts_ref[b] // ps for b in range(B)]
-
-        # EVERY slot is DMA'd — slots past a row's live range re-fetch a
-        # clamped (valid) table entry. The duplicate bytes are masked by
-        # position; the point is that every buffer lane is written every
-        # call, so no dot ever touches uninitialized VMEM (stale bits can
-        # be NaN/Inf payloads, and 0 * NaN = NaN would leak through the
-        # masked PV contraction). It also keeps the issue/wait sequences
-        # branch-free.
-        def page_of(b, j):
-            idx = jnp.clip(firsts[b] + j, 0, tables_ref.shape[1] - 1)
-            return jnp.clip(tables_ref[b, idx], 0, P - 1)
-
-        def kdma(b, j):
-            off = (b * W + j) * ps               # static lane offset
-            return pltpu.make_async_copy(
-                k_hbm.at[page_of(b, j)], kbuf.at[:, :, pl.ds(off, ps)],
-                sems.at[0])
-
-        def vdma(b, j):
-            off = (b * W + j) * ps
-            return pltpu.make_async_copy(
-                v_hbm.at[page_of(b, j)], vbuf.at[:, :, pl.ds(off, ps)],
-                sems.at[1])
-
-        # issue every slot's DMA up front (the DMA engines queue them);
-        # scale rows are VMEM->VMEM vector copies, done inline
-        for b in range(B):
-            for j in range(W):
-                kdma(b, j).start()
-                vdma(b, j).start()
-                if quant:
-                    off = (b * W + j) * ps
-                    page = page_of(b, j)
-                    kscw[:, off:off + ps] = ksc_ref[page]
-                    vscw[:, off:off + ps] = vsc_ref[page]
-
-        # wait for all of them (DMA semaphores count: each wait consumes
-        # exactly one same-shaped copy's signal, order irrelevant)
-        for b in range(B):
-            for j in range(W):
-                kdma(b, j).wait()
-                vdma(b, j).wait()
-
-        kf = kbuf[...].astype(jnp.float32)
-        vf = vbuf[...].astype(jnp.float32)
-        if quant:
-            kf = kf * kscw[...][:, None, :]
-            vf = vf * vscw[...][:, None, :]
-        q = q_ref[...].astype(jnp.float32).swapaxes(0, 1)   # (NH, B, HS)
-        scale = jax.lax.rsqrt(jnp.float32(HS))
-        scores = jax.lax.dot_general(
-            q, kf, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST) * scale    # (NH, B, Lw)
-
-        col = jax.lax.broadcasted_iota(jnp.int32, (B, Lw), 1)
-        row = jax.lax.broadcasted_iota(jnp.int32, (B, Lw), 0)
-        local = col - row * (W * ps)        # lane offset within own slots
-        firsts_v = jnp.stack(firsts)
-        lengths_v = jnp.stack([lengths_ref[b] for b in range(B)])
-        starts_v = jnp.stack([starts_ref[b] for b in range(B)])
-        pos = firsts_v[:, None] * ps + local
-        valid = (col // (W * ps) == row) \
-            & (pos >= starts_v[:, None]) & (pos < lengths_v[:, None])
-        scores = jnp.where(valid[None], scores, NEG_INF)
-        m = jnp.max(scores, axis=2)                         # (NH, B)
-        # masked rows: scores - m = NEG_INF - NEG_INF = nan; the where
-        # keeps the parts contract (p = 0, l = 0, m = NEG_INF)
-        p = jnp.where(valid[None], jnp.exp(scores - m[..., None]), 0.0)
-        l = jnp.sum(p, axis=2)
-        acc = jax.lax.dot_general(
-            p, vf, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)            # (NH, B, HS)
-        out_ref[...] = acc.swapaxes(0, 1).astype(out_ref.dtype)
-        m_out[...] = m.swapaxes(0, 1)[..., None]
-        l_out[...] = l.swapaxes(0, 1)[..., None]
-
-    return kernel
-
-
-def _flatwide_parts_call(q, k_pages, v_pages, block_tables, lengths, starts,
-                         scales, interpret: bool):
-    """pallas_call wrapper for the flatwide kernels (parts contract)."""
-    B, NH, HS = q.shape
-    P, _, _, ps = k_pages.shape
-    W = block_tables.shape[1]
-    Lw = B * W * ps
-    quant = scales is not None
-    in_specs = [
-        pl.BlockSpec((B, NH, HS), lambda i, *_: (0, 0, 0)),
-        pl.BlockSpec(memory_space=pltpu.HBM),
-        pl.BlockSpec(memory_space=pltpu.HBM),
-    ]
-    operands = [q, k_pages, v_pages]
-    if quant:
-        in_specs += [pl.BlockSpec((P, NH, ps), lambda i, *_: (0, 0, 0)),
-                     pl.BlockSpec((P, NH, ps), lambda i, *_: (0, 0, 0))]
-        operands += list(scales)
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(1,),
-        in_specs=in_specs,
-        out_specs=[
-            pl.BlockSpec((B, NH, HS), lambda i, *_: (0, 0, 0)),
-            pl.BlockSpec((B, NH, 1), lambda i, *_: (0, 0, 0)),
-            pl.BlockSpec((B, NH, 1), lambda i, *_: (0, 0, 0)),
-        ],
-        scratch_shapes=(
-            [pltpu.VMEM((NH, HS, Lw), k_pages.dtype),
-             pltpu.VMEM((NH, HS, Lw), v_pages.dtype)]
-            + ([pltpu.VMEM((NH, Lw), jnp.float32),
-                pltpu.VMEM((NH, Lw), jnp.float32)] if quant else [])
-            + [pltpu.SemaphoreType.DMA((2,))]
-        ),
-    )
-    kv_bytes = 2 * B * NH * W * ps * HS * jnp.dtype(k_pages.dtype).itemsize
-    if quant:
-        kv_bytes += 2 * P * NH * ps * 4   # whole scale arrays ride to VMEM
-    acc, m, l = pl.pallas_call(
-        _make_flash_decode_flatwide_kernel(B, W, quant),
-        grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct((B, NH, HS), jnp.float32),
-                   jax.ShapeDtypeStruct((B, NH, 1), jnp.float32),
-                   jax.ShapeDtypeStruct((B, NH, 1), jnp.float32)],
-        interpret=interpret,
-        cost_estimate=pl.CostEstimate(
-            flops=4 * B * NH * B * W * ps * HS,   # includes masked columns
-            bytes_accessed=kv_bytes + B * NH * HS * 4,
-            transcendentals=B * NH * B * W * ps,
-        ),
-    )(lengths, starts, block_tables, *operands)
-    return acc, m[..., 0], l[..., 0]
-
 
 def _make_flash_decode_flat_mq_kernel(B: int, KQ: int, quant: bool,
                                       scale_dma: bool = False):
@@ -740,25 +540,19 @@ def _make_flash_decode_flat_mq_kernel(B: int, KQ: int, quant: bool,
 
                 page = tables_ref[b, first_b + i]
                 wait_pair(slot, page)
-                if quant and scale_dma:
-                    k = kbuf[slot].astype(jnp.float32) \
-                        * ksbuf[slot][:, None, :]
-                    v = vbuf[slot].astype(jnp.float32) \
-                        * vsbuf[slot][:, None, :]
-                elif quant:
-                    k = kbuf[slot].astype(jnp.float32) \
-                        * ksc_ref[page][:, None, :]
-                    v = vbuf[slot].astype(jnp.float32) \
-                        * vsc_ref[page][:, None, :]
-                else:
-                    k = kbuf[slot].astype(jnp.float32)
-                    v = vbuf[slot].astype(jnp.float32)
+                # int8 scales fold in POST-dot (per column, not per
+                # element — see the gridb kernel comment)
+                k = kbuf[slot].astype(jnp.float32)
+                v = vbuf[slot].astype(jnp.float32)
                 scores = jax.lax.dot_general(
                     q, k,
                     dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST,
                 ) * scale                             # (NH, KQ, ps)
+                if quant:
+                    ks_row = ksbuf[slot] if scale_dma else ksc_ref[page]
+                    scores = scores * ks_row[:, None, :]
                 pos = (first_b + i) * ps + jax.lax.broadcasted_iota(
                     jnp.int32, scores.shape, 2)
                 scores = jnp.where((pos < length) & (pos >= start), scores,
@@ -774,6 +568,9 @@ def _make_flash_decode_flat_mq_kernel(B: int, KQ: int, quant: bool,
                 p = jnp.where(scores > NEG_INF * 0.5, p, 0.0)
                 alpha = jnp.exp(m - m_new)
                 l_new = l * alpha + jnp.sum(p, axis=2, keepdims=True)
+                if quant:
+                    vs_row = vsbuf[slot] if scale_dma else vsc_ref[page]
+                    p = p * vs_row[:, None, :]
                 pv = jax.lax.dot_general(
                     p, v,
                     dimension_numbers=(((2,), (2,)), ((0,), (0,))),
@@ -1016,9 +813,6 @@ def paged_decode_attention_parts(q: jax.Array, k_pages: jax.Array,
         return paged_decode_attention_parts_xla(q, k_pages, v_pages,
                                                 block_tables, lengths,
                                                 starts)
-    if _flatwide_ok(B, pages_per_seq, ps, NH, HS, quant=False):
-        return _flatwide_parts_call(q, k_pages, v_pages, block_tables,
-                                    lengths, starts, None, interpret)
     if _flat_ok(B, pages_per_seq):
         return _flat_parts_call(q, k_pages, v_pages, block_tables, lengths,
                                 starts, None, interpret)
@@ -1172,10 +966,6 @@ def paged_decode_attention_quant_parts(q: jax.Array, k_pages: jax.Array,
         return paged_decode_attention_quant_parts_xla(
             q, k_pages, v_pages, k_scale, v_scale, block_tables, lengths,
             starts)
-    if _flatwide_ok(B, pages_per_seq, ps, NH, HS, quant=True):
-        return _flatwide_parts_call(q, k_pages, v_pages, block_tables,
-                                    lengths, starts, (k_scale, v_scale),
-                                    interpret)
     if _flat_ok(B, block_tables.shape[1]):
         return _flat_parts_call(q, k_pages, v_pages, block_tables, lengths,
                                 starts, (k_scale, v_scale), interpret)

@@ -107,138 +107,39 @@ def test_flat_kernel_ring_depths(nbuf, monkeypatch):
                                rtol=1e-5, atol=2e-5)
 
 
-def test_flatwide_kernel_matches_oracle(monkeypatch):
-    """The flatwide variant (every live page DMA'd into one wide lane
-    buffer, whole-batch masked attention in two dots) must match the XLA
-    oracle on ragged lengths, zero-length rows, and window starts, for
-    float and int8 pools, and must stay finite on fully-masked rows."""
-    monkeypatch.setenv("LLMC_ATTN_VARIANT", "flatwide")
-    jax.clear_caches()
+def test_lab_flatwide_matches_oracle():
+    """LAB artifact regression (ops/dev/lab_flatwide.py): the flatwide
+    wide-buffer kernel measured 40x slower compiled (see its docstring)
+    but must stay oracle-equivalent as the design record."""
     from llmc_paged_tpu.kv.layouts import quantize_pages
+    from llmc_paged_tpu.ops.dev.lab_flatwide import _flatwide_parts_call
     from llmc_paged_tpu.ops.paged_attention import (
-        _flatwide_ok, paged_decode_attention_parts,
-        paged_decode_attention_parts_xla, paged_decode_attention_quant,
-        paged_decode_attention_quant_xla)
+        paged_decode_attention_parts_xla,
+        paged_decode_attention_quant_parts_xla)
 
     ps, P, pps, B = 128, 14, 4, 3
-    assert _flatwide_ok(B, pps, ps, 4, 64, quant=True)
     q, k, v, tables, _ = rand_case(B=B, P=P, ps=ps, pps=pps, seed=21)
     lengths = jnp.asarray(np.array([0, 2 * ps + 3, 4 * ps], np.int32))
     starts = jnp.asarray(np.array([0, ps + 5, 2], np.int32))
-    acc, m, l = paged_decode_attention_parts(q, k, v, tables, lengths,
-                                             starts, interpret=INTERP)
+    live = np.asarray(lengths) > 0
+    acc, m, l = _flatwide_parts_call(q, k, v, tables, lengths, starts,
+                                     None, INTERP)
     acc_x, m_x, l_x = paged_decode_attention_parts_xla(
         q, k, v, tables, lengths, starts)
-    live = np.asarray(lengths) > 0
     for got, want in ((acc, acc_x), (m, m_x), (l, l_x)):
         np.testing.assert_allclose(np.asarray(got)[live],
                                    np.asarray(want)[live],
                                    rtol=1e-5, atol=1e-5)
     assert np.all(np.isfinite(np.asarray(acc)))
-    assert np.all(np.isfinite(np.asarray(l)))
-
     kq, ks = quantize_pages(k)
     vq, vs = quantize_pages(v)
-    out_q = paged_decode_attention_quant(q, kq, vq, ks, vs, tables,
-                                         lengths, starts, interpret=INTERP)
-    out_qx = paged_decode_attention_quant_xla(q, kq, vq, ks, vs, tables,
-                                              lengths, starts)
-    np.testing.assert_allclose(np.asarray(out_q)[live],
-                               np.asarray(out_qx)[live],
+    acc, m, l = _flatwide_parts_call(q, kq, vq, tables, lengths, starts,
+                                     (ks, vs), INTERP)
+    acc_x, m_x, l_x = paged_decode_attention_quant_parts_xla(
+        q, kq, vq, ks, vs, tables, lengths, starts)
+    np.testing.assert_allclose(np.asarray(acc)[live],
+                               np.asarray(acc_x)[live],
                                rtol=1e-5, atol=2e-5)
-    assert np.all(np.isfinite(np.asarray(out_q)))
-
-
-def test_flatwide_randomized_schedules(monkeypatch):
-    """Random ragged schedules through the flatwide dispatch (the static
-    slot layout + clamped duplicate DMAs must never leak stale or
-    cross-sequence data)."""
-    monkeypatch.setenv("LLMC_ATTN_VARIANT", "flatwide")
-    jax.clear_caches()
-    rng = np.random.default_rng(77)
-    NH, HS, ps = 4, 64, 128
-    for case in range(8):
-        B = int(rng.integers(1, 6))
-        pps = int(rng.integers(1, 5))
-        P = B * pps + 1
-        q = jnp.asarray(rng.standard_normal((B, NH, HS), dtype=np.float32))
-        k = jnp.asarray(
-            rng.standard_normal((P, NH, HS, ps), dtype=np.float32))
-        v = jnp.asarray(
-            rng.standard_normal((P, NH, HS, ps), dtype=np.float32))
-        tables = jnp.asarray(
-            rng.permutation(P)[: B * pps].reshape(B, pps).astype(np.int32))
-        lengths = rng.integers(0, pps * ps + 1, B).astype(np.int32)
-        starts = np.asarray([0 if n == 0 else int(rng.integers(0, n))
-                             for n in lengths], np.int32)
-        out_k = paged_decode_attention(q, k, v, tables,
-                                       jnp.asarray(lengths),
-                                       jnp.asarray(starts),
-                                       interpret=INTERP)
-        out_x = paged_decode_attention_xla(q, k, v, tables,
-                                           jnp.asarray(lengths),
-                                           jnp.asarray(starts))
-        live = lengths > 0
-        np.testing.assert_allclose(
-            np.asarray(out_k)[live], np.asarray(out_x)[live],
-            rtol=1e-5, atol=1e-5,
-            err_msg=f"case {case}: B={B} pps={pps} lengths={lengths} "
-                    f"starts={starts}")
-
-
-def test_flatwide_chunk_token_equality(monkeypatch):
-    """decode_chunk_paged under LLMC_ATTN_VARIANT=flatwide must emit the
-    same tokens as the default flat ring (the serving-path integration:
-    pool prefix parts merged with the in-flight tail)."""
-    from llmc_paged_tpu.config import PageConfig
-    from llmc_paged_tpu.kv.layouts import init_pool
-    from llmc_paged_tpu.models.gpt2_paged import decode_chunk_paged
-
-    cfg = GPT2Config.tiny(num_layers=2, num_heads=4, channels=256,
-                          vocab_size=512, max_seq_len=1024)
-    ps, B, CHUNK, prompt = 128, 3, 8, 130
-    pps = 3
-    page_cfg = PageConfig(page_size=ps, num_pages=B * pps + 2, max_seqs=B,
-                          pages_per_seq=pps)
-    params = gpt2.to_device(gpt2.init_params(cfg, jax.random.PRNGKey(0)),
-                            cfg)
-    mgr = BlockManager(page_cfg.num_pages, ps, B)
-    pgs = np.zeros((CHUNK, B), np.int32)
-    sls = np.zeros((CHUNK, B), np.int32)
-    for b in range(B):
-        mgr.append_tokens(b, prompt)
-        segs, _ = mgr.append_tokens(b, CHUNK)
-        coords = [(s.page, s.offset + i) for s in segs
-                  for i in range(s.count)]
-        for j, (pj, sj) in enumerate(coords):
-            pgs[j, b], sls[j, b] = pj, sj
-    tables = jnp.asarray(np.stack(
-        [mgr.block_table_array(b, pps) for b in range(B)]))
-    first = jnp.zeros(B, jnp.int32)
-    pos0 = jnp.full(B, prompt, jnp.int32)
-    args = (params, first, pos0, jnp.asarray(pgs), jnp.asarray(sls), tables)
-
-    def run():
-        # seed the pool so the chunk attends a non-trivial prefix
-        pool = init_pool(cfg, page_cfg)
-        rng = np.random.default_rng(5)
-        pool = type(pool)(
-            tuple(jnp.asarray(rng.standard_normal(a.shape), a.dtype) * 0.3
-                  for a in pool.k),
-            tuple(jnp.asarray(rng.standard_normal(a.shape), a.dtype) * 0.3
-                  for a in pool.v))
-        out, _ = decode_chunk_paged(*args, pool, cfg, num_steps=CHUNK,
-                                    window=cfg.max_seq_len)
-        return np.asarray(out)
-
-    monkeypatch.setenv("LLMC_ATTN_VARIANT", "flat")
-    jax.clear_caches()
-    ref = run()
-    monkeypatch.setenv("LLMC_ATTN_VARIANT", "flatwide")
-    jax.clear_caches()
-    got = run()
-    np.testing.assert_array_equal(got, ref)
-    jax.clear_caches()
 
 
 def test_flat_kernel_randomized_schedules():

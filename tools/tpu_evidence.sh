@@ -64,7 +64,7 @@ probe)
     # valuable first (flat4 is the default).
     run 2400 probe-1558 python -m llmc_paged_tpu.ops.dev.probe_decode \
         --model 1558m --skip gemv,kernel,matmul,prefill,attention,unrolled \
-        --dtypes int8b:int8 --attn-variants flat4,flatwide,flat8,gridb
+        --dtypes int8b:int8 --attn-variants flat4,flat8,gridb
     # B: page_size=256 — halves every per-page cost (DMA count, dot
     # count, table walks) at identical KV bytes for the bench shapes
     run 1800 probe-ps256 python -m llmc_paged_tpu.ops.dev.probe_decode \
