@@ -94,7 +94,7 @@ def gemv_suite(B: int, cfg):
 
 
 def kernel_suite(B: int, cfg, page_size=32, pages_per_seq=10,
-                 quant=False, live_pages=None):
+                 quant=False, live_pages=None, qdtype=None):
     """One paged-attention layer-call in isolation. The default shapes
     are the historical ps=32 grid-kernel row; serving-shape rows
     (ps=128/256, int8, partial live range) are emitted by kernel_serving
@@ -122,7 +122,8 @@ def kernel_suite(B: int, cfg, page_size=32, pages_per_seq=10,
     live = pages_per_seq if live_pages is None else live_pages
     lengths = jnp.full((B,), page_size * live, jnp.int32)
     starts = jnp.zeros((B,), jnp.int32)
-    qs = [jnp.asarray(rng.normal(size=(B, NH, HS)), jnp.float32)
+    qdt = qdtype or jnp.float32
+    qs = [jnp.asarray(rng.normal(size=(B, NH, HS)), qdt)
           for _ in range(24)]
     base = paged_decode_attention_quant if quant else paged_decode_attention
     interp = jax.default_backend() != "tpu"
@@ -135,8 +136,8 @@ def kernel_suite(B: int, cfg, page_size=32, pages_per_seq=10,
     bytes_moved = 2 * B * live * page_size * NH * (HS * itemsize
                                                    + (4 if quant else 0))
     print(f"-- paged attention kernel: B={B} pages/seq={pages_per_seq} "
-          f"live={live} ps={page_size} {'int8' if quant else 'f32'}: "
-          f"{dt*1e6:.1f} us/layer-call, "
+          f"live={live} ps={page_size} {'int8' if quant else 'f32'}"
+          f" q={np.dtype(qdt).name}: {dt*1e6:.1f} us/layer-call, "
           f"{bytes_moved/dt/1e9:.1f} GB/s --")
 
 
@@ -146,6 +147,8 @@ def kernel_serving(B: int, cfg, page_size=128):
     plus a full-table row and a float row for comparison."""
     pps = max(2, -(-(128 + 128) // page_size) + 1)
     kernel_suite(B, cfg, page_size, pps, quant=True, live_pages=pps - 1)
+    kernel_suite(B, cfg, page_size, pps, quant=True, live_pages=pps - 1,
+                 qdtype=jnp.bfloat16)   # serving q dtype (bf16 fast path)
     kernel_suite(B, cfg, page_size, pps, quant=True)
     kernel_suite(B, cfg, page_size, pps, quant=False, live_pages=pps - 1)
 

@@ -105,6 +105,21 @@ def _flat_nbuf() -> int:
 _SCALE_VMEM_BUDGET_BYTES = 32 * 1024 * 1024
 
 
+def _compute_dtype(q_dtype, pool_dtype):
+    """Kernel compute dtype + dot precision. bf16 fast path: serving
+    activations are bf16 (q arrives bf16) and int8/bf16 pages are EXACT
+    in bf16, so QK products lose nothing (bf16xbf16 products are exact
+    in the MXU's f32 accumulator) while the dots run native single-pass
+    instead of the f32-HIGHEST multi-pass decomposition. The PV
+    probabilities round to bf16 (~4e-3 relative) — the same order as
+    the bf16 activations the attention output is cast to anyway. f32 q
+    (fp32 parity mode, kernel-vs-oracle tests) keeps the exact f32 path,
+    as does any f32 pool."""
+    if q_dtype == jnp.float32 or jnp.dtype(pool_dtype).itemsize == 4:
+        return jnp.float32, jax.lax.Precision.HIGHEST
+    return jnp.bfloat16, jax.lax.Precision.DEFAULT
+
+
 def _make_flash_decode_gridb_kernel(quant: bool):
     """Build the (B,)-grid flash-decode kernel (round-2 serving variant,
     now the fallback behind the flat kernel): one Mosaic program per
@@ -155,7 +170,8 @@ def _make_flash_decode_gridb_kernel(quant: bool):
             kdma(0, 0).start()
             vdma(0, 0).start()
 
-        q = q_ref[0].astype(jnp.float32)              # (NH, HS)
+        cd, prec = _compute_dtype(q_ref.dtype, kbuf.dtype)
+        q = q_ref[0].astype(cd)                       # (NH, HS)
         scale = jax.lax.rsqrt(jnp.float32(HS))
 
         def body(i, carry):
@@ -175,13 +191,13 @@ def _make_flash_decode_gridb_kernel(quant: bool):
             # (NH, ps) ones (the cast feeds the MXU directly). Same
             # math, ~HS x fewer VPU multiplies; kernel-vs-oracle diffs
             # stay ~1e-7 (dot products of exact int8 values in f32).
-            k = kbuf[slot].astype(jnp.float32)        # (NH, HS, ps)
-            v = vbuf[slot].astype(jnp.float32)
+            k = kbuf[slot].astype(cd)                 # (NH, HS, ps)
+            v = vbuf[slot].astype(cd)
             scores = jax.lax.dot_general(
                 q[:, None, :], k,
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=prec,
             )[:, 0, :] * scale                        # (NH, ps)
             if quant:
                 page = tables_ref[b, first + i]
@@ -204,10 +220,10 @@ def _make_flash_decode_gridb_kernel(quant: bool):
                 page = tables_ref[b, first + i]
                 p = p * vsc_ref[page]     # post-dot V dequant (see above)
             pv = jax.lax.dot_general(
-                p[:, None, :], v,
+                p.astype(cd)[:, None, :], v,
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
+                precision=prec,
             )[:, 0, :]
             return m_new, l_new, acc * alpha + pv
 
@@ -272,6 +288,7 @@ def _make_flash_decode_flat_kernel(B: int, quant: bool,
             out_ref, m_out, l_out, kbuf, vbuf, sems, sched_ref = rest
         NBUF, NH, HS, ps = kbuf.shape
         scale = jax.lax.rsqrt(jnp.float32(HS))
+        cd, prec = _compute_dtype(q_ref.dtype, kbuf.dtype)
 
         firsts = [starts_ref[b] // ps for b in range(B)]
         nums = []
@@ -321,7 +338,7 @@ def _make_flash_decode_flat_kernel(B: int, quant: bool,
         for b in range(B):
             num_b, first_b = nums[b], firsts[b]
             length, start = lengths_ref[b], starts_ref[b]
-            q = q_ref[b].astype(jnp.float32)          # (NH, HS)
+            q = q_ref[b].astype(cd)                   # (NH, HS)
 
             def body(i, carry, b=b, num_b=num_b, first_b=first_b,
                      length=length, start=start, q=q, total=total):
@@ -337,13 +354,13 @@ def _make_flash_decode_flat_kernel(B: int, quant: bool,
                 wait_pair(slot, page)
                 # int8 scales fold in POST-dot (per column, not per
                 # element — see the gridb kernel comment)
-                k = kbuf[slot].astype(jnp.float32)
-                v = vbuf[slot].astype(jnp.float32)
+                k = kbuf[slot].astype(cd)
+                v = vbuf[slot].astype(cd)
                 scores = jax.lax.dot_general(
                     q[:, None, :], k,
                     dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
+                    precision=prec,
                 )[:, 0, :] * scale                    # (NH, ps)
                 if quant:
                     scores = scores * (ksbuf[slot] if scale_dma
@@ -366,10 +383,10 @@ def _make_flash_decode_flat_kernel(B: int, quant: bool,
                 if quant:
                     p = p * (vsbuf[slot] if scale_dma else vsc_ref[page])
                 pv = jax.lax.dot_general(
-                    p[:, None, :], v,
+                    p.astype(cd)[:, None, :], v,
                     dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
+                    precision=prec,
                 )[:, 0, :]
                 return ord_ + 1, m_new, l_new, acc * alpha + pv
 
@@ -478,6 +495,7 @@ def _make_flash_decode_flat_mq_kernel(B: int, KQ: int, quant: bool,
             out_ref, m_out, l_out, kbuf, vbuf, sems, sched_ref = rest
         NBUF, NH, HS, ps = kbuf.shape
         scale = jax.lax.rsqrt(jnp.float32(HS))
+        cd, prec = _compute_dtype(q_ref.dtype, kbuf.dtype)
 
         firsts = [starts_ref[b] // ps for b in range(B)]
         nums = []
@@ -526,7 +544,7 @@ def _make_flash_decode_flat_mq_kernel(B: int, KQ: int, quant: bool,
             num_b, first_b = nums[b], firsts[b]
             length, start = lengths_ref[b], starts_ref[b]
             # (KQ, NH, HS) -> (NH, KQ, HS): NH is the dot batch dim
-            q = q_ref[b].astype(jnp.float32).swapaxes(0, 1)
+            q = q_ref[b].astype(cd).swapaxes(0, 1)
 
             def body(i, carry, b=b, num_b=num_b, first_b=first_b,
                      length=length, start=start, q=q, total=total):
@@ -542,13 +560,13 @@ def _make_flash_decode_flat_mq_kernel(B: int, KQ: int, quant: bool,
                 wait_pair(slot, page)
                 # int8 scales fold in POST-dot (per column, not per
                 # element — see the gridb kernel comment)
-                k = kbuf[slot].astype(jnp.float32)
-                v = vbuf[slot].astype(jnp.float32)
+                k = kbuf[slot].astype(cd)
+                v = vbuf[slot].astype(cd)
                 scores = jax.lax.dot_general(
                     q, k,
                     dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
+                    precision=prec,
                 ) * scale                             # (NH, KQ, ps)
                 if quant:
                     ks_row = ksbuf[slot] if scale_dma else ksc_ref[page]
@@ -572,10 +590,10 @@ def _make_flash_decode_flat_mq_kernel(B: int, KQ: int, quant: bool,
                     vs_row = vsbuf[slot] if scale_dma else vsc_ref[page]
                     p = p * vs_row[:, None, :]
                 pv = jax.lax.dot_general(
-                    p, v,
+                    p.astype(cd), v,
                     dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32,
-                    precision=jax.lax.Precision.HIGHEST,
+                    precision=prec,
                 )                                     # (NH, KQ, HS)
                 return ord_ + 1, m_new, l_new, acc * alpha + pv
 
