@@ -171,7 +171,10 @@ def _make_flash_decode_gridb_kernel(quant: bool):
             vdma(0, 0).start()
 
         cd, prec = _compute_dtype(q_ref.dtype, kbuf.dtype)
-        q = q_ref[0].astype(cd)                       # (NH, HS)
+        # reshape in f32 FIRST: Mosaic rejects bf16 singleton-dim shape
+        # casts ((1,NH,HS)->(NH,1,HS) "unsupported shape cast"); the f32
+        # relayout is supported and the cast after it is elementwise
+        q3 = q_ref[0].astype(jnp.float32)[:, None, :].astype(cd)
         scale = jax.lax.rsqrt(jnp.float32(HS))
 
         def body(i, carry):
@@ -194,7 +197,7 @@ def _make_flash_decode_gridb_kernel(quant: bool):
             k = kbuf[slot].astype(cd)                 # (NH, HS, ps)
             v = vbuf[slot].astype(cd)
             scores = jax.lax.dot_general(
-                q[:, None, :], k,
+                q3, k,
                 dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
                 precision=prec,
@@ -220,14 +223,14 @@ def _make_flash_decode_gridb_kernel(quant: bool):
                 page = tables_ref[b, first + i]
                 p = p * vsc_ref[page]     # post-dot V dequant (see above)
             pv = jax.lax.dot_general(
-                p.astype(cd)[:, None, :], v,
+                p[:, None, :].astype(cd), v,
                 dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                 preferred_element_type=jnp.float32,
                 precision=prec,
             )[:, 0, :]
             return m_new, l_new, acc * alpha + pv
 
-        NH = q.shape[0]
+        NH = q3.shape[0]
         m0 = jnp.full((NH, 1), NEG_INF, jnp.float32)
         l0 = jnp.zeros((NH, 1), jnp.float32)
         a0 = jnp.zeros((NH, HS), jnp.float32)
@@ -338,10 +341,11 @@ def _make_flash_decode_flat_kernel(B: int, quant: bool,
         for b in range(B):
             num_b, first_b = nums[b], firsts[b]
             length, start = lengths_ref[b], starts_ref[b]
-            q = q_ref[b].astype(cd)                   # (NH, HS)
+            # f32-first reshape (see the gridb kernel comment)
+            q3 = q_ref[b].astype(jnp.float32)[:, None, :].astype(cd)
 
             def body(i, carry, b=b, num_b=num_b, first_b=first_b,
-                     length=length, start=start, q=q, total=total):
+                     length=length, start=start, q3=q3, total=total):
                 ord_, m, l, acc = carry
                 slot = jax.lax.rem(ord_, NBUF)
 
@@ -357,7 +361,7 @@ def _make_flash_decode_flat_kernel(B: int, quant: bool,
                 k = kbuf[slot].astype(cd)
                 v = vbuf[slot].astype(cd)
                 scores = jax.lax.dot_general(
-                    q[:, None, :], k,
+                    q3, k,
                     dimension_numbers=(((2,), (1,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32,
                     precision=prec,
@@ -383,7 +387,7 @@ def _make_flash_decode_flat_kernel(B: int, quant: bool,
                 if quant:
                     p = p * (vsbuf[slot] if scale_dma else vsc_ref[page])
                 pv = jax.lax.dot_general(
-                    p.astype(cd)[:, None, :], v,
+                    p[:, None, :].astype(cd), v,
                     dimension_numbers=(((2,), (2,)), ((0,), (0,))),
                     preferred_element_type=jnp.float32,
                     precision=prec,
@@ -543,8 +547,10 @@ def _make_flash_decode_flat_mq_kernel(B: int, KQ: int, quant: bool,
         for b in range(B):
             num_b, first_b = nums[b], firsts[b]
             length, start = lengths_ref[b], starts_ref[b]
-            # (KQ, NH, HS) -> (NH, KQ, HS): NH is the dot batch dim
-            q = q_ref[b].astype(cd).swapaxes(0, 1)
+            # (KQ, NH, HS) -> (NH, KQ, HS): NH is the dot batch dim.
+            # Transpose in f32 first (bf16 relayouts are rejected; see
+            # the gridb kernel comment), cast after.
+            q = q_ref[b].astype(jnp.float32).swapaxes(0, 1).astype(cd)
 
             def body(i, carry, b=b, num_b=num_b, first_b=first_b,
                      length=length, start=start, q=q, total=total):
