@@ -358,31 +358,7 @@ def stage_m124(budget: _Budget):
                 "sampler": "xorshift parity (host, 1 sync/token)",
                 "new_tokens": n_new}
     part.sub("parity_sampling", parity, budget,
-             est_s=20 if _smoke() else 80)
-
-    # MEASURED max concurrent seqs per GB: admit 256-token sequences into
-    # a pool deliberately smaller than the slot count until pages bind
-    def pool_fill():
-        num_pages = 12          # 6 concurrent 2-page sequences < 8 slots
-        n_reqs = 12
-        p_len, n_new = 128, 128   # 256 tokens = exactly 2 pages of 128
-        if _smoke():
-            p_len, n_new = 32, 32
-        engine = _engine(params32, cfg, param_dtype="int8", kv_dtype="int8",
-                         B=B, CHUNK=32, num_pages=num_pages)
-        fprompts = _prompts(cfg, n_reqs, p_len, seed=7)
-        done = _run_requests(engine, fprompts, n_new)
-        assert len(done) == n_reqs
-        peak_pages = engine.stats["peak_pages_used"]
-        pool_gb = (num_pages * 128 * _kv_bytes_per_token(cfg, "int8")
-                   / 2**30)
-        concurrent = peak_pages // 2   # 2 pages per 256-token sequence
-        return {"peak_pages_used": int(peak_pages),
-                "pool_gb": round(pool_gb, 4),
-                "concurrent_256tok_seqs": int(concurrent),
-                "measured_seqs_256tok_per_gb": int(concurrent / pool_gb),
-                "preemptions": engine.stats["preemptions"]}
-    part.sub("pool_fill", pool_fill, budget, est_s=20 if _smoke() else 70)
+             est_s=20 if _smoke() else 35)
 
     # speculative decoding (greedy-exact device n-gram drafting, engine
     # spec_k): config-3 shapes at the headline dtype. tok/s here rides
@@ -482,6 +458,32 @@ def stage_m124(budget: _Budget):
                 "dtype": "float32 parity config"}
     part.sub("parity_ps32", parity_ps32, budget,
              est_s=25 if _smoke() else 60)
+
+    # MEASURED max concurrent seqs per GB: admit 256-token sequences into
+    # a pool deliberately smaller than the slot count until pages bind
+    def pool_fill():
+        num_pages = 12          # 6 concurrent 2-page sequences < 8 slots
+        n_reqs = 12
+        p_len, n_new = 128, 128   # 256 tokens = exactly 2 pages of 128
+        if _smoke():
+            p_len, n_new = 32, 32
+        engine = _engine(params32, cfg, param_dtype="int8", kv_dtype="int8",
+                         B=B, CHUNK=32, num_pages=num_pages)
+        fprompts = _prompts(cfg, n_reqs, p_len, seed=7)
+        done = _run_requests(engine, fprompts, n_new)
+        assert len(done) == n_reqs
+        peak_pages = engine.stats["peak_pages_used"]
+        pool_gb = (num_pages * 128 * _kv_bytes_per_token(cfg, "int8")
+                   / 2**30)
+        concurrent = peak_pages // 2   # 2 pages per 256-token sequence
+        return {"peak_pages_used": int(peak_pages),
+                "pool_gb": round(pool_gb, 4),
+                "concurrent_256tok_seqs": int(concurrent),
+                "measured_seqs_256tok_per_gb": int(concurrent / pool_gb),
+                "preemptions": engine.stats["preemptions"]}
+    part.sub("pool_fill", pool_fill, budget,
+             est_s=20 if _smoke() else 180)   # warm-measured 178.7s (51
+    #                                           preemption re-prefills)
 
     part.emit()
 
