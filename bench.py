@@ -199,18 +199,29 @@ def _run_requests(engine, prompts, NEW):
 
 def run_paged(params32, cfg, B, prompts, NEW, CHUNK, param_dtype, kv_dtype,
               budget: "_Budget", warmups=2, runs=2):
+    t0 = time.monotonic()
     engine = _engine(params32, cfg, param_dtype=param_dtype,
                      kv_dtype=kv_dtype, B=B, CHUNK=CHUNK)
+    _log(f"  engine init {time.monotonic() - t0:.0f}s")
     # warmup 1 compiles prefill + decode-chunk; warmup 2 smooths relay
-    # first-use effects. Skip warmup 2 / run 2 when the deadline is near.
+    # first-use effects. Under a tight/slow-relay budget drop to one
+    # warmup — getting SOME measured run out beats a smoother one (the
+    # relay's per-dispatch latency was observed to degrade 2-3x within a
+    # session while throughput stayed intact; see docs/TPU_RUNS.md r4).
     warm_new = min(NEW, CHUNK + 3)
+    if not budget.fits(160):
+        warmups = min(warmups, 1)
     for i in range(warmups):
+        t0 = time.monotonic()
         _run_requests(engine, prompts, warm_new)
+        _log(f"  warmup{i} {time.monotonic() - t0:.0f}s")
         if not budget.fits(10):
             break
     best, all_runs = None, []
     for i in range(runs):
+        t0 = time.monotonic()
         done = _run_requests(engine, prompts, NEW)
+        _log(f"  run{i} {time.monotonic() - t0:.0f}s")
         assert len(done) == B and all(len(r.generated) == NEW for r in done)
         all_runs.append(round(engine.stats["decode_tok_per_s"], 2))
         if best is None or engine.stats["decode_tok_per_s"] > \
@@ -258,13 +269,16 @@ class _Partial:
         if not budget.fits(est_s):
             self.out[name] = {"skipped": f"budget ({budget.left():.0f}s "
                               f"left < {est_s}s est)"}
+            _log(f"substage {name}: skipped ({budget.left():.0f}s left)")
         else:
             t0 = time.monotonic()
+            _log(f"substage {name}: start ({budget.left():.0f}s left)")
             try:
                 self.out[name] = fn()
                 self.out[name]["elapsed_s"] = round(time.monotonic() - t0, 1)
             except Exception as e:   # pragma: no cover - diagnostics
                 self.out[name] = {"error": f"{type(e).__name__}: {e}"}
+            _log(f"substage {name}: {time.monotonic() - t0:.0f}s")
         self.emit()
 
 
