@@ -528,6 +528,37 @@ def stage_m1558(budget: _Budget):
                     "roofline_frac": round(roofline_s / step_s, 4)}
         part.sub(name, lambda one=one: one(), budget,
                  est_s=30 if _smoke() else 120)
+
+    # long context: 896-token prompts + 128 new = 8 pages/seq of live KV
+    # per row — the regime the paged design exists for (live-KV bytes
+    # rival the weight stream; the r4 kernel reworks scale with them)
+    def long_ctx():
+        LP, LN = (64, 16) if _smoke() else (896, 128)
+        pps = -(-(LP + LN) // 128) + (0 if _smoke() else 1)
+        lprompts = _prompts(cfg, B, LP, seed=11)
+        from llmc_paged_tpu.config import EngineConfig, PageConfig
+        from llmc_paged_tpu.engine.engine import InferenceEngine
+        page = PageConfig(page_size=128, num_pages=B * pps + 4, max_seqs=B,
+                          pages_per_seq=pps, kv_dtype="int8")
+        econf = EngineConfig(cache_mode="paged", page=page, max_batch=B,
+                             greedy=True, decode_chunk=CHUNK,
+                             param_dtype="int8",
+                             activation_dtype="bfloat16",
+                             prefill_param_dtype="bfloat16")
+        eng = InferenceEngine(_cast_params(params32, cfg, "int8",
+                                           "bfloat16"), cfg, econf)
+        _run_requests(eng, lprompts, 4)    # compile
+        best = 0.0
+        for _ in range(2):
+            done = _run_requests(eng, lprompts, LN)
+            assert len(done) == B
+            best = max(best, eng.stats["decode_tok_per_s"])
+            if not budget.fits(30):
+                break
+        return {"tok_s": round(best, 2), "prompt_len": LP,
+                "new_tokens": LN, "pages_per_seq": pps, "dtype": "int8",
+                "p50_ttft_s": round(eng.stats["p50_ttft_s"], 4)}
+    part.sub("long_ctx", long_ctx, budget, est_s=40 if _smoke() else 110)
     part.emit()
 
 
@@ -656,12 +687,16 @@ def main():
     plan = [("m124", 60, 250), ("m1558", 60, 230), ("m1558_b32", 45, 190)]
     if _smoke():
         plan = [("m124", 20, 120), ("m1558", 15, 80), ("m1558_b32", 15, 60)]
+    # caps are tuned for the driver's ~540s run; a bigger budget (the
+    # cache-warming runs, LLMC_BENCH_BUDGET_S=2700) scales them up so
+    # cold >10min compiles can actually complete and land in the cache
+    cap_scale = max(1.0, budget / (240.0 if _smoke() else 540.0))
     for name, min_s, cap_s in plan:
         left = budget - (time.monotonic() - t0) - reserve
         if left < min_s:
             detail["stages"][name] = f"skipped (budget: {left:.0f}s left)"
             continue
-        status, parsed = _run_child(name, min(cap_s, left))
+        status, parsed = _run_child(name, min(cap_s * cap_scale, left))
         detail["stages"][name] = status
         if parsed:
             if name == "m124":
