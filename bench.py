@@ -113,18 +113,26 @@ def _probe_flat_kernel():
     try:
         for NH in (12, 25):
             B, HS, P, ps = 8, 64, 26, 128
-            q = jnp.zeros((B, NH, HS), jnp.float32)
             kv = jnp.zeros((P, NH, HS, ps), jnp.float32)
-            tables = jnp.zeros((B, 3), jnp.int32)
-            lengths = jnp.ones(B, jnp.int32)
-            out = pa.paged_decode_attention_parts(
-                q, kv, kv, tables, lengths)
-            jax.block_until_ready(out[0])
+            kvb = jnp.zeros((P, NH, HS, ps), jnp.bfloat16)
             kvq = jnp.zeros((P, NH, HS, ps), jnp.int8)
             sc = jnp.ones((P, NH, ps), jnp.float32)
-            out = pa.paged_decode_attention_quant_parts(
-                q, kvq, kvq, sc, sc, tables, lengths)
-            jax.block_until_ready(out[0])
+            tables = jnp.zeros((B, 3), jnp.int32)
+            lengths = jnp.ones(B, jnp.int32)
+            # BOTH compute paths per kernel: f32 q (parity mode) and
+            # bf16 q — the dtype the serving engine actually passes
+            # (it selects the bf16 single-pass dot branch, a different
+            # Mosaic program; dd1a116 exists because that branch hit
+            # layout rejections f32 never did)
+            for qdt in (jnp.float32, jnp.bfloat16):
+                q = jnp.zeros((B, NH, HS), qdt)
+                out = pa.paged_decode_attention_parts(
+                    q, kvb if qdt == jnp.bfloat16 else kv,
+                    kvb if qdt == jnp.bfloat16 else kv, tables, lengths)
+                jax.block_until_ready(out[0])
+                out = pa.paged_decode_attention_quant_parts(
+                    q, kvq, kvq, sc, sc, tables, lengths)
+                jax.block_until_ready(out[0])
     except Exception as e:   # pragma: no cover - chip-only path
         _log(f"flat kernel probe FAILED ({type(e).__name__}); "
              f"falling back to gridb")

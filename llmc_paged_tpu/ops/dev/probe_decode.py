@@ -657,7 +657,8 @@ def main():
             # caches ignore env vars — drop every cached trace so the
             # same-shape suite calls really retrace onto the new kernel
             jax.clear_caches()
-            if variant.startswith("flat"):
+            if variant.startswith("flat") and \
+                    (not variant[4:] or variant[4:].isdigit()):
                 _os.environ["LLMC_ATTN_VARIANT"] = "flat"
                 if variant[4:]:
                     _os.environ["LLMC_ATTN_NBUF"] = variant[4:]
