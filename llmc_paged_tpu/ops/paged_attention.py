@@ -105,17 +105,34 @@ def _flat_nbuf() -> int:
 _SCALE_VMEM_BUDGET_BYTES = 32 * 1024 * 1024
 
 
+def _bf16_fast() -> bool:
+    """Opt-in bf16 compute path (LLMC_ATTN_BF16=1), default OFF.
+
+    Measured on chip (r4): the isolated layer-call dropped 36.7 → 26.2us,
+    but the FULL 1.5B decode chunk didn't move (4.536 → 4.531 ms/step —
+    the kernel is not the step's serial bottleneck), while the ~4e-3 PV
+    rounding broke token-equality guarantees the engine's features are
+    built on (prefix-cache suffix-vs-full equality, debug_checks
+    on/off equality, f32-act vs bf16-act early-token agreement — all
+    caught by the first on-chip suite run). Net: measurable risk, no
+    measured end-to-end win — so it stays off until a workload shows a
+    real gain (long-context KV-bound decode is the candidate). Same jit
+    staleness caveat as _variant()."""
+    return os.environ.get("LLMC_ATTN_BF16", "") \
+        not in ("", "0", "false", "False")
+
+
 def _compute_dtype(q_dtype, pool_dtype):
-    """Kernel compute dtype + dot precision. bf16 fast path: serving
-    activations are bf16 (q arrives bf16) and int8/bf16 pages are EXACT
-    in bf16, so QK products lose nothing (bf16xbf16 products are exact
-    in the MXU's f32 accumulator) while the dots run native single-pass
-    instead of the f32-HIGHEST multi-pass decomposition. The PV
-    probabilities round to bf16 (~4e-3 relative) — the same order as
-    the bf16 activations the attention output is cast to anyway. f32 q
-    (fp32 parity mode, kernel-vs-oracle tests) keeps the exact f32 path,
-    as does any f32 pool."""
-    if q_dtype == jnp.float32 or jnp.dtype(pool_dtype).itemsize == 4:
+    """Kernel compute dtype + dot precision. bf16 fast path (opt-in,
+    see _bf16_fast): serving activations are bf16 (q arrives bf16) and
+    int8/bf16 pages are EXACT in bf16, so QK products lose nothing
+    (bf16xbf16 products are exact in the MXU's f32 accumulator) while
+    the dots run native single-pass instead of the f32-HIGHEST
+    multi-pass decomposition. The PV probabilities round to bf16
+    (~4e-3 relative). f32 q (fp32 parity mode, kernel-vs-oracle tests)
+    always keeps the exact f32 path, as does any f32 pool."""
+    if not _bf16_fast() or q_dtype == jnp.float32 \
+            or jnp.dtype(pool_dtype).itemsize == 4:
         return jnp.float32, jax.lax.Precision.HIGHEST
     return jnp.bfloat16, jax.lax.Precision.DEFAULT
 
