@@ -62,8 +62,10 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 HBM_GBPS = 819e9   # v5e HBM bandwidth (How to Scale Your Model, v5e spec)
 
 # Fallback for vs_baseline when the in-run baseline substage could not
-# run: the same strategy measured on this chip in round 2 (docs/TPU_RUNS.md).
-BASELINE_FALLBACK_TOK_S = 25.72
+# run: the same strategy measured on this chip (round 4 measured it at
+# 30.6-32.6 tok/s; the HIGHEST value is used so a fallback can only
+# understate the speedup, never inflate it) — docs/TPU_RUNS.md.
+BASELINE_FALLBACK_TOK_S = 32.56
 
 
 def _log(msg: str) -> None:
@@ -343,7 +345,9 @@ def stage_m124(budget: _Budget):
         nocache.generate_nocache(prompts[0], steps, window=PROMPT)
         return {"tok_s": round(steps / (time.monotonic() - t0), 2),
                 "strategy": "infer.c full-recompute window, B=1, fp32"}
-    part.sub("baseline_infer_c", baseline, budget, est_s=15 if _smoke() else 40)
+    # warm-measured 2.5-6.7s; an inflated estimate skipped it in a run
+    # that had 36s left (the in-run baseline beats the fallback constant)
+    part.sub("baseline_infer_c", baseline, budget, est_s=10 if _smoke() else 15)
 
     # loaded queue AT THE HEADLINE DTYPE (VERDICT r2 weak #4: was bf16-only)
     def loaded():
@@ -535,7 +539,7 @@ def stage_m1558(budget: _Budget):
                     "runs": stats["runs"], "param_bytes": pb,
                     "roofline_frac": round(roofline_s / step_s, 4)}
         part.sub(name, lambda one=one: one(), budget,
-                 est_s=30 if _smoke() else 120)
+                 est_s=30 if _smoke() else (120 if name == "int8" else 60))
 
     # long context: 896-token prompts + 128 new = 8 pages/seq of live KV
     # per row — the regime the paged design exists for (live-KV bytes
