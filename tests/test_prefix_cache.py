@@ -412,16 +412,21 @@ def test_engine_prefix_cache_int8():
     pc, stats = _run_engine(params, cfg, reqs, prefix=True,
                             param_dtype="int8", kv_dtype="int8", runs=2)
     if jax.default_backend() == "tpu":
-        assert pc[0] == pc[1]   # the prefix engine itself is deterministic
-        for rid, toks in base[0].items():
-            gen_a = toks[len(reqs[rid]):]          # generated region only
-            gen_b = pc[0][rid][len(reqs[rid]):]
-            agree = 0
-            for a, b in zip(gen_a, gen_b):
-                if a != b:
-                    break
-                agree += 1
-            assert agree >= 4, (rid, gen_a, gen_b)
+        # run 1 and run 2 are DIFFERENT program mixes per row (run 1's
+        # first wave full-prefills and registers; run 2 adopts all), so
+        # neither run-to-run nor base equality is bit-guaranteed under
+        # compiled fp reordering — each run must track the base stream
+        # on the generated prefix (wiring bugs give garbage immediately)
+        for run in pc:
+            for rid, toks in base[0].items():
+                gen_a = toks[len(reqs[rid]):]      # generated region only
+                gen_b = run[rid][len(reqs[rid]):]
+                agree = 0
+                for a, b in zip(gen_a, gen_b):
+                    if a != b:
+                        break
+                    agree += 1
+                assert agree >= 4, (rid, gen_a, gen_b)
     else:
         assert pc[0] == base[0] and pc[1] == base[0]
     assert stats["prefix_hit_pages"] > 0
