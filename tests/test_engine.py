@@ -17,6 +17,7 @@ from llmc_paged_tpu import formats
 from llmc_paged_tpu.config import EngineConfig, PageConfig
 from llmc_paged_tpu.engine.engine import InferenceEngine
 from llmc_paged_tpu.engine.scheduler import Request
+from conftest import assert_stream_equal
 from llmc_paged_tpu.sampler import Sampler
 from llmc_paged_tpu.utils.dataloader import DataLoader
 
@@ -44,7 +45,8 @@ def test_three_modes_identical_tokens(setup):
     for mode in ("none", "dense", "paged"):
         eng = make_engine(cfg, params, mode)
         outs[mode] = eng.generate(prompt, 20)
-    assert outs["none"] == outs["dense"] == outs["paged"]
+    assert_stream_equal(outs["none"], outs["dense"], "none vs dense")
+    assert_stream_equal(outs["none"], outs["paged"], "none vs paged")
 
 
 def test_three_modes_identical_with_window(setup):
@@ -56,7 +58,8 @@ def test_three_modes_identical_with_window(setup):
     for mode in ("none", "dense", "paged"):
         eng = make_engine(cfg, params, mode)
         outs[mode] = eng.generate(prompt, 24, window=16)
-    assert outs["none"] == outs["dense"] == outs["paged"]
+    assert_stream_equal(outs["none"], outs["dense"], "none vs dense")
+    assert_stream_equal(outs["none"], outs["paged"], "none vs paged")
     # the window must actually matter
     eng = make_engine(cfg, params, "none")
     assert outs["none"] != eng.generate(prompt, 24)
@@ -212,7 +215,7 @@ def test_debug_checks_validates_clean_run(setup):
         econf = EngineConfig(cache_mode="paged", page=page, greedy=True,
                              max_batch=2, debug_checks=dbg)
         outs[dbg] = InferenceEngine(params, cfg, econf).generate(prompt, 12)
-    assert outs[False] == outs[True]
+    assert_stream_equal(outs[False], outs[True], "debug_checks on/off")
 
 
 def test_device_sampling_topk1_equals_greedy(setup):
@@ -291,7 +294,8 @@ def test_three_modes_identical_prompt_longer_than_window(setup):
     for mode in ("none", "dense", "paged"):
         eng = make_engine(cfg, params, mode)
         outs[mode] = eng.generate(prompt, 12, window=window)
-    assert outs["none"] == outs["dense"] == outs["paged"]
+    assert_stream_equal(outs["none"], outs["dense"], "none vs dense")
+    assert_stream_equal(outs["none"], outs["paged"], "none vs paged")
 
 
 def test_unfittable_request_rejected_upfront(setup):
