@@ -141,16 +141,27 @@ def kernel_suite(B: int, cfg, page_size=32, pages_per_seq=10,
           f"{bytes_moved/dt/1e9:.1f} GB/s --")
 
 
-def kernel_serving(B: int, cfg, page_size=128):
+def kernel_serving(B: int, cfg, page_size=128, deep=False):
     """Serving-shape kernel isolation: the exact per-layer attention call
     of the bench decode chunk (ps=128 int8, 3-page tables with 2 live),
-    plus a full-table row and a float row for comparison."""
+    plus a full-table row and a float row for comparison. deep=True adds
+    the LONG-CONTEXT shape (9-page tables, 8 live — the bench long_ctx
+    row's read pattern, where the engine measured ~2.5x off the modeled
+    byte floor and the per-page loop depth is the open suspect)."""
     pps = max(2, -(-(128 + 128) // page_size) + 1)
     kernel_suite(B, cfg, page_size, pps, quant=True, live_pages=pps - 1)
     kernel_suite(B, cfg, page_size, pps, quant=True, live_pages=pps - 1,
                  qdtype=jnp.bfloat16)   # serving q dtype (bf16 fast path)
     kernel_suite(B, cfg, page_size, pps, quant=True)
     kernel_suite(B, cfg, page_size, pps, quant=False, live_pages=pps - 1)
+    if deep:
+        dpps = -(-(896 + 128) // page_size) + 1
+        kernel_suite(B, cfg, page_size, dpps, quant=True,
+                     live_pages=dpps - 1)
+        kernel_suite(B, cfg, page_size, dpps, quant=True,
+                     live_pages=dpps - 1, qdtype=jnp.bfloat16)
+        kernel_suite(B, cfg, page_size, dpps, quant=False,
+                     live_pages=dpps - 1)
 
 
 def matmul_suite(B: int, cfg, dtypes=("bfloat16", "int8"), steps=32):
@@ -614,8 +625,8 @@ def main():
                     choices=["124m", "350m", "774m", "1558m"])
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--skip", default="",
-                    help="comma list: gemv,kernel,kserve,matmul,prefill,"
-                         "attention,chunk,unrolled")
+                    help="comma list: gemv,kernel,kserve,kdeep,matmul,"
+                         "prefill,attention,chunk,unrolled")
     ap.add_argument("--page-size", type=int, default=128,
                     help="pool page size for the kserve/attention/chunk "
                          "suites (tables resize to fit prompt+chunk)")
@@ -668,7 +679,8 @@ def main():
                 _os.environ["LLMC_ATTN_VARIANT"] = variant
             print(f"== attention variant: {variant} ==")
         if "kserve" not in skip:
-            kernel_serving(args.batch, cfg, page_size=args.page_size)
+            kernel_serving(args.batch, cfg, page_size=args.page_size,
+                           deep="kdeep" not in skip)
         if "attention" not in skip:
             attention_suite(args.batch, cfg,
                             dtypes=tuple(d for d in args.dtypes.split(",")
