@@ -257,7 +257,7 @@ def matmul_suite(B: int, cfg, dtypes=("bfloat16", "int8"), steps=32):
 
 
 def attention_suite(B: int, cfg, dtypes=("bfloat16", "int8"), steps=32,
-                    page_size=128):
+                    page_size=128, prompt=128):
     """KV-write + paged-attention-only decode emulation (the complement
     of matmul_suite): per layer, derive q/k/v from the carry by reshape,
     quantize+scatter into the pool, run the paged-attention kernel —
@@ -271,7 +271,6 @@ def attention_suite(B: int, cfg, dtypes=("bfloat16", "int8"), steps=32,
 
     Lc, C, NH, HS = (cfg.num_layers, cfg.channels, cfg.num_heads,
                      cfg.head_dim)
-    prompt = 128
     CHUNK = steps
     pps = max(2, -(-(prompt + CHUNK) // page_size))
     page_cfg = PageConfig(page_size=page_size, num_pages=B * pps + 8,
@@ -436,8 +435,13 @@ def prefill_suite(B: int, cfg, dtypes=("bfloat16", "int8", "int8bf16"),
 
 
 def chunk_suite(B: int, cfg, dtypes=("float32", "bfloat16", "int8"),
-                page_size=128):
-    """Per-step time of the real chunked decode, by param/pool dtype."""
+                page_size=128, prompt=128, pool_mult=1):
+    """Per-step time of the real chunked decode, by param/pool dtype.
+
+    ``prompt`` sets the committed context length (the bench long_ctx row
+    is prompt=896 → 8-9 live pages/seq at ps=128); ``pool_mult``
+    multiplies the pool page count at constant live range — if step time
+    scales with it, something is copying whole pool buffers."""
     import __graft_entry__ as _  # noqa: F401  (repo root on path)
     from llmc_paged_tpu.config import PageConfig
     from llmc_paged_tpu.kv.layouts import init_pool
@@ -446,9 +450,9 @@ def chunk_suite(B: int, cfg, dtypes=("float32", "bfloat16", "int8"),
     from llmc_paged_tpu.models.gpt2_paged import decode_chunk_paged
 
     CHUNK = 32
-    prompt = 128
     pps = max(2, -(-(prompt + CHUNK) // page_size))
-    page_cfg = PageConfig(page_size=page_size, num_pages=B * pps + 8,
+    page_cfg = PageConfig(page_size=page_size,
+                          num_pages=(B * pps + 8) * pool_mult,
                           max_seqs=B, pages_per_seq=pps)
     params_np = jax.tree.map(
         np.asarray, gpt2.init_params(cfg, jax.random.PRNGKey(0)))
@@ -630,6 +634,12 @@ def main():
     ap.add_argument("--page-size", type=int, default=128,
                     help="pool page size for the kserve/attention/chunk "
                          "suites (tables resize to fit prompt+chunk)")
+    ap.add_argument("--prompt", type=int, default=128,
+                    help="committed context length for the attention/chunk "
+                         "suites (896 = the bench long_ctx regime)")
+    ap.add_argument("--pool-mult", type=int, default=1,
+                    help="chunk-suite pool page multiplier at constant "
+                         "live range (pool-size-scaling probe)")
     ap.add_argument("--dtypes", default="float32,bfloat16,int8",
                     help="comma list for the chunk suite")
     ap.add_argument("--attn-variants", default="",
@@ -686,11 +696,12 @@ def main():
                             dtypes=tuple(d for d in args.dtypes.split(",")
                                          if ":" not in d
                                          and d != "int8xla"),
-                            page_size=args.page_size)
+                            page_size=args.page_size, prompt=args.prompt)
         if "chunk" not in skip:
             chunk_suite(args.batch, cfg,
                         dtypes=tuple(args.dtypes.split(",")),
-                        page_size=args.page_size)
+                        page_size=args.page_size, prompt=args.prompt,
+                        pool_mult=args.pool_mult)
     if "unrolled" not in skip:
         chunk_suite_unrolled(args.batch, cfg)
 
