@@ -595,13 +595,81 @@ def stage_m1558_b32(budget: _Budget):
     part.emit()
 
 
+def stage_probe(budget: _Budget):
+    """Relay-health probe: time ONE trivial dispatch. The orchestrator
+    uses this to detect the degraded-relay regime BENCH_r04 died in
+    (first-dispatch latency ~200s in the driver's window while steady
+    throughput stayed intact) and collapse the plan to a single
+    last-resort headline attempt instead of letting every stage burn its
+    budget on init (VERDICT r4 next-step #2)."""
+    sys.path.insert(0, REPO)
+    if os.environ.get("LLMC_PLATFORM") == "cpu":
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+    t0 = time.monotonic()
+    x = jnp.ones((128, 128), jnp.bfloat16)
+    jax.block_until_ready(x @ x)
+    print(json.dumps({"dispatch_s": round(time.monotonic() - t0, 1),
+                      "device": str(jax.devices()[0])}), flush=True)
+
+
+def stage_m124_lastresort(budget: _Budget):
+    """Degraded-relay headline: ONE engine (124M int8 — the headline
+    config), one warmup, one measured run, nothing else. Run when the
+    relay probe says first-dispatch latency would starve the normal
+    multi-substage plan; gets the whole remaining budget."""
+    _setup_jax()
+    import jax
+    cfg = _model_cfg("124m")
+    B, PROMPT, NEW, CHUNK = 8, 128, 64, 64
+    if _smoke():
+        PROMPT, NEW, CHUNK = 32, 16, 8
+    params32 = device_params(cfg)
+    prompts = _prompts(cfg, B, PROMPT)
+    part = _Partial()
+    part.out["device"] = str(jax.devices()[0])
+    part.out["backend"] = jax.default_backend()
+    part.out["batch"], part.out["prompt_len"] = B, PROMPT
+    part.out["new_tokens"] = NEW
+    part.out["mode"] = "last-resort (degraded relay)"
+    part.out["sweep"] = {}
+
+    def one():
+        stats = run_paged(params32, cfg, B, prompts, NEW, CHUNK,
+                          "int8", "int8", budget, warmups=1, runs=1)
+        bpt = _kv_bytes_per_token(cfg, "int8")
+        return {"tok_s": round(stats["decode_tok_per_s"], 2),
+                "p50_ttft_s": round(stats["p50_ttft_s"], 4),
+                "runs": stats["runs"],
+                "kv_bytes_per_token": int(bpt),
+                "max_seqs_256tok_per_gb": int(2**30 / (bpt * 256))}
+    part.sub("sweep.int8", one, budget, est_s=0)   # unconditional
+    if "sweep.int8" in part.out:
+        part.out["sweep"]["int8"] = part.out.pop("sweep.int8")
+    part.emit()
+
+
 STAGES = {"m124": stage_m124, "m1558": stage_m1558,
-          "m1558_b32": stage_m1558_b32}
+          "m1558_b32": stage_m1558_b32, "probe": stage_probe,
+          "m124_lastresort": stage_m124_lastresort}
 
 
 # ===================== orchestrator (parent side) ========================
 
 _LIVE_CHILD = [None]   # current stage Popen, killed by the signal handler
+
+
+def _measured_rows(obj) -> int:
+    """Count substages that actually produced a measurement (every
+    successful _Partial.sub result carries elapsed_s). A stage whose
+    substages ALL skipped must not read as ok (VERDICT r4 weak #1:
+    m1558_b32 reported \"ok\" with zero measured rows)."""
+    if not isinstance(obj, dict):
+        return 0
+    n = 1 if "elapsed_s" in obj else 0
+    return n + sum(_measured_rows(v) for v in obj.values())
 
 
 def _run_child(name: str, timeout_s: float):
@@ -636,6 +704,8 @@ def _run_child(name: str, timeout_s: float):
             except json.JSONDecodeError:
                 pass
     _LIVE_CHILD[0] = None
+    if status == "ok" and name != "probe" and _measured_rows(parsed) == 0:
+        status = "ok_no_rows"
     _log(f"stage {name}: {status}")
     return status, parsed
 
@@ -691,15 +761,38 @@ def main():
     signal.signal(signal.SIGTERM, on_signal)
     signal.signal(signal.SIGINT, on_signal)
 
+    # Relay-health probe (VERDICT r4 next-step #2): one trivial dispatch
+    # in a throwaway child. Healthy: ~10-25s total (import + init +
+    # dispatch). The degraded regime that zeroed BENCH_r04 showed ~200s
+    # first-dispatch latency — in that regime the normal plan starves
+    # every stage on init, so collapse to ONE last-resort headline child
+    # with the whole remaining budget.
+    probe_cap = 30.0 if _smoke() else 90.0
+    pt0 = time.monotonic()
+    probe_status, probe = _run_child("probe", probe_cap)
+    probe_wall = time.monotonic() - pt0
+    detail["relay_probe"] = {
+        "status": probe_status, "wall_s": round(probe_wall, 1),
+        "dispatch_s": (probe or {}).get("dispatch_s")}
+    degraded = (probe_status != "ok" or probe_wall > 60.0
+                or (probe or {}).get("dispatch_s", 0) > 30.0)
+    if _smoke():
+        degraded = probe_status != "ok" and probe_wall >= probe_cap
+
     # (stage, minimum seconds to bother starting, cap seconds).
     # m124's cap is tight on purpose: the headline sweep + baseline +
     # loaded_queue fit ~200s warm, and every second m124 hoards starves
     # m1558 — the stage BENCH_r03 lost (its 205s share couldn't cover a
     # cold 1.5B compile; tools/tpu_evidence.sh's `warm` stage pre-fills
     # the persistent compile cache so the driver's run stays warm).
-    plan = [("m124", 60, 250), ("m1558", 60, 230), ("m1558_b32", 45, 190)]
+    plan = [("m124", 60, 240), ("m1558", 60, 220), ("m1558_b32", 45, 180)]
     if _smoke():
         plan = [("m124", 20, 120), ("m1558", 15, 80), ("m1558_b32", 15, 60)]
+    if degraded:
+        _log(f"relay DEGRADED (probe {probe_status}, wall {probe_wall:.0f}s)"
+             " — last-resort plan")
+        detail["degraded_relay"] = True
+        plan = [("m124_lastresort", 20, 1e9)]   # whole remaining budget
     # caps are tuned for the driver's ~540s run; a bigger budget (the
     # cache-warming runs, LLMC_BENCH_BUDGET_S=2700) scales them up so
     # cold >10min compiles can actually complete and land in the cache
@@ -712,12 +805,27 @@ def main():
         status, parsed = _run_child(name, min(cap_s * cap_scale, left))
         detail["stages"][name] = status
         if parsed:
-            if name == "m124":
+            if name in ("m124", "m124_lastresort"):
                 detail.update(parsed)
             else:
                 key = {"m1558": "gpt2_1558m",
                        "m1558_b32": "gpt2_1558m_b32"}[name]
                 detail[key] = parsed
+
+    # Second chance: if the normal plan still produced no headline row
+    # (stage hit a mid-run relay flap the probe missed), spend whatever
+    # budget remains on the last-resort child rather than emitting 0.0.
+    sweep = detail.get("sweep") or {}
+    if not degraded and not any("tok_s" in v for v in sweep.values()):
+        left = budget - (time.monotonic() - t0) - reserve
+        if left >= 45:
+            _log(f"no headline row from normal plan — last-resort retry "
+                 f"({left:.0f}s left)")
+            detail["last_resort_retry"] = True
+            status, parsed = _run_child("m124_lastresort", left)
+            detail["stages"]["m124_lastresort"] = status
+            if parsed:
+                detail.update(parsed)   # normal-plan sweep was empty
     emit(final=True)
 
 
