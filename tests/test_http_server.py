@@ -1,9 +1,15 @@
 """HTTP serving front tests (engine/http_server): concurrent POSTs batch
-through one shared ServingEngine and return exactly the batch-run tokens.
+through one shared ServingEngine and return exactly the batch-run tokens,
+plus the adapter's error paths — malformed bodies (400), unknown paths
+(404), queue-full backpressure (503 + Retry-After), and client
+disconnect mid-stream cancelling the request (slot/pages released, loop
+alive).
 """
 
 import json
+import socket
 import threading
+import time
 import urllib.error
 import urllib.request
 
@@ -122,3 +128,117 @@ def test_http_generate_concurrent_matches_batch():
         assert stats["decode_tokens"] > 0 and stats["uptime_s"] > 0
         assert 0 <= stats["pages_free"] <= page.num_pages
         assert stats["running"] == 0 and stats["pending_futures"] == 0
+
+
+def _tiny_setup():
+    cfg = GPT2Config.tiny(max_seq_len=128, vocab_size=128, num_layers=2,
+                          num_heads=4, channels=32)
+    params = jax.tree.map(
+        np.asarray, gpt2.init_params(cfg, jax.random.PRNGKey(0)))
+    page = PageConfig(page_size=8, num_pages=48, max_seqs=8,
+                      pages_per_seq=10)
+    econf = EngineConfig(cache_mode="paged", page=page, greedy=True,
+                         max_batch=3, decode_chunk=4)
+    return cfg, params, econf
+
+
+def test_http_unknown_paths_404():
+    cfg, params, econf = _tiny_setup()
+    eng = InferenceEngine(params, cfg, econf)
+    with ServingEngine(eng) as srv, HttpServingFront(srv, port=0) as front:
+        url = f"http://{front.host}:{front.port}"
+        for method, path in (("GET", "/nope"), ("POST", "/nope"),
+                             ("POST", "/health")):
+            req = urllib.request.Request(
+                f"{url}{path}", method=method,
+                data=b"{}" if method == "POST" else None)
+            try:
+                with urllib.request.urlopen(req, timeout=30) as r:
+                    status, out = r.status, json.loads(r.read())
+            except urllib.error.HTTPError as e:
+                status, out = e.code, json.loads(e.read())
+            assert status == 404 and "error" in out, (method, path)
+
+
+def test_http_queue_full_503_retry_after():
+    """Backpressure: with max_pending=1, a second request gets a 503 with
+    a Retry-After header while the first is live, and succeeds once the
+    queue drains (the 503 must never kill the serving loop)."""
+    cfg, params, econf = _tiny_setup()
+    eng = InferenceEngine(params, cfg, econf)
+    prompt = [3, 1, 4, 1, 5]
+    with ServingEngine(eng, max_pending=1) as srv, \
+            HttpServingFront(srv, port=0) as front:
+        url = f"http://{front.host}:{front.port}"
+        blocker = srv.submit(prompt, 64)          # occupies the one slot
+        try:
+            status, out = _post(f"{url}/generate",
+                                {"prompt": prompt, "max_new_tokens": 4})
+            headers = {}
+        except urllib.error.HTTPError as e:
+            status, out, headers = e.code, json.loads(e.read()), e.headers
+        assert status == 503 and "error" in out
+        assert headers.get("Retry-After") == "1"
+        blocker.result(timeout=120)               # queue drains
+        status, out = _post(f"{url}/generate",
+                            {"prompt": prompt, "max_new_tokens": 4})
+        assert status == 200 and len(out["generated"]) == 4
+
+
+def test_http_stream_client_disconnect_cancels():
+    """A client dropping mid-stream must CANCEL its request: the handler
+    sees the broken pipe at the next flush and calls StreamHandle.cancel,
+    so the engine stops decoding early (slot and pages released) and the
+    serving loop keeps taking requests."""
+    cfg, params, econf = _tiny_setup()
+    eng = InferenceEngine(params, cfg, econf)
+    prompt = [2, 7, 1]
+    max_new = 75                      # near pool capacity; never finishes
+    #                                   naturally within the test's waits
+    with ServingEngine(eng) as srv, HttpServingFront(srv, port=0) as front:
+        url = f"http://{front.host}:{front.port}"
+
+        def stats():
+            with urllib.request.urlopen(f"{url}/stats", timeout=30) as r:
+                return json.loads(r.read())
+
+        # one complete request first: compiles every path AND pins down
+        # the decode_tokens accounting baseline
+        status, out = _post(f"{url}/generate",
+                            {"prompt": prompt, "max_new_tokens": 4})
+        assert status == 200
+        tokens_before = stats()["decode_tokens"]
+
+        body = json.dumps({"prompt": prompt, "max_new_tokens": max_new,
+                           "stream": True}).encode()
+        s = socket.create_connection((front.host, front.port), timeout=60)
+        s.sendall(b"POST /generate HTTP/1.1\r\nHost: t\r\n"
+                  b"Content-Type: application/json\r\n"
+                  b"Content-Length: %d\r\n\r\n" % len(body) + body)
+        # read until the first ndjson token line arrives, then vanish
+        buf = b""
+        while b"\"tokens\"" not in buf:
+            chunk = s.recv(4096)
+            assert chunk, "stream closed before first token line"
+            buf += chunk
+        s.close()
+
+        # the engine must notice (next flush raises BrokenPipeError ->
+        # cancel) and clean up: no open streams, nothing running
+        deadline = time.monotonic() + 120
+        while time.monotonic() < deadline:
+            st = stats()
+            if st["open_streams"] == 0 and st["running"] == 0 \
+                    and st["waiting"] == 0:
+                break
+            time.sleep(0.05)
+        else:
+            raise AssertionError(f"stream never cleaned up: {st}")
+        # cancelled EARLY: decode stopped well before max_new_tokens
+        assert st["decode_tokens"] - tokens_before < max_new, st
+        assert st["pages_free"] == econf.page.num_pages  # all pages freed
+
+        # loop alive: one more request completes
+        status, out = _post(f"{url}/generate",
+                            {"prompt": prompt, "max_new_tokens": 4})
+        assert status == 200 and len(out["generated"]) == 4
