@@ -454,8 +454,11 @@ def chunk_suite(B: int, cfg, dtypes=("float32", "bfloat16", "int8"),
     page_cfg = PageConfig(page_size=page_size,
                           num_pages=(B * pps + 8) * pool_mult,
                           max_seqs=B, pages_per_seq=pps)
-    params_np = jax.tree.map(
-        np.asarray, gpt2.init_params(cfg, jax.random.PRNGKey(0)))
+    # params stay ON DEVICE (dtype casts are device-side): pulling the
+    # fp32 pytree to numpy costs ~500MB (124M) / ~6GB (1.5B) through the
+    # relay tunnel per process — it timed out the round-5 isolation runs
+    params_f32 = gpt2.init_params(cfg, jax.random.PRNGKey(0))
+    jax.block_until_ready(params_f32)
     for dtype_name in dtypes:
         # "param" or "param:kv" — e.g. "int8:bfloat16" isolates the
         # weight-matmul cost from the KV quantize+scatter cost
@@ -469,17 +472,17 @@ def chunk_suite(B: int, cfg, dtypes=("float32", "bfloat16", "int8"),
         kd = kd or pd
         if pd == "int8":
             from llmc_paged_tpu.ops.int8 import quantize_params
-            params = quantize_params(gpt2.to_device(params_np, cfg))
+            params = quantize_params(gpt2.to_device(params_f32, cfg))
         elif pd == "int8b":
             # int8 weights with BF16 activations (biases/LN/wpe bf16):
             # the int8 kernel multiplies in bf16 anyway, so this is the
             # numerically-consistent serving pairing
             from llmc_paged_tpu.ops.int8 import quantize_params
             params = quantize_params(
-                gpt2.to_device(params_np, cfg, jnp.bfloat16))
+                gpt2.to_device(params_f32, cfg, jnp.bfloat16))
             kd = kd if ":" in dtype_name else "int8"
         else:
-            params = gpt2.to_device(params_np, cfg,
+            params = gpt2.to_device(params_f32, cfg,
                                     {"float32": jnp.float32,
                                      "bfloat16": jnp.bfloat16}[pd])
         pool = init_pool(cfg, page_cfg,
@@ -501,7 +504,7 @@ def chunk_suite(B: int, cfg, dtypes=("float32", "bfloat16", "int8"),
         first = np.zeros(B, np.int32)
         pos0 = np.full(B, prompt, np.int32)
 
-        def run(pool):
+        def run(pool, first):
             out, pool = decode_chunk_paged(
                 params, jnp.asarray(first), jnp.asarray(pos0),
                 jnp.asarray(pgs), jnp.asarray(sls), jnp.asarray(tables),
@@ -509,17 +512,25 @@ def chunk_suite(B: int, cfg, dtypes=("float32", "bfloat16", "int8"),
                 use_kernel=use_kernel)
             return out, pool
 
-        # pool is donated: rebuild per timing pass
-        out, pool = run(pool)          # compile
-        jax.block_until_ready(out)
+        # The pool donation chain serializes calls, but the chunk is a
+        # FIXED POINT of the pool (same coords, same values) — after call
+        # 1 every call is bit-identical and the relay MEMOIZES it (r5
+        # measured 0.026 ms/step). Distinct first_tokens per call keep
+        # every chunk program execution unique.
         iters = 8
+        rng_f = np.random.default_rng(3)
+        firsts = rng_f.integers(0, cfg.vocab_size, (iters + 1, B)) \
+            .astype(np.int32)
+        out, pool = run(pool, firsts[-1])          # compile
+        jax.block_until_ready(out)
         t0 = time.monotonic()
-        for _ in range(iters):
-            out, pool = run(pool)
+        for i in range(iters):
+            out, pool = run(pool, firsts[i])
         jax.block_until_ready(out)
         dt = (time.monotonic() - t0) / iters / CHUNK
         print(f"-- decode_chunk {dtype_name} ps={page_size}: "
-              f"{dt*1e3:.3f} ms/step ({B/dt:.0f} tok/s at B={B}) --")
+              f"{dt*1e3:.3f} ms/step ({B/dt:.0f} tok/s at B={B}) --",
+              flush=True)
 
 
 def chunk_suite_unrolled(B: int, cfg, dtypes=("float32", "bfloat16")):
@@ -634,12 +645,14 @@ def main():
     ap.add_argument("--page-size", type=int, default=128,
                     help="pool page size for the kserve/attention/chunk "
                          "suites (tables resize to fit prompt+chunk)")
-    ap.add_argument("--prompt", type=int, default=128,
+    ap.add_argument("--prompt", default="128",
                     help="committed context length for the attention/chunk "
-                         "suites (896 = the bench long_ctx regime)")
-    ap.add_argument("--pool-mult", type=int, default=1,
+                         "suites (896 = the bench long_ctx regime); comma "
+                         "list sweeps cells in ONE process")
+    ap.add_argument("--pool-mult", default="1",
                     help="chunk-suite pool page multiplier at constant "
-                         "live range (pool-size-scaling probe)")
+                         "live range (pool-size-scaling probe); comma list "
+                         "sweeps cells in ONE process")
     ap.add_argument("--dtypes", default="float32,bfloat16,int8",
                     help="comma list for the chunk suite")
     ap.add_argument("--attn-variants", default="",
@@ -691,17 +704,29 @@ def main():
         if "kserve" not in skip:
             kernel_serving(args.batch, cfg, page_size=args.page_size,
                            deep="kdeep" not in skip)
+        prompts = [int(p) for p in str(args.prompt).split(",")]
+        pool_mults = [int(m) for m in str(args.pool_mult).split(",")]
         if "attention" not in skip:
             attention_suite(args.batch, cfg,
                             dtypes=tuple(d for d in args.dtypes.split(",")
                                          if ":" not in d
                                          and d != "int8xla"),
-                            page_size=args.page_size, prompt=args.prompt)
+                            page_size=args.page_size, prompt=prompts[0])
         if "chunk" not in skip:
-            chunk_suite(args.batch, cfg,
-                        dtypes=tuple(args.dtypes.split(",")),
-                        page_size=args.page_size, prompt=args.prompt,
-                        pool_mult=args.pool_mult)
+            for pr in prompts:
+                for pm in pool_mults:
+                    if len(prompts) > 1 or len(pool_mults) > 1:
+                        print(f"== chunk cell prompt={pr} pool_mult={pm} ==",
+                              flush=True)
+                    try:
+                        chunk_suite(args.batch, cfg,
+                                    dtypes=tuple(args.dtypes.split(",")),
+                                    page_size=args.page_size, prompt=pr,
+                                    pool_mult=pm)
+                    except Exception as e:   # relay flap: keep sweeping
+                        print(f"!! chunk cell prompt={pr} pool_mult={pm} "
+                              f"FAILED: {type(e).__name__}: {e}",
+                              flush=True)
     if "unrolled" not in skip:
         chunk_suite_unrolled(args.batch, cfg)
 
