@@ -131,10 +131,14 @@ def _probe_flat_kernel():
                 out = pa.paged_decode_attention_parts(
                     q, kvb if qdt == jnp.bfloat16 else kv,
                     kvb if qdt == jnp.bfloat16 else kv, tables, lengths)
-                jax.block_until_ready(out[0])
+                # value FETCH, not block_until_ready: the relay's
+                # block_until_ready returns with the program in flight,
+                # so a Mosaic rejection would otherwise surface later,
+                # mid-stage — exactly what this probe exists to prevent
+                float(jnp.sum(out[0]))
                 out = pa.paged_decode_attention_quant_parts(
                     q, kvq, kvq, sc, sc, tables, lengths)
-                jax.block_until_ready(out[0])
+                float(jnp.sum(out[0]))
     except Exception as e:   # pragma: no cover - chip-only path
         _log(f"flat kernel probe FAILED ({type(e).__name__}); "
              f"falling back to gridb")
@@ -596,12 +600,18 @@ def stage_m1558_b32(budget: _Budget):
 
 
 def stage_probe(budget: _Budget):
-    """Relay-health probe: time ONE trivial dispatch. The orchestrator
-    uses this to detect the degraded-relay regime BENCH_r04 died in
-    (first-dispatch latency ~200s in the driver's window while steady
-    throughput stayed intact) and collapse the plan to a single
-    last-resort headline attempt instead of letting every stage burn its
-    budget on init (VERDICT r4 next-step #2)."""
+    """Relay-health probe: time ONE trivial dispatch THROUGH A VALUE
+    FETCH. The orchestrator uses this to detect the degraded-relay regime
+    BENCH_r04 died in (first-VALUE-FETCH latency 200-380s in the driver's
+    window while steady throughput stayed intact) and collapse the plan
+    to a single last-resort headline attempt instead of letting every
+    stage burn its budget on init (VERDICT r4 next-step #2).
+
+    Measured r5: on this relay build `block_until_ready` NEVER syncs —
+    it returns in <1ms with the program still in flight — and the
+    degraded-window cost lands on the first value fetch. A probe that
+    only dispatches reads ~0s in exactly the regime it exists to catch,
+    so the probe must round-trip a value."""
     sys.path.insert(0, REPO)
     if os.environ.get("LLMC_PLATFORM") == "cpu":
         import jax
@@ -610,9 +620,10 @@ def stage_probe(budget: _Budget):
     import jax.numpy as jnp
     t0 = time.monotonic()
     x = jnp.ones((128, 128), jnp.bfloat16)
-    jax.block_until_ready(x @ x)
+    v = float((x @ x)[0, 0])          # fetch forces real execution
     print(json.dumps({"dispatch_s": round(time.monotonic() - t0, 1),
-                      "device": str(jax.devices()[0])}), flush=True)
+                      "check": v, "device": str(jax.devices()[0])}),
+          flush=True)
 
 
 def stage_m124_lastresort(budget: _Budget):

@@ -59,21 +59,36 @@ def _chained_fn(fn: Callable) -> Callable:
 
 def benchmark(fn: Callable, args: tuple, iters: int = 50,
               warmup: int = 3) -> float:
-    """Median-of-3 wall time per call (ms): dispatches stay pipelined (one
-    final block_until_ready — the jax analogue of cudaEvent timing) but
-    every call is data-dependent on the previous one (see _chained_fn)."""
+    """Median-of-3 wall time per call (ms): dispatches stay pipelined but
+    every call is data-dependent on the previous one (see _chained_fn).
+
+    Sync is a SCALAR VALUE FETCH, not block_until_ready: measured r5, the
+    relay's block_until_ready returns with programs still in flight
+    (8 chained 8192^2 matmuls "completed" in 0.4ms), so any timing that
+    ends on it reads dispatch cost only. The fetch costs one host
+    round trip (~30-60ms through the tunnel); we cancel it (and any other
+    per-pass constant) by timing two different chain lengths and taking
+    the slope: per-call = (t(iters) - t(iters/5)) / (iters - iters/5)."""
     g = _chained_fn(fn)
     s = jnp.float32(0)
     for _ in range(warmup + 1):
         r, s = g(s, *args)
-    jax.block_until_ready(s)
+    float(s)                      # real sync (block_until_ready is a no-op)
+
+    def run_chain(n: int) -> float:
+        nonlocal s
+        t0 = time.perf_counter()
+        for _ in range(n):
+            r, s = g(s, *args)
+        float(s)
+        return time.perf_counter() - t0
+
+    lo = max(1, iters // 5)
     times = []
     for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            r, s = g(s, *args)
-        jax.block_until_ready(s)
-        times.append((time.perf_counter() - t0) / iters * 1e3)
+        t_lo = run_chain(lo)
+        t_hi = run_chain(iters)
+        times.append((t_hi - t_lo) / (iters - lo) * 1e3)
     return sorted(times)[1]
 
 

@@ -20,15 +20,38 @@ import jax
 import jax.numpy as jnp
 
 
+def _sync(out) -> float:
+    """REAL device sync: fetch one scalar derived from `out`. Measured r5:
+    this relay's block_until_ready returns with programs still in flight
+    (8 chained 8192^2 matmuls "done" in 0.4ms), so every timing path must
+    end on a value round trip (~30-60ms through the tunnel)."""
+    leaf = jax.tree.leaves(out)[0]
+    return float(np.asarray(jax.device_get(leaf)).ravel()[0])
+
+
+def _slope(run_chain, iters):
+    """Per-call seconds via two chain lengths: cancels the constant
+    per-pass cost (the fetch round trip) that would otherwise dominate
+    short kernels. run_chain(n) must execute n chained calls + one sync."""
+    lo = max(1, iters // 5)
+    t_lo = run_chain(lo)
+    t_hi = run_chain(iters)
+    return max((t_hi - t_lo) / (iters - lo), 1e-9)
+
+
 def timeit(fn, *args, iters=20, warmup=2):
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.monotonic()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.monotonic() - t0) / iters
+    _sync(out)
+
+    def chain(n):
+        t0 = time.monotonic()
+        for _ in range(n):
+            out = fn(*args)
+        _sync(out)
+        return time.monotonic() - t0
+
+    return _slope(chain, iters)
 
 
 def timeit_cycle(fn, arg_sets, iters=20, warmup=0):
@@ -36,7 +59,8 @@ def timeit_cycle(fn, arg_sets, iters=20, warmup=0):
     output (a zero-valued scalar folded into the first float arg). This
     environment both memoizes repeated identical pure calls and OVERLAPS
     independent queued programs — unchained timing reads multi-TB/s.
-    Dependency-chained, pipelined-dispatch timing is faithful."""
+    Dependency-chained timing with a value-fetch sync (see _sync) and
+    slope-cancelled round trip (see _slope) is faithful."""
     n = len(arg_sets)
 
     @jax.jit
@@ -50,12 +74,19 @@ def timeit_cycle(fn, arg_sets, iters=20, warmup=0):
     out, s = g(s, *arg_sets[0])      # compile
     for i in range(warmup):
         out, s = g(s, *arg_sets[i % n])
-    jax.block_until_ready(s)
-    t0 = time.monotonic()
-    for i in range(iters):
-        out, s = g(s, *arg_sets[i % n])
-    jax.block_until_ready(s)
-    return (time.monotonic() - t0) / iters
+    _sync(s)
+    idx = [0]
+
+    def chain(k):
+        nonlocal s
+        t0 = time.monotonic()
+        for _ in range(k):
+            out, s = g(s, *arg_sets[idx[0] % n])
+            idx[0] += 1
+        _sync(s)
+        return time.monotonic() - t0
+
+    return _slope(chain, iters)
 
 
 def gemv_suite(B: int, cfg):
@@ -239,13 +270,16 @@ def matmul_suite(B: int, cfg, dtypes=("bfloat16", "int8"), steps=32):
         x0 = jnp.asarray(np.random.default_rng(0).normal(size=(B, C)),
                          jnp.float32)
         out = run(params, x0)
-        jax.block_until_ready(out)
-        iters = 4
-        t0 = time.monotonic()
-        for _ in range(iters):
-            out = run(params, out)   # chained on the carry
-        jax.block_until_ready(out)
-        dt = (time.monotonic() - t0) / iters / steps
+        _sync(out)
+
+        def chain(n, out=out):
+            t0 = time.monotonic()
+            for _ in range(n):
+                out = run(params, out)   # chained on the carry
+            _sync(out)
+            return time.monotonic() - t0
+
+        dt = _slope(chain, 5) / steps
         wkeys = ("qkvw", "attprojw", "fcw", "fcprojw") + (
             ("wte",) if head else ())
         wbytes = sum(int(np.prod(params[k].shape))
@@ -353,13 +387,17 @@ def attention_suite(B: int, cfg, dtypes=("bfloat16", "int8"), steps=32,
         x0 = jnp.asarray(np.random.default_rng(0).normal(size=(B, C)),
                          jnp.float32)
         x, pool = run(x0, pool)
-        jax.block_until_ready(x)
-        iters = 4
-        t0 = time.monotonic()
-        for _ in range(iters):
-            x, pool = run(x, pool)
-        jax.block_until_ready(x)
-        dt = (time.monotonic() - t0) / iters / steps
+        _sync(x)
+
+        def chain(n):
+            nonlocal x, pool
+            t0 = time.monotonic()
+            for _ in range(n):
+                x, pool = run(x, pool)
+            _sync(x)
+            return time.monotonic() - t0
+
+        dt = _slope(chain, 5) / steps
         print(f"-- attention+scatter-only {dtype_name}: {dt*1e3:.3f} "
               f"ms/step ({dt/Lc*1e6:.1f} us/layer) --")
 
@@ -423,13 +461,17 @@ def prefill_suite(B: int, cfg, dtypes=("bfloat16", "int8", "int8bf16"),
         toks = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, T)),
                            jnp.int32)
         toks, pool = run(dev, toks, pool)   # compile
-        jax.block_until_ready(toks)
-        iters = 6
-        t0 = time.monotonic()
-        for _ in range(iters):
-            toks, pool = run(dev, toks, pool)
-        jax.block_until_ready(toks)
-        dt = (time.monotonic() - t0) / iters
+        _sync(toks)
+
+        def chain(n):
+            nonlocal toks, pool
+            t0 = time.monotonic()
+            for _ in range(n):
+                toks, pool = run(dev, toks, pool)
+            _sync(toks)
+            return time.monotonic() - t0
+
+        dt = _slope(chain, 6)
         print(f"  prefill {name:9s} {dt*1e3:8.2f} ms  "
               f"{flops/dt/1e12:6.2f} TFLOP/s")
 
@@ -516,18 +558,26 @@ def chunk_suite(B: int, cfg, dtypes=("float32", "bfloat16", "int8"),
         # FIXED POINT of the pool (same coords, same values) — after call
         # 1 every call is bit-identical and the relay MEMOIZES it (r5
         # measured 0.026 ms/step). Distinct first_tokens per call keep
-        # every chunk program execution unique.
+        # every chunk program execution unique; _sync/_slope because
+        # block_until_ready never actually syncs on this relay.
         iters = 8
         rng_f = np.random.default_rng(3)
-        firsts = rng_f.integers(0, cfg.vocab_size, (iters + 1, B)) \
+        firsts = rng_f.integers(0, cfg.vocab_size, (4 * iters, B)) \
             .astype(np.int32)
         out, pool = run(pool, firsts[-1])          # compile
-        jax.block_until_ready(out)
-        t0 = time.monotonic()
-        for i in range(iters):
-            out, pool = run(pool, firsts[i])
-        jax.block_until_ready(out)
-        dt = (time.monotonic() - t0) / iters / CHUNK
+        _sync(out)
+        idx = [0]
+
+        def chain(n):
+            nonlocal out, pool
+            t0 = time.monotonic()
+            for _ in range(n):
+                out, pool = run(pool, firsts[idx[0] % (4 * iters - 1)])
+                idx[0] += 1
+            _sync(out)
+            return time.monotonic() - t0
+
+        dt = _slope(chain, iters) / CHUNK
         print(f"-- decode_chunk {dtype_name} ps={page_size}: "
               f"{dt*1e3:.3f} ms/step ({B/dt:.0f} tok/s at B={B}) --",
               flush=True)
@@ -620,16 +670,28 @@ def chunk_suite_unrolled(B: int, cfg, dtypes=("float32", "bfloat16")):
         t0 = time.monotonic()
         out, pools = chunk_unrolled(params, meta, pools,
                                     num_steps=CHUNK, window=cfg.max_seq_len)
-        jax.block_until_ready(out)
+        _sync(out)
         compile_s = time.monotonic() - t0
         iters = 8
-        t0 = time.monotonic()
-        for _ in range(iters):
-            out, pools = chunk_unrolled(params, meta, pools,
-                                        num_steps=CHUNK,
-                                        window=cfg.max_seq_len)
-        jax.block_until_ready(out)
-        dt = (time.monotonic() - t0) / iters / CHUNK
+        rng_f = np.random.default_rng(5)
+        firsts = rng_f.integers(0, cfg.vocab_size, (4 * iters, B)) \
+            .astype(np.int32)
+        idx = [0]
+
+        def chain(n):
+            nonlocal out, pools
+            t0 = time.monotonic()
+            for _ in range(n):
+                m = (jnp.asarray(firsts[idx[0] % (4 * iters - 1)]),
+                     *meta[1:])
+                out, pools = chunk_unrolled(params, m, pools,
+                                            num_steps=CHUNK,
+                                            window=cfg.max_seq_len)
+                idx[0] += 1
+            _sync(out)
+            return time.monotonic() - t0
+
+        dt = _slope(chain, iters) / CHUNK
         print(f"-- decode_chunk UNROLLED {dtype_name}: {dt*1e3:.3f} ms/step "
               f"({B/dt:.0f} tok/s at B={B}; compile {compile_s:.1f}s) --")
 
