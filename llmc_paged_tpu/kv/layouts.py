@@ -244,6 +244,112 @@ def token_coords(block_tables: jax.Array, positions: jax.Array,
     return page.astype(jnp.int32), slot.astype(jnp.int32)
 
 
+def _commit_tiles(pages: jax.Array, slots: jax.Array, ps: int,
+                  num_pages: int):
+    """Tile bookkeeping for the page-granular chunk commit.
+
+    pages/slots are (K, B) per-sub-step coordinates. PRECONDITION
+    (engine/allocator contract): down each column, equal pages are
+    grouped consecutively (slots fill a page monotonically before moving
+    on — BlockManager appends never revisit a page), with an optional
+    trailing drop-sentinel run (rejected speculative rows / inactive
+    rows). Returns (g_oh (K,B,G') f32 tile one-hot, s_oh (K,B,ps) f32
+    slot one-hot, upages (B*G',) per-tile pool ids, sentinel where the
+    tile is unused). Coordinates violating the grouping contract fall
+    off the G' tiles and are DROPPED, same as an out-of-range page in
+    the scatter path."""
+    K, B = pages.shape
+    # distinct pages a K-token column can touch: ceil(K/ps)+1 when the
+    # run starts mid-page, +1 more for a trailing sentinel group
+    maxp = -(-K // ps) + 2
+    newpage = jnp.concatenate(
+        [jnp.ones((1, B), bool), pages[1:] != pages[:-1]], axis=0)
+    tid = jnp.cumsum(newpage.astype(jnp.int32), axis=0) - 1     # (K, B)
+    bidx = jnp.broadcast_to(jnp.arange(B, dtype=jnp.int32)[None, :],
+                            (K, B))
+    upages = jnp.full((B, maxp), num_pages, jnp.int32)
+    upages = upages.at[bidx, tid].set(pages, mode="drop")
+    g_oh = jax.nn.one_hot(tid, maxp, dtype=jnp.float32)         # (K,B,G')
+    s_oh = jax.nn.one_hot(slots, ps, dtype=jnp.float32)         # (K,B,ps)
+    return g_oh, s_oh, upages.reshape(-1)
+
+
+def _commit_buffer(pool_l: jax.Array, rows: jax.Array, g_oh: jax.Array,
+                   s_oh: jax.Array, upages: jax.Array) -> jax.Array:
+    """Merge (K, B, NH, HS) rows into pool_l (P, NH, HS, ps) at the
+    tiles described by _commit_tiles: gather the touched pages (leading-
+    dim take), blend the new rows in DENSELY (one-hot einsum — sums have
+    at most one nonzero term, so values pass through EXACTLY in f32),
+    scatter whole pages back (leading-dim, full-window).
+
+    This shape of commit exists for layout reasons, not elegance: the
+    natural per-token scatter `pool.at[page, :, :, slot].set(rows)`
+    makes XLA:TPU assign the scatter operand a transposed layout
+    ({2,1,3,0}) while the Mosaic attention kernel and the jit boundary
+    require the default {3,2,1,0} — the compiler then inserts TWO
+    whole-pool transposing copies per buffer per chunk call (measured
+    r5: 48 pool + 72 scale copies, 453+42 MB per 124M chunk call,
+    step time scaling ~2us/page with POOL size at constant live range).
+    Every op here is leading-dim indexed or dense, so all layouts stay
+    default and the commit cost is proportional to the TOUCHED pages
+    only."""
+    P, NH, HS, ps = pool_l.shape
+    safe = jnp.clip(upages, 0, P - 1)
+    tiles = jnp.take(pool_l, safe, axis=0).astype(jnp.float32)
+    ins = jnp.einsum("kbg,kbs,kbnh->bgnhs", g_oh, s_oh,
+                     rows.astype(jnp.float32))
+    mask = jnp.einsum("kbg,kbs->bgs", g_oh, s_oh)
+    tiles = (tiles * (1.0 - mask.reshape(-1, ps)[:, None, None, :])
+             + ins.reshape(-1, NH, HS, ps))
+    return pool_l.at[upages].set(tiles.astype(pool_l.dtype), mode="drop")
+
+
+def _commit_scales(sc_l: jax.Array, srows: jax.Array, g_oh: jax.Array,
+                   s_oh: jax.Array, upages: jax.Array) -> jax.Array:
+    """Scale twin of _commit_buffer: srows (K, B, NH) into (P, NH, ps)."""
+    P, NH, ps = sc_l.shape
+    safe = jnp.clip(upages, 0, P - 1)
+    tiles = jnp.take(sc_l, safe, axis=0)
+    ins = jnp.einsum("kbg,kbs,kbn->bgns", g_oh, s_oh, srows)
+    mask = jnp.einsum("kbg,kbs->bgs", g_oh, s_oh)
+    tiles = (tiles * (1.0 - mask.reshape(-1, ps)[:, None, :])
+             + ins.reshape(-1, NH, ps))
+    return sc_l.at[upages].set(tiles, mode="drop")
+
+
+def commit_layer_kv(k_pool_l: jax.Array, v_pool_l: jax.Array,
+                    tails_k: jax.Array, tails_v: jax.Array,
+                    pages: jax.Array, slots: jax.Array
+                    ) -> Tuple[jax.Array, jax.Array]:
+    """Chunk-commit of (K, B, NH, HS) tail K/V into one layer's float
+    pool at (K, B) coordinates — the layout-neutral replacement for
+    flattening the tails and calling write_layer_kv (see _commit_buffer
+    for why). Values land bit-identically to the scatter path."""
+    g_oh, s_oh, up = _commit_tiles(pages, slots, k_pool_l.shape[3],
+                                   k_pool_l.shape[0])
+    return (_commit_buffer(k_pool_l, tails_k, g_oh, s_oh, up),
+            _commit_buffer(v_pool_l, tails_v, g_oh, s_oh, up))
+
+
+def commit_layer_kv_quant(pool_l: Tuple[jax.Array, ...],
+                          tails_k: jax.Array, tails_v: jax.Array,
+                          pages: jax.Array, slots: jax.Array
+                          ) -> Tuple[jax.Array, ...]:
+    """INT8 twin of commit_layer_kv: per-token quantization (identical
+    formula to write_layer_kv_quant — int8 values and f32 scales pass
+    through the one-hot einsum exactly), four leading-dim page
+    scatters."""
+    k_l, v_l, ks_l, vs_l = pool_l
+    kq, ks = quantize_rows(tails_k)     # (K,B,NH,HS) int8, (K,B,NH) f32
+    vq, vs = quantize_rows(tails_v)
+    g_oh, s_oh, up = _commit_tiles(pages, slots, k_l.shape[3],
+                                   k_l.shape[0])
+    return (_commit_buffer(k_l, kq, g_oh, s_oh, up),
+            _commit_buffer(v_l, vq, g_oh, s_oh, up),
+            _commit_scales(ks_l, ks, g_oh, s_oh, up),
+            _commit_scales(vs_l, vs, g_oh, s_oh, up))
+
+
 def write_layer_kv(k_pool_l: jax.Array, v_pool_l: jax.Array,
                    k_new: jax.Array, v_new: jax.Array,
                    page: jax.Array, slot: jax.Array

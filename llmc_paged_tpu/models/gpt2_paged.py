@@ -33,6 +33,8 @@ from llmc_paged_tpu.config import GPT2Config
 from llmc_paged_tpu.kv.layouts import (
     PagePool,
     QuantPagePool,
+    commit_layer_kv,
+    commit_layer_kv_quant,
     prompt_page_ids,
     token_coords,
     write_layer_kv,
@@ -381,19 +383,17 @@ def _decode_chunk_paged(params: gpt2.Params, first_tokens: jax.Array,
     if want_logprobs:
         out, logps = out
 
-    # commit the chunk's K/V: ONE scatter per layer (int8 pools quantize
-    # here, once, instead of per sub-step)
-    fpages = pages.reshape(K * B)
-    fslots = slots.reshape(K * B)
+    # commit the chunk's K/V: page-granular gather/blend/scatter per
+    # layer (int8 pools quantize here, once, instead of per sub-step).
+    # NOT the flat (K*B,) token scatter — that shape makes XLA transpose
+    # every pool buffer twice per chunk call (see kv.layouts._commit_buffer)
     for i in range(cfg.num_layers):
-        rows_k = tks[i].reshape(K * B, NH, HS)
-        rows_v = tvs[i].reshape(K * B, NH, HS)
         if quant:
-            pool_l = write_layer_kv_quant(pool.layer(i), rows_k, rows_v,
-                                          fpages, fslots)
+            pool_l = commit_layer_kv_quant(pool.layer(i), tks[i], tvs[i],
+                                           pages, slots)
         else:
-            pool_l = write_layer_kv(*pool.layer(i), rows_k, rows_v,
-                                    fpages, fslots)
+            pool_l = commit_layer_kv(*pool.layer(i), tks[i], tvs[i],
+                                     pages, slots)
         pool = pool.with_layer(i, pool_l)
     ret = (out,)
     if pen_counts is not None:
@@ -589,17 +589,14 @@ def decode_chunk_spec(params: gpt2.Params, first_tokens: jax.Array,
         & active[:, None]
     pg, sl = token_coords(block_tables, tpos, pool.page_size, valid,
                           pool.num_pages)
-    fpages = pg.T.reshape(TK * B)                 # tail rows are (TK, B)
-    fslots = sl.T.reshape(TK * B)
+    pg_t, sl_t = pg.T, sl.T                       # tail rows are (TK, B)
     for i in range(cfg.num_layers):
-        rows_k = tks[i].reshape(TK * B, NH, HS)
-        rows_v = tvs[i].reshape(TK * B, NH, HS)
         if quant:
-            pool_l = write_layer_kv_quant(pool.layer(i), rows_k, rows_v,
-                                          fpages, fslots)
+            pool_l = commit_layer_kv_quant(pool.layer(i), tks[i], tvs[i],
+                                           pg_t, sl_t)
         else:
-            pool_l = write_layer_kv(*pool.layer(i), rows_k, rows_v,
-                                    fpages, fslots)
+            pool_l = commit_layer_kv(*pool.layer(i), tks[i], tvs[i],
+                                     pg_t, sl_t)
         pool = pool.with_layer(i, pool_l)
     new_positions = jnp.where(active, pos0 + t_off, positions0)
     return out, counts, hist, last_tok, new_positions, pool

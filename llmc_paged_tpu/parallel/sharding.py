@@ -37,6 +37,8 @@ from llmc_paged_tpu.config import GPT2Config, PageConfig
 from llmc_paged_tpu.kv.layouts import (
     PagePool,
     QuantPagePool,
+    commit_layer_kv,
+    commit_layer_kv_quant,
     quantize_rows,
     write_layer_kv,
     write_layer_kv_quant,
@@ -434,17 +436,15 @@ def make_tp_decode_chunk(cfg: GPT2Config, mesh: Mesh, num_steps: int,
         (_, tks, tvs, _), out = jax.lax.scan(
             step, (first, tk0, tv0, jnp.int32(0)), None, length=num_steps)
 
-        fpages = pages.reshape(K * B)
-        fslots = slots.reshape(K * B)
+        # page-granular commit, same layout rationale as the single-device
+        # chunk (kv.layouts._commit_buffer) — shapes are NH-local here
         for i in range(cfg.num_layers):
-            rows_k = tks[i].reshape(K * B, nhl, HS)
-            rows_v = tvs[i].reshape(K * B, nhl, HS)
             if quant_kv:
-                pool_l = write_layer_kv_quant(pool.layer(i), rows_k, rows_v,
-                                              fpages, fslots)
+                pool_l = commit_layer_kv_quant(pool.layer(i), tks[i],
+                                               tvs[i], pages, slots)
             else:
-                pool_l = write_layer_kv(*pool.layer(i), rows_k, rows_v,
-                                        fpages, fslots)
+                pool_l = commit_layer_kv(*pool.layer(i), tks[i], tvs[i],
+                                         pages, slots)
             pool = pool.with_layer(i, pool_l)
         return out, pool
 

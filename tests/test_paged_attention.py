@@ -616,3 +616,71 @@ def test_fully_masked_page_grid_kernel_normalized():
     outq = np.asarray(paged_decode_attention_quant_grid(
         q, kq, vq, ks, vs, tables, lengths, starts, interpret=INTERP))
     assert np.abs(outq[0]).max() == 0.0
+
+
+def _grouped_chunk_coords(rng, K, B, ps, num_pages, mode):
+    """Host-built (K, B) chunk coordinates honoring the allocator
+    contract commit_layer_kv relies on: down each column, slots fill a
+    page monotonically before moving to a (random) fresh page; optional
+    trailing/whole drop-sentinel runs. Returns (pages, slots)."""
+    pages = np.full((K, B), num_pages, np.int32)
+    slots = np.zeros((K, B), np.int32)
+    free = list(rng.permutation(num_pages))
+    for b in range(B):
+        if mode == "inactive" and b == 0:
+            slots[:, b] = 0                      # whole-column sentinel
+            continue
+        n = K if mode != "spec_tail" else int(rng.integers(0, K + 1))
+        off = int(rng.integers(0, ps))           # mid-page start
+        page = free.pop()
+        for j in range(n):
+            if off == ps:
+                page, off = free.pop(), 0
+            pages[j, b], slots[j, b] = page, off
+            off += 1
+        slots[n:, b] = np.arange(K - n) % ps     # stale writes, dropped
+    return pages, slots
+
+
+@pytest.mark.parametrize("mode", ["full", "inactive", "spec_tail"])
+@pytest.mark.parametrize("quant", [False, True])
+def test_commit_layer_kv_matches_scatter(mode, quant):
+    """The page-granular chunk commit (gather + one-hot blend + page
+    scatter — the layout-neutral path) must land BIT-IDENTICAL pool
+    contents to flattening the tails through the per-token scatter
+    (write_layer_kv), including mid-page starts, page spans, inactive
+    sentinel columns, and speculative sentinel tails."""
+    from llmc_paged_tpu.kv.layouts import (commit_layer_kv,
+                                           commit_layer_kv_quant,
+                                           write_layer_kv_quant)
+
+    K, B, NH, HS, ps, P = 12, 4, 3, 8, 8, 10
+    rng = np.random.default_rng(hash(mode) % 2**31)
+    pages, slots = _grouped_chunk_coords(rng, K, B, ps, P, mode)
+    tails_k = jnp.asarray(rng.standard_normal((K, B, NH, HS)), jnp.float32)
+    tails_v = jnp.asarray(rng.standard_normal((K, B, NH, HS)), jnp.float32)
+    pool0 = init_pool(GPT2Config.tiny(num_layers=1, num_heads=NH,
+                                      channels=NH * HS),
+                      PageConfig(page_size=ps, num_pages=P, max_seqs=B,
+                                 pages_per_seq=4),
+                      dtype="int8" if quant else jnp.float32)
+    # pre-fill the pool with junk so untouched slots must pass through
+    junk = jax.tree.map(
+        lambda a: jnp.asarray(
+            rng.integers(-5, 5, a.shape).astype(a.dtype))
+        if a.dtype == jnp.int8
+        else jnp.asarray(rng.standard_normal(a.shape), a.dtype), pool0)
+    pg, sl = jnp.asarray(pages), jnp.asarray(slots)
+    fk = tails_k.reshape(K * B, NH, HS)
+    fv = tails_v.reshape(K * B, NH, HS)
+    fp, fs = pg.reshape(K * B), sl.reshape(K * B)
+    if quant:
+        got = commit_layer_kv_quant(junk.layer(0), tails_k, tails_v,
+                                    pg, sl)
+        want = write_layer_kv_quant(junk.layer(0), fk, fv, fp, fs)
+    else:
+        got = commit_layer_kv(*junk.layer(0), tails_k, tails_v, pg, sl)
+        want = write_layer_kv(*junk.layer(0), fk, fv, fp, fs)
+    for g, w, name in zip(got, want, ("k", "v", "ks", "vs")):
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(w),
+                                      err_msg=f"{mode} {name}")
