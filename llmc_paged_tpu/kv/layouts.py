@@ -306,7 +306,13 @@ def _commit_buffer(pool_l: jax.Array, rows: jax.Array, g_oh: jax.Array,
 
 def _commit_scales(sc_l: jax.Array, srows: jax.Array, g_oh: jax.Array,
                    s_oh: jax.Array, upages: jax.Array) -> jax.Array:
-    """Scale twin of _commit_buffer: srows (K, B, NH) into (P, NH, ps)."""
+    """Scale twin of _commit_buffer: srows (K, B, NH) into (P, NH, ps).
+
+    The scatter runs on a (P, NH, 1, ps) view: the 3D (P, NH, ps) page
+    scatter makes XLA:TPU pick layout {2,0,1} for the operand (two
+    transposing copies per buffer per chunk), while the 4D shape class —
+    identical to the pool buffers' — keeps the default layout. The
+    reshape is layout-compatible, i.e. a free bitcast."""
     P, NH, ps = sc_l.shape
     safe = jnp.clip(upages, 0, P - 1)
     tiles = jnp.take(sc_l, safe, axis=0)
@@ -314,7 +320,9 @@ def _commit_scales(sc_l: jax.Array, srows: jax.Array, g_oh: jax.Array,
     mask = jnp.einsum("kbg,kbs->bgs", g_oh, s_oh)
     tiles = (tiles * (1.0 - mask.reshape(-1, ps)[:, None, :])
              + ins.reshape(-1, NH, ps))
-    return sc_l.at[upages].set(tiles, mode="drop")
+    sc4 = sc_l.reshape(P, NH, 1, ps)
+    sc4 = sc4.at[upages].set(tiles.reshape(-1, NH, 1, ps), mode="drop")
+    return sc4.reshape(P, NH, ps)
 
 
 def commit_layer_kv(k_pool_l: jax.Array, v_pool_l: jax.Array,
