@@ -343,11 +343,21 @@ class InferenceEngine:
             # bf16 prefill copy under TP: a second (sharded) float param
             # pytree + a non-quant prefill step; decode keeps the int8
             # shards (same rationale as the single-device copy above)
+            prefill_quant = quant
             if quant and self.econf.prefill_param_dtype == "bfloat16":
                 self._tp["prefill_params"] = sh.prepare_tp_params(
                     params_np, cfg, mesh, param_dtype="bfloat16")
                 self._tp["prefill"] = sh.make_tp_prefill(
                     cfg, mesh, quant_params=False, kv_quant=kv_quant)
+                prefill_quant = False
+            # prefix caching under TP: the suffix prefill (adopted prefix
+            # read through the block table) has its own sharded program;
+            # the content-addressed manager itself is host-side metadata
+            # and TP-agnostic
+            if self.econf.page.prefix_cache:
+                self._tp["prefill_suffix"] = sh.make_tp_prefill_suffix(
+                    cfg, mesh, quant_params=prefill_quant,
+                    kv_quant=kv_quant, use_kernel=use_kernel)
             jax.block_until_ready(
                 (self._tp["params"], self._tp.get("prefill_params")))
 
@@ -668,9 +678,6 @@ class InferenceEngine:
         # _paged_state() consumes the pool cache (and, under prefix
         # caching, demotes live sequences), so raising after it would
         # silently drop hundreds of MB of device state per failed call
-        if page.prefix_cache and self._tp is not None:
-            raise ValueError("prefix_cache under tensor parallelism "
-                             "is not supported yet")
         if econf.spec_k >= 2:
             if not sampler.greedy:
                 raise ValueError(
@@ -926,10 +933,22 @@ class InferenceEngine:
                                       page.page_size, jnp.asarray(valid),
                                       page.num_pages)
                 if self._tp is not None:
-                    logits, pool = self._tp["prefill"](
-                        self._tp.get("prefill_params",
-                                     self._tp["params"]),
-                        jnp.asarray(xs), pg, sl, pool, jnp.asarray(last))
+                    if offs.any():
+                        # ≥1 row rides adopted pages (prefix cache): the
+                        # TP suffix prefill attends the cached prefix
+                        # through the block table on each shard
+                        logits, pool = self._tp["prefill_suffix"](
+                            self._tp.get("prefill_params",
+                                         self._tp["params"]),
+                            jnp.asarray(xs), pg, sl, pool,
+                            jnp.asarray(tables_g), jnp.asarray(offs),
+                            jnp.asarray(last))
+                    else:
+                        logits, pool = self._tp["prefill"](
+                            self._tp.get("prefill_params",
+                                         self._tp["params"]),
+                            jnp.asarray(xs), pg, sl, pool,
+                            jnp.asarray(last))
                     logits = logits[: len(group)]
                 elif offs.any():
                     # ≥1 row rides adopted pages: suffix prefill attends

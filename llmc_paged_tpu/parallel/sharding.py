@@ -529,6 +529,88 @@ def make_tp_prefill(cfg: GPT2Config, mesh: Mesh,
     return jax.jit(sharded, donate_argnums=(4,))
 
 
+def make_tp_prefill_suffix(cfg: GPT2Config, mesh: Mesh,
+                           quant_params: bool = False,
+                           kv_quant: bool = False,
+                           use_kernel: bool = True,
+                           interpret: Optional[bool] = None):
+    """Tensor-parallel twin of gpt2_paged.prefill_suffix_paged (prefix
+    caching): suffix tokens attend the ADOPTED cached prefix through the
+    block table (multi-query parts on each shard's local heads + pool
+    shard) plus the suffix itself causally, merged online-softmax. Rows
+    with pool_len == 0 degenerate to plain prefill, so the engine can
+    route every prefix-cache wave here. Same preconditions as the
+    single-device version (full-page sharing, suffix starts on a fresh
+    page).
+
+    suffix_run(params_tp, tokens (B,T), page (B,T), slot (B,T), pool,
+    tables (B,pps), pool_len (B,), last_pos (B,)) -> (logits (B,V), pool)
+    """
+    from llmc_paged_tpu.models.gpt2_paged import _spec_tail_attention
+
+    m = mesh.shape["model"]
+    vocab_shard = cfg.padded_vocab_size // m
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    def run(params, tokens, page, slot, pool, tables, pool_len, last_pos):
+        from llmc_paged_tpu.kv.layouts import (prompt_page_ids,
+                                               write_prompt_pages,
+                                               write_prompt_pages_quant)
+
+        B, T = tokens.shape
+        pos = pool_len[:, None] + jnp.arange(T, dtype=jnp.int32)[None, :]
+        wpe_pos = jnp.minimum(pos, cfg.max_seq_len - 1)
+        x = _tp_embed(params, tokens, wpe_pos, "model", vocab_shard)
+        quant_kv = isinstance(pool, QuantPagePool)
+        ps = pool.page_size
+        Tp = -(-T // ps) * ps
+        page_ids = prompt_page_ids(page, T, ps, pool.num_pages)
+        # same kernel gate as prefill_suffix_paged: the flat mq kernel's
+        # VMEM blocks scale with the suffix length
+        use_k = use_kernel and T <= 64
+        t_off = jnp.zeros(B, jnp.int32)
+
+        def pad_t(a):
+            return (a if Tp == T else
+                    jnp.pad(a, ((0, 0), (0, Tp - T), (0, 0), (0, 0))))
+
+        stack = gpt2._layer_stack(params)
+        for i in range(cfg.num_layers):
+            lp = {name: w[i] for name, w in stack.items()}
+            h = L.layernorm(x, lp["ln1w"], lp["ln1b"])
+            qkv = _tp_qkv(lp, h)                  # (3, B, T, NHl, HS)
+            q, k, v = qkv[0], qkv[1], qkv[2]
+            if quant_kv:
+                pool_l = write_prompt_pages_quant(pool.layer(i), pad_t(k),
+                                                  pad_t(v), page_ids)
+            else:
+                pool_l = write_prompt_pages(*pool.layer(i), pad_t(k),
+                                            pad_t(v), page_ids)
+            pool = pool.with_layer(i, pool_l)
+            att = _spec_tail_attention(q, pool.layer(i), k.swapaxes(0, 1),
+                                       v.swapaxes(0, 1), tables, pool_len,
+                                       t_off, use_k, interpret, quant_kv)
+            x = x + jax.lax.psum(_tp_attproj(lp, att), "model") \
+                + lp["attprojb"]
+            h2 = L.layernorm(x, lp["ln2w"], lp["ln2b"])
+            ff = L.gelu_tanh(gpt2._lin(lp, "fcw", h2, "fcb"))
+            x = x + jax.lax.psum(gpt2._lin(lp, "fcprojw", ff), "model") \
+                + lp["fcprojb"]
+        x = x[jnp.arange(B), last_pos]            # (B, C)
+        return _tp_logits(params, x, "model", cfg), pool
+
+    pool_spec = _pool_specs(cfg, kv_quant)
+    sharded = shard_map(
+        run, mesh=mesh,
+        in_specs=(_param_specs(quant_params),
+                  P(), P(), P(), pool_spec, P(), P(), P()),
+        out_specs=(P(), pool_spec),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(4,))
+
+
 def make_dp_train_step(cfg: GPT2Config, mesh: Mesh, optimizer):
     """Data-parallel AdamW training step (the reference's DDP equivalent,
     train_gpt2.py:519-521): batch sharded over "data", params replicated,

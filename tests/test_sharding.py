@@ -446,3 +446,85 @@ def test_engine_tp_window_matches_single_device(fixtures_dir):
         return done[0].tokens
 
     assert run({"model": 2}) == run(None)
+
+
+def _prefix_reqs(vocab=128, seed=11):
+    rng = np.random.default_rng(seed)
+    sys_prompt = rng.integers(0, vocab, 24).tolist()  # 3 full pages @ ps=8
+    return [sys_prompt + rng.integers(0, vocab, int(n)).tolist()
+            for n in (5, 9, 3, 7, 6, 4)]
+
+
+def _run_prefix_engine(params, cfg, reqs, *, mesh_shape, prefix,
+                       param_dtype="float32", kv_dtype="float32", runs=1):
+    from llmc_paged_tpu.config import EngineConfig
+    from llmc_paged_tpu.engine.engine import InferenceEngine
+    from llmc_paged_tpu.engine.scheduler import Request
+
+    page = PageConfig(page_size=8, num_pages=48, max_seqs=8,
+                      pages_per_seq=10, kv_dtype=kv_dtype,
+                      prefix_cache=prefix)
+    econf = EngineConfig(cache_mode="paged", page=page, greedy=True,
+                         max_batch=3, decode_chunk=4,
+                         mesh_shape=mesh_shape, param_dtype=param_dtype,
+                         activation_dtype=("bfloat16"
+                                           if param_dtype == "int8"
+                                           else "float32"))
+    eng = InferenceEngine(params, cfg, econf)
+    outs = []
+    for _ in range(runs):
+        done = eng.run([Request(rid=i, prompt=list(p), max_new_tokens=10)
+                        for i, p in enumerate(reqs)])
+        assert len(done) == len(reqs)
+        outs.append({r.rid: r.tokens for r in done})
+    return outs, dict(eng.stats)
+
+
+@pytest.mark.parametrize("tp", [2, 4])
+def test_engine_tp_prefix_cache_token_equality(tp):
+    """Prefix caching under tensor parallelism (VERDICT r4 #6): the TP
+    suffix prefill (sharded mq parts over adopted pages) must produce
+    the same greedy tokens as (a) the single-device prefix-cache engine
+    and (b) the plain TP engine without caching — within a run (later
+    waves adopt wave 1's system-prompt pages) and across run() calls
+    (manager + pool persist). Head-sharded pool pages adopt by block-
+    table metadata only, so hits cost zero data movement per shard."""
+    cfg = GPT2Config.tiny(max_seq_len=128, vocab_size=128, num_layers=2,
+                          num_heads=4, channels=32)
+    params = jax.tree.map(
+        np.asarray, gpt2.init_params(cfg, jax.random.PRNGKey(0)))
+    reqs = _prefix_reqs()
+    base_tp, _ = _run_prefix_engine(params, cfg, reqs,
+                                    mesh_shape={"model": tp}, prefix=False)
+    base_1, _ = _run_prefix_engine(params, cfg, reqs, mesh_shape=None,
+                                   prefix=True, runs=1)
+    pc, stats = _run_prefix_engine(params, cfg, reqs,
+                                   mesh_shape={"model": tp}, prefix=True,
+                                   runs=2)
+    assert pc[0] == base_tp[0], "TP prefix run diverged from plain TP"
+    assert pc[0] == base_1[0], "TP prefix run diverged from single-device"
+    assert pc[1] == pc[0], "second TP run diverged (stale cached K/V?)"
+    assert stats["prefix_hit_pages"] >= 18, stats
+    assert stats["prefix_pages_registered"] == 0
+
+
+def test_engine_tp_prefix_cache_int8():
+    """The north-star combination: int8 weights + int8 KV + TP=2 +
+    prefix caching. CPU interpret mode is deterministic, so greedy
+    tokens must match the plain TP int8 engine exactly and the second
+    (all-hit) run must reproduce the first."""
+    cfg = GPT2Config.tiny(max_seq_len=128, vocab_size=128, num_layers=2,
+                          num_heads=4, channels=32)
+    params = jax.tree.map(
+        np.asarray, gpt2.init_params(cfg, jax.random.PRNGKey(0)))
+    reqs = _prefix_reqs()
+    base_tp, _ = _run_prefix_engine(params, cfg, reqs,
+                                    mesh_shape={"model": 2}, prefix=False,
+                                    param_dtype="int8", kv_dtype="int8")
+    pc, stats = _run_prefix_engine(params, cfg, reqs,
+                                   mesh_shape={"model": 2}, prefix=True,
+                                   param_dtype="int8", kv_dtype="int8",
+                                   runs=2)
+    assert pc[0] == base_tp[0]
+    assert pc[1] == pc[0]
+    assert stats["prefix_hit_pages"] >= 18, stats
