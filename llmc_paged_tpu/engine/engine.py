@@ -685,9 +685,6 @@ class InferenceEngine:
                     "verification accepts argmax matches; rejection "
                     "sampling for the stochastic samplers is not "
                     "implemented")
-            if self._tp is not None:
-                raise ValueError("spec_k under tensor parallelism is not "
-                                 "supported yet")
 
         for r in requests:
             submit_one(r)
@@ -1197,12 +1194,29 @@ class InferenceEngine:
                         keep = np.zeros(B, bool)
                         keep[plan] = True
                         pos0_d = jnp.where(jnp.asarray(keep), pos0_d, -1)
-                    out_d, counts_d, hist_d, first_d, pos0_d, pool = \
-                        gpt2_paged.decode_chunk_spec(
-                            self.params, first_d, pos0_d, hist_d, pool,
-                            jnp.asarray(tables), cfg, num_steps=S,
-                            spec_k=Ksp, ngram=econf.spec_ngram,
-                            use_kernel=self.use_kernel)
+                    if self._tp is not None:
+                        # TP twin: same chain contract, sharded program
+                        # cached like the plain TP chunks
+                        key = ("spec", S, Ksp, econf.spec_ngram)
+                        fn = self._tp["chunks"].get(key)
+                        if fn is None:
+                            fn = self._tp["sh"].make_tp_decode_chunk_spec(
+                                cfg, self._tp["mesh"], num_steps=S,
+                                spec_k=Ksp, ngram=econf.spec_ngram,
+                                use_kernel=self.use_kernel,
+                                quant_params=self._tp["quant_params"],
+                                kv_quant=self._tp["kv_quant"])
+                            self._tp["chunks"][key] = fn
+                        out_d, counts_d, hist_d, first_d, pos0_d, pool = \
+                            fn(self._tp["params"], first_d, pos0_d,
+                               hist_d, pool, jnp.asarray(tables))
+                    else:
+                        out_d, counts_d, hist_d, first_d, pos0_d, pool = \
+                            gpt2_paged.decode_chunk_spec(
+                                self.params, first_d, pos0_d, hist_d, pool,
+                                jnp.asarray(tables), cfg, num_steps=S,
+                                spec_k=Ksp, ngram=econf.spec_ngram,
+                                use_kernel=self.use_kernel)
                     pending_spec.append((out_d, counts_d, list(plan)))
                     links += 1
                     peak_pages = max(peak_pages,

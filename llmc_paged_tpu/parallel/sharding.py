@@ -611,6 +611,132 @@ def make_tp_prefill_suffix(cfg: GPT2Config, mesh: Mesh,
     return jax.jit(sharded, donate_argnums=(4,))
 
 
+def make_tp_decode_chunk_spec(cfg: GPT2Config, mesh: Mesh, num_steps: int,
+                              spec_k: int, ngram: int = 3,
+                              use_kernel: bool = True,
+                              interpret: Optional[bool] = None,
+                              quant_params: bool = False,
+                              kv_quant: bool = False):
+    """Tensor-parallel twin of gpt2_paged.decode_chunk_spec (speculative
+    decoding): drafting, multi-query verification and greedy acceptance
+    all run inside one shard_map'd scan. Every shard computes identical
+    drafts (history is replicated and _ngram_draft is deterministic) and
+    identical argmax picks (logits are replicated after the lm_head
+    all-gather), so acceptance — and therefore the emitted token stream —
+    is bit-identical across shards and equal to plain TP greedy decode.
+    The KV tails hold only this shard's local heads; the commit coords
+    are computed on device from replicated block tables.
+
+    Returns chunk_spec(params_tp, first (B,), pos0 (B,), hist (B,H),
+    pool, tables (B,pps)) -> (out (S,spec_k,B), counts (S,B), hist,
+    last_tok (B,), new_positions (B,), pool). Greedy only, like the
+    single-device path."""
+    from llmc_paged_tpu.kv.layouts import token_coords
+    from llmc_paged_tpu.models.gpt2_paged import (_ngram_draft,
+                                                  _spec_tail_attention)
+
+    m = mesh.shape["model"]
+    assert cfg.num_heads % m == 0 and cfg.padded_vocab_size % m == 0
+    vocab_shard = cfg.padded_vocab_size // m
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    S, K = num_steps, spec_k
+    assert K >= 2, "spec_k < 2 is plain greedy — use make_tp_decode_chunk"
+
+    def chunk(params, first, pos0, hist, pool, tables):
+        B = first.shape[0]
+        nhl, HS = cfg.num_heads // m, cfg.head_dim
+        TK = S * K
+        active = pos0 >= 0
+        safe_pos0 = jnp.where(active, pos0, 0)
+        quant_kv = isinstance(pool, QuantPagePool)
+        stack = gpt2._layer_stack(params)
+        cdtype = params["wpe"].dtype
+        tk0 = tuple(jnp.zeros((TK, B, nhl, HS), cdtype)
+                    for _ in range(cfg.num_layers))
+        tv0 = tuple(jnp.zeros((TK, B, nhl, HS), cdtype)
+                    for _ in range(cfg.num_layers))
+        barange = jnp.arange(B, dtype=jnp.int32)
+        karange = jnp.arange(K, dtype=jnp.int32)
+
+        def step(carry, _):
+            cur_tok, hist, hl, t_off, tks, tvs = carry
+            drafts = _ngram_draft(hist, hl, ngram, K - 1)      # (B, K-1)
+            inputs = jnp.concatenate([cur_tok[:, None], drafts], axis=1)
+            q_pos = (safe_pos0 + t_off)[:, None] + karange[None, :]
+            wpe_pos = jnp.minimum(q_pos, cfg.max_seq_len - 1)
+            x = _tp_embed(params, jnp.maximum(inputs, 0), wpe_pos,
+                          "model", vocab_shard)                # (B, K, C)
+            for i in range(cfg.num_layers):
+                lp = {name: w[i] for name, w in stack.items()}
+                h = L.layernorm(x, lp["ln1w"], lp["ln1b"])
+                qkv = _tp_qkv(lp, h)                # (3, B, K, NHl, HS)
+                q, k, v = qkv[0], qkv[1], qkv[2]
+                ridx = (t_off[:, None] + karange[None, :]).T   # (K, B)
+                tk = tks[i].at[ridx, barange[None, :]].set(
+                    k.swapaxes(0, 1).astype(cdtype))
+                tv = tvs[i].at[ridx, barange[None, :]].set(
+                    v.swapaxes(0, 1).astype(cdtype))
+                tks = tks[:i] + (tk,) + tks[i + 1:]
+                tvs = tvs[:i] + (tv,) + tvs[i + 1:]
+                att = _spec_tail_attention(q, pool.layer(i), tk, tv,
+                                           tables, safe_pos0, t_off,
+                                           use_kernel, interpret, quant_kv)
+                x = x + jax.lax.psum(_tp_attproj(lp, att), "model") \
+                    + lp["attprojb"]
+                h2 = L.layernorm(x, lp["ln2w"], lp["ln2b"])
+                ff = L.gelu_tanh(gpt2._lin(lp, "fcw", h2, "fcb"))
+                x = x + jax.lax.psum(gpt2._lin(lp, "fcprojw", ff),
+                                     "model") + lp["fcprojb"]
+            logits = _tp_logits(params, x, "model", cfg)       # (B, K, V)
+            o = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, K)
+            lead = jnp.cumprod((o[:, :-1] == drafts).astype(jnp.int32),
+                               axis=1)
+            a = jnp.where(active, 1 + jnp.sum(lead, axis=1), 0)
+            # same history-write contract as the single-device path:
+            # inactive rows must not write (see decode_chunk_spec)
+            hidx = jnp.where(active[:, None],
+                             hl[:, None] + karange[None, :],
+                             hist.shape[1])
+            hist = hist.at[barange[:, None], hidx].set(o, mode="drop")
+            nxt = jnp.take_along_axis(
+                o, jnp.maximum(a - 1, 0)[:, None], axis=1)[:, 0]
+            nxt = jnp.where(active, nxt, cur_tok)
+            return (nxt, hist, hl + a, t_off + a, tks, tvs), (o.T, a)
+
+        hl0 = jnp.where(active, safe_pos0 + 1, 0)
+        (last_tok, hist, hl, t_off, tks, tvs), (out, counts) = jax.lax.scan(
+            step, (first, hist, hl0, jnp.zeros(B, jnp.int32), tk0, tv0),
+            None, length=S)
+
+        tpos = safe_pos0[:, None] + jnp.arange(TK, dtype=jnp.int32)[None, :]
+        valid = (jnp.arange(TK, dtype=jnp.int32)[None, :]
+                 < t_off[:, None]) & active[:, None]
+        pg, sl = token_coords(tables, tpos, pool.page_size, valid,
+                              pool.num_pages)
+        pg_t, sl_t = pg.T, sl.T
+        for i in range(cfg.num_layers):
+            if quant_kv:
+                pool_l = commit_layer_kv_quant(pool.layer(i), tks[i],
+                                               tvs[i], pg_t, sl_t)
+            else:
+                pool_l = commit_layer_kv(*pool.layer(i), tks[i], tvs[i],
+                                         pg_t, sl_t)
+            pool = pool.with_layer(i, pool_l)
+        new_positions = jnp.where(active, safe_pos0 + t_off, pos0)
+        return out, counts, hist, last_tok, new_positions, pool
+
+    pool_spec = _pool_specs(cfg, kv_quant)
+    sharded = shard_map(
+        chunk, mesh=mesh,
+        in_specs=(_param_specs(quant_params),
+                  P(), P(), P(), pool_spec, P()),
+        out_specs=(P(), P(), P(), P(), P(), pool_spec),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(4,))
+
+
 def make_dp_train_step(cfg: GPT2Config, mesh: Mesh, optimizer):
     """Data-parallel AdamW training step (the reference's DDP equivalent,
     train_gpt2.py:519-521): batch sharded over "data", params replicated,

@@ -469,12 +469,8 @@ def test_engine_prefix_cache_guards():
     with pytest.raises(ValueError, match="window"):
         eng.run([Request(rid=0, prompt=list(reqs[0]), max_new_tokens=30)],
                 window=32)
-    econf_tp = EngineConfig(cache_mode="paged", page=page, greedy=True,
-                            max_batch=3, mesh_shape={"model": 1})
-    eng_tp = InferenceEngine(params, cfg, econf_tp)
-    with pytest.raises(ValueError, match="tensor parallelism"):
-        eng_tp.run([Request(rid=0, prompt=list(reqs[0]),
-                            max_new_tokens=4)])
+    # (r5: prefix caching under tensor parallelism is now SUPPORTED —
+    # token-equality coverage lives in tests/test_sharding.py)
 
 
 def test_engine_prefix_cache_preempted_readmission():

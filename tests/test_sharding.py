@@ -480,6 +480,63 @@ def _run_prefix_engine(params, cfg, reqs, *, mesh_shape, prefix,
     return outs, dict(eng.stats)
 
 
+def _run_spec_engine(params, cfg, reqs, *, mesh_shape, spec_k,
+                     param_dtype="float32", kv_dtype="float32"):
+    from llmc_paged_tpu.config import EngineConfig
+    from llmc_paged_tpu.engine.engine import InferenceEngine
+    from llmc_paged_tpu.engine.scheduler import Request
+
+    page = PageConfig(page_size=8, num_pages=64, max_seqs=8,
+                      pages_per_seq=12, kv_dtype=kv_dtype)
+    econf = EngineConfig(cache_mode="paged", page=page, greedy=True,
+                         max_batch=4, decode_chunk=3 if spec_k else 6,
+                         spec_k=spec_k, mesh_shape=mesh_shape,
+                         param_dtype=param_dtype,
+                         activation_dtype=("bfloat16"
+                                           if param_dtype == "int8"
+                                           else "float32"))
+    eng = InferenceEngine(params, cfg, econf)
+    done = eng.run([Request(rid=i, prompt=list(p), max_new_tokens=12)
+                    for i, p in enumerate(reqs)])
+    assert len(done) == len(reqs)
+    return {r.rid: r.tokens for r in done}, dict(eng.stats)
+
+
+@pytest.mark.parametrize("dtypes", [("float32", "float32"),
+                                    ("int8", "int8")])
+def test_engine_tp_spec_decode_token_equality(dtypes):
+    """Speculative decoding under tensor parallelism (VERDICT r4 #6):
+    drafting/verify/acceptance inside the shard_map'd scan must emit the
+    SAME greedy stream as (a) plain TP decode without speculation and
+    (b) the single-device spec engine — spec is greedy-exact by
+    construction, TP must not break that. CPU interpret mode is
+    deterministic, so raw == comparison is valid here."""
+    param_dtype, kv_dtype = dtypes
+    cfg = GPT2Config.tiny(max_seq_len=128, vocab_size=96, num_layers=2,
+                          num_heads=4, channels=32)
+    params = jax.tree.map(
+        np.asarray, gpt2.init_params(cfg, jax.random.PRNGKey(2)))
+    rng = np.random.default_rng(7)
+    # repetitive prompts give the n-gram drafter real acceptance
+    base = rng.integers(0, 96, 6).tolist()
+    reqs = [base * 3 + rng.integers(0, 96, int(n)).tolist()
+            for n in (3, 5, 2, 7)]
+    plain_tp, _ = _run_spec_engine(params, cfg, reqs,
+                                   mesh_shape={"model": 2}, spec_k=0,
+                                   param_dtype=param_dtype,
+                                   kv_dtype=kv_dtype)
+    spec_1, st1 = _run_spec_engine(params, cfg, reqs, mesh_shape=None,
+                                   spec_k=3, param_dtype=param_dtype,
+                                   kv_dtype=kv_dtype)
+    spec_tp, st = _run_spec_engine(params, cfg, reqs,
+                                   mesh_shape={"model": 2}, spec_k=3,
+                                   param_dtype=param_dtype,
+                                   kv_dtype=kv_dtype)
+    assert spec_tp == plain_tp, "TP spec diverged from plain TP greedy"
+    assert spec_tp == spec_1, "TP spec diverged from single-device spec"
+    assert st["spec_tok_per_step"] > 1.0, st   # drafts actually accepted
+
+
 @pytest.mark.parametrize("tp", [2, 4])
 def test_engine_tp_prefix_cache_token_equality(tp):
     """Prefix caching under tensor parallelism (VERDICT r4 #6): the TP
