@@ -646,20 +646,44 @@ def stage_m124_lastresort(budget: _Budget):
     part.out["new_tokens"] = NEW
     part.out["mode"] = "last-resort (degraded relay)"
     part.out["sweep"] = {}
+    bpt = _kv_bytes_per_token(cfg, "int8")
+    hold = {}
 
-    def one():
-        stats = run_paged(params32, cfg, B, prompts, NEW, CHUNK,
-                          "int8", "int8", budget, warmups=1, runs=1)
-        bpt = _kv_bytes_per_token(cfg, "int8")
-        return {"tok_s": round(stats["decode_tok_per_s"], 2),
-                "p50_ttft_s": round(stats["p50_ttft_s"], 4),
-                "runs": stats["runs"],
+    def one_run():
+        if "eng" not in hold:
+            t0 = time.monotonic()
+            hold["eng"] = _engine(params32, cfg, param_dtype="int8",
+                                  kv_dtype="int8", B=B, CHUNK=CHUNK)
+            # short warmup: absorbs the degraded relay's first-VALUE-FETCH
+            # toll (~200-400s observed) AND the compile-cache dispatches,
+            # so the measured rows below are clean
+            _run_requests(hold["eng"], prompts, min(NEW, CHUNK + 3))
+            _log(f"  init+warm {time.monotonic() - t0:.0f}s")
+        _run_requests(hold["eng"], prompts, NEW)
+        s = hold["eng"].stats
+        return {"tok_s": round(s["decode_tok_per_s"], 2),
+                "p50_ttft_s": round(s["p50_ttft_s"], 4),
                 "kv_bytes_per_token": int(bpt),
                 "max_seqs_256tok_per_gb": int(2**30 / (bpt * 256))}
-    part.sub("sweep.int8", one, budget, est_s=0)   # unconditional
-    if "sweep.int8" in part.out:
-        part.out["sweep"]["int8"] = part.out.pop("sweep.int8")
-    part.emit()
+
+    # One row per measured run, each flushed into the cumulative partial
+    # the moment it lands: a driver kill mid-attempt still leaves the
+    # best earlier row (BENCH_r04's failure mode was toll + one long
+    # substage = zero rows in the whole budget).
+    runs = []
+    for i in range(3):
+        name = f"attempt{i}"
+        part.sub(name, one_run, budget, est_s=0 if i == 0 else 25)
+        row = part.out.pop(name, None)
+        if not isinstance(row, dict) or "tok_s" not in row:
+            part.out[name] = row     # keep the error/skip record visible
+            break                    # engine broken or budget exhausted
+        runs.append(row["tok_s"])
+        cur = part.out["sweep"].get("int8")
+        if cur is None or row["tok_s"] > cur.get("tok_s", 0):
+            part.out["sweep"]["int8"] = row
+        part.out["sweep"]["int8"]["runs"] = list(runs)
+        part.emit()
 
 
 STAGES = {"m124": stage_m124, "m1558": stage_m1558,
