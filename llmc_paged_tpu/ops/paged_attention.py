@@ -105,38 +105,6 @@ def _flat_nbuf() -> int:
 _SCALE_VMEM_BUDGET_BYTES = 32 * 1024 * 1024
 
 
-def _bf16_fast() -> bool:
-    """Opt-in bf16 compute path (LLMC_ATTN_BF16=1), default OFF.
-
-    Measured on chip (r4): the isolated layer-call dropped 36.7 → 26.2us,
-    but the FULL 1.5B decode chunk didn't move (4.536 → 4.531 ms/step —
-    the kernel is not the step's serial bottleneck), while the ~4e-3 PV
-    rounding broke token-equality guarantees the engine's features are
-    built on (prefix-cache suffix-vs-full equality, debug_checks
-    on/off equality, f32-act vs bf16-act early-token agreement — all
-    caught by the first on-chip suite run). Net: measurable risk, no
-    measured end-to-end win — so it stays off until a workload shows a
-    real gain (long-context KV-bound decode is the candidate). Same jit
-    staleness caveat as _variant()."""
-    return os.environ.get("LLMC_ATTN_BF16", "") \
-        not in ("", "0", "false", "False")
-
-
-def _compute_dtype(q_dtype, pool_dtype):
-    """Kernel compute dtype + dot precision. bf16 fast path (opt-in,
-    see _bf16_fast): serving activations are bf16 (q arrives bf16) and
-    int8/bf16 pages are EXACT in bf16, so QK products lose nothing
-    (bf16xbf16 products are exact in the MXU's f32 accumulator) while
-    the dots run native single-pass instead of the f32-HIGHEST
-    multi-pass decomposition. The PV probabilities round to bf16
-    (~4e-3 relative). f32 q (fp32 parity mode, kernel-vs-oracle tests)
-    always keeps the exact f32 path, as does any f32 pool."""
-    if not _bf16_fast() or q_dtype == jnp.float32 \
-            or jnp.dtype(pool_dtype).itemsize == 4:
-        return jnp.float32, jax.lax.Precision.HIGHEST
-    return jnp.bfloat16, jax.lax.Precision.DEFAULT
-
-
 def _make_flash_decode_gridb_kernel(quant: bool):
     """Build the (B,)-grid flash-decode kernel (round-2 serving variant,
     now the fallback behind the flat kernel): one Mosaic program per
@@ -187,11 +155,17 @@ def _make_flash_decode_gridb_kernel(quant: bool):
             kdma(0, 0).start()
             vdma(0, 0).start()
 
-        cd, prec = _compute_dtype(q_ref.dtype, kbuf.dtype)
-        # reshape in f32 FIRST: Mosaic rejects bf16 singleton-dim shape
-        # casts ((1,NH,HS)->(NH,1,HS) "unsupported shape cast"); the f32
-        # relayout is supported and the cast after it is elementwise
-        q3 = q_ref[0].astype(jnp.float32)[:, None, :].astype(cd)
+        # f32 compute + HIGHEST dots, always: the opt-in bf16 compute
+        # path (LLMC_ATTN_BF16) was deleted r5 — r4 measured it
+        # -27% on the isolated layer call but ZERO on the full
+        # chunk (the kernel is not the step's serial bottleneck),
+        # while its ~4e-3 PV rounding broke the engine's
+        # token-equality guarantees (docs/DESIGN.md)
+        cd, prec = jnp.float32, jax.lax.Precision.HIGHEST
+        # cast to f32 BEFORE the singleton-dim reshape: Mosaic rejects
+        # the bf16 (1,NH,HS)->(NH,1,HS) shape cast ("unsupported shape
+        # cast") when q arrives bf16; the f32 relayout is supported
+        q3 = q_ref[0].astype(jnp.float32)[:, None, :]
         scale = jax.lax.rsqrt(jnp.float32(HS))
 
         def body(i, carry):
@@ -308,7 +282,13 @@ def _make_flash_decode_flat_kernel(B: int, quant: bool,
             out_ref, m_out, l_out, kbuf, vbuf, sems, sched_ref = rest
         NBUF, NH, HS, ps = kbuf.shape
         scale = jax.lax.rsqrt(jnp.float32(HS))
-        cd, prec = _compute_dtype(q_ref.dtype, kbuf.dtype)
+        # f32 compute + HIGHEST dots, always: the opt-in bf16 compute
+        # path (LLMC_ATTN_BF16) was deleted r5 — r4 measured it
+        # -27% on the isolated layer call but ZERO on the full
+        # chunk (the kernel is not the step's serial bottleneck),
+        # while its ~4e-3 PV rounding broke the engine's
+        # token-equality guarantees (docs/DESIGN.md)
+        cd, prec = jnp.float32, jax.lax.Precision.HIGHEST
 
         firsts = [starts_ref[b] // ps for b in range(B)]
         nums = []
@@ -359,7 +339,7 @@ def _make_flash_decode_flat_kernel(B: int, quant: bool,
             num_b, first_b = nums[b], firsts[b]
             length, start = lengths_ref[b], starts_ref[b]
             # f32-first reshape (see the gridb kernel comment)
-            q3 = q_ref[b].astype(jnp.float32)[:, None, :].astype(cd)
+            q3 = q_ref[b].astype(jnp.float32)[:, None, :]
 
             def body(i, carry, b=b, num_b=num_b, first_b=first_b,
                      length=length, start=start, q3=q3, total=total):
@@ -516,7 +496,13 @@ def _make_flash_decode_flat_mq_kernel(B: int, KQ: int, quant: bool,
             out_ref, m_out, l_out, kbuf, vbuf, sems, sched_ref = rest
         NBUF, NH, HS, ps = kbuf.shape
         scale = jax.lax.rsqrt(jnp.float32(HS))
-        cd, prec = _compute_dtype(q_ref.dtype, kbuf.dtype)
+        # f32 compute + HIGHEST dots, always: the opt-in bf16 compute
+        # path (LLMC_ATTN_BF16) was deleted r5 — r4 measured it
+        # -27% on the isolated layer call but ZERO on the full
+        # chunk (the kernel is not the step's serial bottleneck),
+        # while its ~4e-3 PV rounding broke the engine's
+        # token-equality guarantees (docs/DESIGN.md)
+        cd, prec = jnp.float32, jax.lax.Precision.HIGHEST
 
         firsts = [starts_ref[b] // ps for b in range(B)]
         nums = []
@@ -567,7 +553,7 @@ def _make_flash_decode_flat_mq_kernel(B: int, KQ: int, quant: bool,
             # (KQ, NH, HS) -> (NH, KQ, HS): NH is the dot batch dim.
             # Transpose in f32 first (bf16 relayouts are rejected; see
             # the gridb kernel comment), cast after.
-            q = q_ref[b].astype(jnp.float32).swapaxes(0, 1).astype(cd)
+            q = q_ref[b].astype(jnp.float32).swapaxes(0, 1)
 
             def body(i, carry, b=b, num_b=num_b, first_b=first_b,
                      length=length, start=start, q=q, total=total):

@@ -107,81 +107,6 @@ def test_flat_kernel_ring_depths(nbuf, monkeypatch):
                                rtol=1e-5, atol=2e-5)
 
 
-@pytest.mark.parametrize("variant", ["flat", "gridb"])
-def test_bf16_q_fast_path_matches_oracle(variant, monkeypatch):
-    """The OPT-IN bf16 compute path (LLMC_ATTN_BF16=1; default off — see
-    _bf16_fast for the on-chip findings) must track the f32 oracle given
-    the same bf16 q. The QK side is exact (bf16 products in the f32
-    accumulator); the PV probabilities round to bf16, so the tolerance
-    is the documented ~4e-3, not the f32 path's 1e-5."""
-    monkeypatch.setenv("LLMC_ATTN_VARIANT", variant)
-    monkeypatch.setenv("LLMC_ATTN_BF16", "1")
-    jax.clear_caches()
-    from llmc_paged_tpu.kv.layouts import quantize_pages
-    from llmc_paged_tpu.ops.paged_attention import (
-        paged_decode_attention_quant, paged_decode_attention_quant_xla)
-
-    ps, P = 128, 14
-    q, k, v, tables, _ = rand_case(P=P, ps=ps, seed=31)
-    qb = q.astype(jnp.bfloat16)
-    lengths = jnp.asarray(np.array([1, 2 * ps + 3, 4 * ps], np.int32))
-    starts = jnp.asarray(np.array([0, ps + 5, 2], np.int32))
-
-    # bf16 pool, bf16 q (the bf16 serving sweep row)
-    kb, vb = k.astype(jnp.bfloat16), v.astype(jnp.bfloat16)
-    out = paged_decode_attention(qb, kb, vb, tables, lengths, starts,
-                                 interpret=INTERP)
-    ref = paged_decode_attention_xla(qb, kb, vb, tables, lengths, starts)
-    np.testing.assert_allclose(np.asarray(out, np.float32),
-                               np.asarray(ref, np.float32),
-                               rtol=2e-2, atol=2e-2)
-
-    # int8 pool, bf16 q (the int8 serving headline path)
-    kq, ks = quantize_pages(k)
-    vq, vs = quantize_pages(v)
-    out_q = paged_decode_attention_quant(qb, kq, vq, ks, vs, tables,
-                                         lengths, starts, interpret=INTERP)
-    ref_q = paged_decode_attention_quant_xla(qb, kq, vq, ks, vs, tables,
-                                             lengths, starts)
-    np.testing.assert_allclose(np.asarray(out_q, np.float32),
-                               np.asarray(ref_q, np.float32),
-                               rtol=2e-2, atol=2e-2)
-    jax.clear_caches()
-
-
-def test_bf16_q_mq_fast_path_matches_oracle(monkeypatch):
-    """Opt-in bf16 path through the multi-query kernel (the spec-verify /
-    suffix-prefill read path at serving dtypes)."""
-    monkeypatch.setenv("LLMC_ATTN_BF16", "1")
-    jax.clear_caches()
-    from llmc_paged_tpu.kv.layouts import quantize_pages
-    from llmc_paged_tpu.ops.paged_attention import (
-        paged_decode_attention_quant_parts_mq,
-        paged_decode_attention_quant_parts_mq_xla)
-
-    rng = np.random.default_rng(41)
-    B, KQ, NH, HS, ps, pps = 2, 4, 4, 64, 128, 3
-    P = B * pps + 2
-    q = jnp.asarray(rng.standard_normal((B, KQ, NH, HS)),
-                    jnp.bfloat16)
-    k = jnp.asarray(rng.standard_normal((P, NH, HS, ps), dtype=np.float32))
-    v = jnp.asarray(rng.standard_normal((P, NH, HS, ps), dtype=np.float32))
-    tables = jnp.asarray(
-        rng.permutation(P)[: B * pps].reshape(B, pps).astype(np.int32))
-    lengths = jnp.asarray(np.array([2 * ps + 3, ps], np.int32))
-    kq_, ks = quantize_pages(k)
-    vq_, vs = quantize_pages(v)
-    acc, m, l = paged_decode_attention_quant_parts_mq(
-        q, kq_, vq_, ks, vs, tables, lengths, interpret=INTERP)
-    acc_x, m_x, l_x = paged_decode_attention_quant_parts_mq_xla(
-        q, kq_, vq_, ks, vs, tables, lengths)
-    np.testing.assert_allclose(np.asarray(acc), np.asarray(acc_x),
-                               rtol=2e-2, atol=2e-2)
-    np.testing.assert_allclose(np.asarray(l), np.asarray(l_x),
-                               rtol=2e-2, atol=2e-2)
-    jax.clear_caches()
-
-
 def test_lab_flatwide_matches_oracle():
     """LAB artifact regression (ops/dev/lab_flatwide.py): the flatwide
     wide-buffer kernel measured 40x slower compiled (see its docstring)
