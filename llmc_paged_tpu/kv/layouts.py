@@ -308,11 +308,16 @@ def _commit_scales(sc_l: jax.Array, srows: jax.Array, g_oh: jax.Array,
                    s_oh: jax.Array, upages: jax.Array) -> jax.Array:
     """Scale twin of _commit_buffer: srows (K, B, NH) into (P, NH, ps).
 
-    The scatter runs on a (P, NH, 1, ps) view: the 3D (P, NH, ps) page
-    scatter makes XLA:TPU pick layout {2,0,1} for the operand (two
-    transposing copies per buffer per chunk), while the 4D shape class —
-    identical to the pool buffers' — keeps the default layout. The
-    reshape is layout-compatible, i.e. a free bitcast."""
+    KNOWN RESIDUAL (r5, measured in HLO): the 3D (P, NH, ps) page
+    scatter makes XLA:TPU pick layout {2,0,1} for the operand — two
+    transposing copies per scale buffer per chunk (~28 MB/chunk at 124M
+    mult4, ~0.1 ms/step-order at 1.5B long-ctx). The scatter below runs
+    on a (P, NH, 1, ps) view hoping to join the pool buffers' 4D shape
+    class (which keeps the default layout), but XLA CANONICALIZES the
+    reshape away before layout assignment — the compiled HLO is
+    byte-identical with or without it (docs/TPU_RUNS.md r5). Kept for
+    documentation; a real fix needs the scale buffers stored 4D
+    end-to-end or a Pallas commit write."""
     P, NH, ps = sc_l.shape
     safe = jnp.clip(upages, 0, P - 1)
     tiles = jnp.take(sc_l, safe, axis=0)
