@@ -99,10 +99,14 @@ def _flat_nbuf() -> int:
     return max(2, int(os.environ.get("LLMC_ATTN_NBUF", "4")))
 
 # The int8-KV DMA kernel holds both whole (P, NH, ps) f32 scale arrays in
-# VMEM (~25.6KB/page at 1.5B shapes). Cap that at a fraction of the ~128MB
-# VMEM, leaving room for the double-buffered page streams; bigger pools
-# fall back to the XLA gather path rather than failing Mosaic compilation.
-_SCALE_VMEM_BUDGET_BYTES = 32 * 1024 * 1024
+# VMEM (~25.6KB/page at 1.5B shapes). The binding limit is NOT the 128MB
+# physical VMEM but XLA:TPU's 16MB SCOPED-vmem stack for kernel locals:
+# r5 measured a compile-time "Ran out of memory in memory space vmem ...
+# limit 16.00M" crash at 14.2MB of scales + ring buffers (124M shapes,
+# P=1152). Budget 12MB leaves ~4MB for the double-buffered page ring;
+# bigger pools stream scales through the ring (flat kernel, O(NBUF)
+# VMEM) or fall back to the XLA gather path.
+_SCALE_VMEM_BUDGET_BYTES = 12 * 1024 * 1024
 
 
 def _make_flash_decode_gridb_kernel(quant: bool):
