@@ -81,13 +81,19 @@ def _flat_ok(B: int, pages_per_seq: int) -> bool:
             and B * pages_per_seq <= _FLAT_SMEM_SCHED_LIMIT)
 
 
-def _scale_dma() -> bool:
-    """Opt-in per-page scale-DMA stream for the int8 kernels (hardware-
-    unverified Mosaic alignment — see the kernel comments). Parsed, not
-    truthiness: bool(os.environ.get(...)) turned LLMC_ATTN_SCALE_DMA=0
-    into ENABLED. Same jit-cache staleness caveat as _variant()."""
-    return os.environ.get("LLMC_ATTN_SCALE_DMA", "") \
-        not in ("", "0", "false", "False")
+def _scale_dma():
+    """Per-page scale-DMA stream for the int8 kernels. Tri-state
+    (LLMC_ATTN_SCALE_DMA): unset/"auto" -> None (AUTO: used when the
+    pinned-scales layout would blow the scoped-vmem budget — the r5
+    default, hardware-verified at P=1152: kernel-vs-oracle maxdiff
+    <=1e-4 and ~5% perf cost vs pinned, docs/TPU_RUNS.md r5);
+    "1" -> True (always stream); "0" -> False (never — over-budget
+    pools fall back to the XLA gather path). Parsed, not truthiness.
+    Same jit-cache staleness caveat as _variant()."""
+    v = os.environ.get("LLMC_ATTN_SCALE_DMA", "")
+    if v in ("", "auto"):
+        return None
+    return v not in ("0", "false", "False")
 
 
 def _flat_nbuf() -> int:
@@ -408,8 +414,10 @@ def _make_flash_decode_flat_kernel(B: int, quant: bool,
 
 
 def _flat_parts_call(q, k_pages, v_pages, block_tables, lengths, starts,
-                     scales, interpret: bool):
-    """pallas_call wrapper shared by the float/quant flat kernels."""
+                     scales, interpret: bool, scale_dma=None):
+    """pallas_call wrapper shared by the float/quant flat kernels.
+    ``scale_dma``: None resolves from the env tri-state (False on auto);
+    the quant dispatchers pass their budget-aware decision through."""
     B, NH, HS = q.shape
     P, _, _, ps = k_pages.shape
     pages_per_seq = block_tables.shape[1]
@@ -420,7 +428,8 @@ def _flat_parts_call(q, k_pages, v_pages, block_tables, lengths, starts,
         pl.BlockSpec(memory_space=pltpu.HBM),
     ]
     operands = [q, k_pages, v_pages]
-    scale_dma = _scale_dma()
+    if scale_dma is None:
+        scale_dma = bool(_scale_dma())
     if quant:
         in_specs += ([pl.BlockSpec(memory_space=pltpu.HBM)] * 2
                      if scale_dma else
@@ -623,7 +632,7 @@ def _make_flash_decode_flat_mq_kernel(B: int, KQ: int, quant: bool,
 
 
 def _flat_parts_mq_call(q, k_pages, v_pages, block_tables, lengths, starts,
-                        scales, interpret: bool):
+                        scales, interpret: bool, scale_dma=None):
     """pallas_call wrapper for the multi-query flat kernels."""
     B, KQ, NH, HS = q.shape
     P, _, _, ps = k_pages.shape
@@ -635,7 +644,8 @@ def _flat_parts_mq_call(q, k_pages, v_pages, block_tables, lengths, starts,
         pl.BlockSpec(memory_space=pltpu.HBM),
     ]
     operands = [q, k_pages, v_pages]
-    scale_dma = _scale_dma()
+    if scale_dma is None:
+        scale_dma = bool(_scale_dma())
     if quant:
         in_specs += ([pl.BlockSpec(memory_space=pltpu.HBM)] * 2
                      if scale_dma else
@@ -723,16 +733,18 @@ def paged_decode_attention_quant_parts_mq(q: jax.Array, k_pages: jax.Array,
     P, _, _, ps = k_pages.shape
     if starts is None:
         starts = jnp.zeros_like(lengths)
+    over = 2 * P * NH * ps * 4 > _SCALE_VMEM_BUDGET_BYTES
+    pref = _scale_dma()
     scale_dma_ok = (_variant() == "flat"
-                    and _scale_dma())
+                    and (pref if pref is not None else over))
     if ps % 128 != 0 or not _flat_ok(B, block_tables.shape[1]) or \
-            (not scale_dma_ok
-             and 2 * P * NH * ps * 4 > _SCALE_VMEM_BUDGET_BYTES):
+            (over and not scale_dma_ok):
         return paged_decode_attention_quant_parts_mq_xla(
             q, k_pages, v_pages, k_scale, v_scale, block_tables, lengths,
             starts)
     return _flat_parts_mq_call(q, k_pages, v_pages, block_tables, lengths,
-                               starts, (k_scale, v_scale), interpret)
+                               starts, (k_scale, v_scale), interpret,
+                               scale_dma=scale_dma_ok)
 
 
 def _make_paged_decode_grid_kernel(quant: bool):
@@ -990,16 +1002,18 @@ def paged_decode_attention_quant_parts(q: jax.Array, k_pages: jax.Array,
     # max_context × many slots) routes to the XLA path (trace-time
     # static decision) — unless LLMC_ATTN_SCALE_DMA streams per-page
     # scales through the flat kernel's ring (O(NBUF) VMEM, no limit).
+    over = 2 * P * NH * ps * 4 > _SCALE_VMEM_BUDGET_BYTES
+    pref = _scale_dma()
     scale_dma_ok = (_variant() == "flat"
-                    and _scale_dma())
-    if not scale_dma_ok and \
-            2 * P * NH * ps * 4 > _SCALE_VMEM_BUDGET_BYTES:
+                    and (pref if pref is not None else over))
+    if over and not scale_dma_ok:
         return paged_decode_attention_quant_parts_xla(
             q, k_pages, v_pages, k_scale, v_scale, block_tables, lengths,
             starts)
     if _flat_ok(B, block_tables.shape[1]):
         return _flat_parts_call(q, k_pages, v_pages, block_tables, lengths,
-                                starts, (k_scale, v_scale), interpret)
+                                starts, (k_scale, v_scale), interpret,
+                                scale_dma=scale_dma_ok)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
